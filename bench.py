@@ -1,0 +1,76 @@
+"""Headline benchmark — driver contract.
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes end-to-end into a noop sink (full computation, no
+collect-to-driver cost in the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from emdrive_spark import registry  # noqa: E402
+from emdrive_spark.session import get_spark  # noqa: E402
+
+# Stable headline set: one representative per operator family, heavy
+# enough to measure, bounded enough to stay minutes-not-hours at sf0.1.
+HEADLINE = (
+    "agg_group_sum",        # TPC-H Q1: scan + hash agg
+    "join_inner",           # fact-dim equi join
+    "join_broadcast",       # star-schema broadcast chain
+    "join_asof",            # union + window as-of
+    "window_rank",          # top-k per group window
+    "window_running_sum",   # running frame aggregate
+    "distance_threshold",   # flagship metric search
+    "knn_topk",             # exact brute-force kNN
+    "vector_cosine",        # bulk vector distance
+    "dedup_exact",          # digest groupBy dedup
+    "text_quality",         # text scoring projection
+    "doc_fingerprint",      # rolling-hash fingerprint
+    "events_tumbling_count",  # time windows
+    "events_session_agg",   # sessionization
+    "set_except",           # multiset difference
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("emdrive-bench")
+
+    qs = registry.queries()
+    # Warm the JVM/parquet reader once outside timing.
+    qs["scan_full"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

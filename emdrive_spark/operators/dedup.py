@@ -1,0 +1,234 @@
+"""Deduplication operators — exact, MinHash/LSH, SimHash, n-gram
+Jaccard, embedding-cosine.
+
+ABSENT in the reference; first-class north-star surface for LLM
+training-data pipelines. The fixture corpus has no natural duplicates
+(500/500 distinct texts), so the dup-pair ops run on ``_doubled()`` — the
+corpus unioned with an id-shifted copy of itself — giving deterministic,
+non-empty known answers (every doc has exactly one exact duplicate).
+
+Scale design:
+- Exact dedup = hash-groupBy on a digest: one shuffle of (16-byte md5,
+  id), never of the payload. At 100 TB you shuffle ~2% of the bytes.
+- MinHash+LSH = the linear-cost near-dup path: signatures are a
+  projection; candidate pairs come from equality joins on band buckets
+  (shuffle on bucket id), so cost ~ #colliding pairs, not n².
+- The exact n-gram Jaccard join is the quadratic-in-collisions
+  verifier — at scale you run it only on LSH candidates; here it also
+  serves as the DuckDB-checkable oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emdrive_spark.operators.text import shingles, tokens
+from emdrive_spark.registry import register
+from emdrive_spark.sources.tables import load
+
+_SHIFT = 1_000_000  # id offset for the duplicated copy
+
+_DOUBLED_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_SHIFT} AS doc_id, text FROM documents
+"""
+
+
+def _doubled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.select((F.col("doc_id") + _SHIFT).alias("doc_id"), "text")
+    return docs.unionByName(shifted)
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH corpus AS ({_DOUBLED_SQL})
+    SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM corpus GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on content digest, keep the smallest id.
+    Shuffles only (digest, id) — payload never moves."""
+    return (
+        _doubled(spark, sf_dir)
+        .select(F.md5("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+@register(
+    "dedup_ngram",
+    oracle=rf"""
+    WITH corpus AS ({_DOUBLED_SQL}),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                              i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM corpus)
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(common / (ca.n + cb.n - common), 4) AS jaccard
+    FROM pairs
+    JOIN counts ca ON ca.doc_id = id_a
+    JOIN counts cb ON cb.doc_id = id_b
+    WHERE common / (ca.n + cb.n - common) >= 0.8
+    """,
+)
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.8): explode
+    distinct 3-shingles, pair docs via equality join on shingle,
+    jaccard = |∩| / (|A|+|B|-|∩|). The shingle equi-join is the only
+    shuffle; at 100 TB this runs on LSH candidates, not the full corpus."""
+    sh = (
+        _doubled(spark, sf_dir)
+        .select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    jac = F.col("common") / (F.col("ca.n") + F.col("cb.n") - F.col("common"))
+    return (
+        pairs.join(ca, F.col("id_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("id_b") == F.col("cb.doc_id"))
+        .filter(jac >= 0.8)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register("dedup_minhash", oracle=None)  # LSH signatures are engine-specific
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle sets → seeded MinHash signatures →
+    approxSimilarityJoin (band-bucket equality join) at Jaccard distance
+    ≤ 0.2. The linear-cost scale path; the exact twin is dedup_ngram."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    corpus = _doubled(spark, sf_dir).withColumn("sh", shingles(F.col("text")))
+    cv = CountVectorizer(inputCol="sh", outputCol="features", binary=True)
+    model = cv.fit(corpus)
+    feat = model.transform(corpus)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    mh_model = mh.fit(feat)
+    joined = mh_model.approxSimilarityJoin(feat, feat, 0.2, distCol="jaccard_dist")
+    return (
+        joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+    )
+
+
+@register("dedup_simhash", oracle=None)  # xxhash64 is Spark-specific
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit fingerprint = sign of per-bit sums of
+    token hashes; candidate pairs = equality on 8-bit bands (4 bands →
+    Hamming ≤ 3 guaranteed caught); verify with exact Hamming. All
+    codegen arithmetic (xxhash64 + bit ops), one explode, one band join."""
+    nbits = 32
+    corpus = _doubled(spark, sf_dir)
+    tok = corpus.select("doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"))
+    h = tok.withColumn("h", F.xxhash64("tok"))
+    # per-bit contribution: +1 if bit set else -1, summed per doc
+    bit_sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(nbits)
+        ]
+    )
+    fp = bit_sums.select(
+        "doc_id",
+        sum(
+            [F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long")) for i in range(nbits)],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"), F.shiftright(F.col("simhash"), i * 8).bitwiseAND(F.lit(255)).alias("key"))
+                for i in range(4)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= 3)
+
+
+@register(
+    "dedup_embedding",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_SHIFT} AS vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / nullif(sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v)), 0.0), 6) AS cos_sim
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / nullif(sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(b.v, b.v)), 0.0), 6) >= 0.95
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (sim ≥ 0.95) — brute-force here
+    (the oracle-checkable exact twin); at 100 TB the candidate pairs come
+    from LSH/IVF bucketing (see operators.similarity) and this exact
+    cosine runs only on candidates."""
+    from emdrive_spark.functions.distance import cosine_similarity
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + _SHIFT).alias("vec_id"), "v")
+    )
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    sim = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.95)
+    )

@@ -1,0 +1,539 @@
+"""Relational operator surface (SURVEY §2.1, §2.2, §2.3–2.8).
+
+The reference implements parse-only project/filter/equality on a single
+table (/root/reference/src/constructs/statements.rs:30-42,
+/root/reference/src/sql/expects/semantic.rs:216-263) and declares the
+rest; we realize the full relational family as declarative DataFrame
+plans so Catalyst handles pushdown, pruning, join selection and AQE.
+
+Scale notes, per op family:
+- Scans: Parquet + pushed filters/pruned columns (verified via .explain
+  in tests) — at 100 TB this is the difference between reading 100 TB
+  and reading the 2 columns x matching row-groups you need.
+- Joins: small dims (region/nation/customer at TPC-H ratios) broadcast;
+  fact-fact joins shuffle on the join key and AQE handles skew.
+- Aggregations: groupBy/agg compiles to partial (map-side) + final
+  hash aggregation automatically — no driver-side combining anywhere.
+- Windows: partitionBy keys chosen to be high-cardinality (user_id,
+  custkey) so a 1000-executor cluster gets even work; no global
+  (unpartitioned) windows in the hot path.
+- Top-k: orderBy().limit(k) plans as TakeOrderedAndProject — per
+  partition heap + driver merge of k rows, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from emdrive_spark.registry import register
+from emdrive_spark.sources.tables import load
+
+
+def _r2(c):
+    """Deterministic money representation: round(double, 2). Spark and
+    DuckDB sum doubles bitwise-identically on this corpus (verified);
+    rounding is insurance against partial-agg ordering at larger SFs."""
+    return F.round(c, 2)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans
+# ---------------------------------------------------------------------------
+
+
+@register("scan_full", oracle="SELECT * FROM region")
+def scan_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full table scan (reference executor/read.rs:7-31)."""
+    return load(spark, sf_dir, "region")
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projection / filter / predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "project",
+    oracle="SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+)
+def project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT col,... (reference select.rs:5-32). Column pruning reaches
+    the Parquet scan: ReadSchema carries only these three columns."""
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+@register(
+    "filter_eq",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE a = b — the reference grammar's only predicate
+    (semantic.rs:216-263). Pushed to the Parquet scan as an EqualTo."""
+    return (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+
+@register("sort_pk", oracle="SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey")
+def sort_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY primary key — the implicit B+tree order of the reference
+    (paging.rs:49-54). Range-partitioned sort, no single-node funnel."""
+    return load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal").orderBy("c_custkey")
+
+
+@register(
+    "limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LIMIT (top-10 with tiebreak). Plans as
+    TakeOrderedAndProject: per-partition heap, k-row driver merge."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION ALL SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s)
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
+
+
+@register("distinct_rows", oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT = hash aggregate on all columns; partial+final, map-side
+    combine keeps the shuffle tiny when cardinality is low."""
+    return load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join. customer is ~1/10 of orders: AQE picks broadcast
+    below threshold; at 100 TB the fact side never re-shuffles if
+    bucketed on the key."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+    SELECT c_custkey, o_orderkey
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select("c_custkey", "o_orderkey")
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI = EXISTS. Only the left side's columns flow — Spark
+    never materializes the pair, and the right side reduces to a
+    (broadcast) hash set of keys."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT c_custkey, n_name, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the dim tables: zero shuffle of the fact
+    side — the canonical star-schema plan at any scale (nation=25 rows,
+    region=5 rows even at sf 100k)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+
+@register(
+    "join_range",
+    oracle="""
+    SELECT s_suppkey, c_custkey
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND s_acctbal < c_acctbal
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi key (nationkey) carries the shuffle, the range
+    predicate evaluates post-match — NOT a BNLJ. At scale, the equi
+    component is what keeps this tractable."""
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    return s.join(
+        c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal < c.c_acctbal)
+    ).select("s_suppkey", "c_custkey")
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts,
+           r.ts AS matched_ts, r.value AS matched_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest view by the same user
+    at-or-before it. Spark lacks a native ASOF; the scalable pattern is
+    a single union + one shuffle on (user_id) + an ordered window with
+    last(ignorenulls) — O(n log n) per user partition, no range
+    explosion, no per-row subquery. (user_id, ts) pairs are unique in
+    this corpus, so the match is deterministic."""
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(None).cast("timestamp").alias("r_ts"),
+        F.lit(None).cast("double").alias("r_value"), F.lit(1).alias("is_left"),
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+        F.col("ts").alias("r_ts"), F.col("value").alias("r_value"),
+        F.lit(0).alias("is_left"),
+    )
+    # Right rows sort before left rows at identical ts so ties match
+    # (ASOF's <= semantics).
+    merged = left.unionByName(right)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_left"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        merged.withColumn("matched_ts", F.last("r_ts", ignorenulls=True).over(w))
+        .withColumn("matched_value", F.last("r_value", ignorenulls=True).over(w))
+        .filter(F.col("is_left") == 1)
+        .select("event_id", "user_id", "ts", "matched_ts", "matched_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_group_sum",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                       AS sum_qty,
+           round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(sum(l_quantity), 2) / count(*)                            AS avg_qty,
+           round(sum(l_extendedprice), 2) / count(*)                       AS avg_price,
+           round(sum(l_discount), 2) / count(*)                            AS avg_disc,
+           count(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filtered scan → partial+final hash aggregate.
+    The filter pushes to Parquet; only 7 of 11 columns are read."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r2(F.sum("l_quantity")).alias("sum_qty"),
+            _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r2(F.sum(disc_price)).alias("sum_disc_price"),
+            _r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            # avg = round(sum,2)/n with no outer round: bitwise-equal
+            # inputs divide deterministically, while re-rounding the
+            # quotient can land on exact decimal midpoints (power-of-two
+            # counts) where Spark HALF_UP != DuckDB HALF_EVEN.
+            (_r2(F.sum("l_quantity")) / F.count("*")).alias("avg_qty"),
+            (_r2(F.sum("l_extendedprice")) / F.count("*")).alias("avg_price"),
+            (_r2(F.sum("l_discount")) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs, count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct — Spark expands to a two-phase aggregate (distinct
+    on (group, key) then count), both phases map-side partial."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register("agg_approx_count_distinct", oracle=None)  # HLL sketches differ across engines
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct = HyperLogLog++: constant memory per group
+    regardless of key cardinality — the 100 TB replacement for exact
+    distinct when ±2% is acceptable. Not oracle-comparable (sketch
+    internals differ across engines) → rows-only check."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs"))
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(_r2(F.sum("l_quantity")).alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(_r2(F.sum("o_totalprice")).alias("sum_price"), F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. One shuffle on o_custkey; Spark 3.5+
+    inserts a WindowGroupLimit so each partition keeps only 3 rows
+    before the final window — the scalable top-k-per-group plan."""
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_lag",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+    FROM events
+    """,
+)
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value", F.lag("value").over(w).alias("prev_value"))
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer. Explicit ROWS frame (the default with
+    ORDER BY is RANGE — different semantics on ties) and a full
+    tie-break so the accumulation order is deterministic."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", _r2(F.sum("o_totalprice").over(w)).alias("running_total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar function passthrough
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "str_funcs",
+    oracle="""
+    SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name, 1, 10) AS name10,
+           CAST(length(p_type) AS BIGINT) AS type_len,
+           concat(p_brand, ':', p_type) AS brand_type
+    FROM part
+    """,
+)
+def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String library passthrough (ABSENT in reference, SURVEY §2.8)."""
+    return load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 10).alias("name10"),
+        F.length("p_type").cast("long").alias("type_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@register(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT)  AS o_year,
+           CAST(month(o_orderdate) AS BIGINT) AS o_month,
+           date_trunc('month', o_orderdate)   AS month_start
+    FROM orders
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+    )

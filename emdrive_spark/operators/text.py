@@ -1,0 +1,187 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+ABSENT in the reference (its scalar surface is ULID/NOW only,
+/root/reference/src/constructs/functions.rs:10-13); these are the
+north-star additions: language-ID, quality scoring, token counting,
+fingerprinting — each expressed as pure Column arithmetic so the whole
+pass over a 100 TB `documents` corpus is one codegen'd projection with
+no Python in the loop.
+
+Oracle determinism: every heuristic is defined by arithmetic/regex that
+evaluates identically in Spark SQL and DuckDB SQL (verified by the
+driver's value-hash compare).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emdrive_spark.registry import register
+from emdrive_spark.sources.tables import load
+
+_ROLL_MOD = 1_000_000_007
+_STOPWORDS = ("a", "the", "of", "and")
+_STOP_SQL = "('a', 'the', 'of', 'and')"
+
+
+def tokens(col):
+    """Whitespace tokenizer (the BPE-ish path is the regex itself)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+@register(
+    "text_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: one projection, no shuffle, no Python."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+
+
+@register(
+    "text_quality",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(text), '\s+') AS toks,
+             CAST(length(text) AS BIGINT) AS n_chars_m
+      FROM documents
+    )
+    SELECT doc_id, n_chars_m,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / nullif(len(toks), 0), 4)
+             AS avg_token_len,
+           round(CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
+                 / nullif(len(toks), 0), 4) AS stopword_ratio,
+           round(least(1.0, len(toks) / 100.0)
+                 * (1 - CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
+                        / nullif(len(toks), 0)), 4) AS quality_score
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length / stopword-ratio features) —
+    the standard pre-training corpus filter, as one codegen projection."""
+    toks = tokens(F.col("text"))
+    n_toks = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stop_ratio = F.round(n_stop.cast("double") / F.nullif(n_toks, F.lit(0)), 4)
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_m"),
+        n_toks.cast("long").alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")).cast("double")
+            / F.nullif(n_toks, F.lit(0)),
+            4,
+        ).alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        F.round(
+            F.least(F.lit(1.0), n_toks / F.lit(100.0))
+            * (1 - n_stop.cast("double") / F.nullif(n_toks, F.lit(0))),
+            4,
+        ).alias("quality_score"),
+    )
+
+
+@register(
+    "lang_id",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 'en'
+                WHEN ' ' || text || ' ' LIKE '% le %'  THEN 'fr'
+                WHEN ' ' || text || ' ' LIKE '% der %' THEN 'de'
+                WHEN ' ' || text || ' ' LIKE '% el %'  THEN 'es'
+                ELSE 'unknown' END AS lang_pred
+    FROM documents
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID. (The fixture's `lang` labels are
+    synthetic — same vocabulary for every language — so this demonstrates
+    the operator shape; a real corpus would use an n-gram profile table
+    broadcast-joined against shingles.)"""
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    pred = (
+        F.when(padded.like("% the %"), "en")
+        .when(padded.like("% le %"), "fr")
+        .when(padded.like("% der %"), "de")
+        .when(padded.like("% el %"), "es")
+        .otherwise("unknown")
+    )
+    return load(spark, sf_dir, "documents").select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fp_md5,
+           list_reduce(
+             list_prepend(CAST(7 AS BIGINT),
+                          list_transform(string_split(text, ''),
+                                         c -> CAST(ord(c) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % {_ROLL_MOD}) AS fp_roll
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 digest + a 31-ary polynomial rolling
+    hash over characters (the Rabin-Karp shape), both as codegen'd
+    expressions — no UDF."""
+    chars = F.split(F.col("text"), "")
+    roll = F.aggregate(
+        F.transform(chars, lambda c: F.ascii(c).cast("long")),
+        F.lit(7).cast("long"),
+        lambda acc, x: (acc * 31 + x) % _ROLL_MOD,
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp_md5"),
+        roll.alias("fp_roll"),
+    )
+
+
+def shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles as an array column. Pure
+    sequence/transform/slice — evaluates inside codegen."""
+    toks = tokens(text_col)
+    k = F.size(toks) - (n - 1)
+    sh = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    # sequence(1, k) with k < 1 would *descend*; guard short docs to [].
+    return F.array_distinct(
+        F.when(k >= 1, sh).otherwise(F.array().cast("array<string>"))
+    )
+
+
+@register(
+    "text_shingle",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(
+             list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                            i -> array_to_string(toks[i:i+2], ' ')))) AS BIGINT)
+             AS n_shingles
+    FROM t
+    """,
+)
+def text_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-gram shingle count per document — the building block
+    of MinHash/Jaccard dedup (see operators.dedup)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(shingles(F.col("text"))).cast("long").alias("n_shingles")
+    )

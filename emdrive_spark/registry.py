@@ -1,0 +1,80 @@
+"""Central query registry — the engine's public operator surface.
+
+Every operator from SURVEY.md §2 registers here with (a) a PySpark
+callable ``fn(spark, sf_dir) -> DataFrame`` and (b) an equivalent DuckDB
+SQL oracle string (or ``None`` for genuinely non-SQL-expressible ops,
+which the driver checks rows-only). ``__spark_entry__.py`` re-exports
+``queries()`` / ``oracle_sql()`` from here.
+
+Contract notes (driver compare):
+- Columns are matched by NAME (sorted) — every computed column must carry
+  the same alias on both the Spark and oracle side.
+- Row order is irrelevant (order-insensitive value hash).
+- Floating aggregates are wrapped to a deterministic representation (see
+  operators.relational) so partial-aggregation order differences between
+  Spark and DuckDB cannot flip a bit.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL, or None → rows-only check
+    doc: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+# Operator modules that self-register on import.
+_OPERATOR_MODULES = (
+    "emdrive_spark.operators.relational",
+    "emdrive_spark.operators.similarity",
+    "emdrive_spark.operators.dedup",
+    "emdrive_spark.operators.text",
+    "emdrive_spark.operators.timeseries",
+    "emdrive_spark.operators.multimodal",
+)
+
+_loaded = False
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query under an engine op name (SURVEY §2)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate op name {name!r}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    global _loaded
+    if _loaded:
+        return
+    for mod in _OPERATOR_MODULES:
+        importlib.import_module(mod)
+    _loaded = True
+
+
+def queries() -> dict[str, QueryFn]:
+    load_all()
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    load_all()
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}

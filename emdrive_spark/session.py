@@ -1,0 +1,60 @@
+"""SparkSession factory for the emdrive-spark engine.
+
+The reference engine runs a single-process async executor with a bounded
+request channel (/root/reference/src/executor/mod.rs:19,58-62). Our unit of
+execution is a SparkSession instead; this module centralizes the configs
+that matter for correctness (UTC session timezone so timestamps compare
+bit-for-bit against the DuckDB oracle) and for scale (AQE, partition
+sizing, Arrow-batched Python interop).
+
+Scale notes (100 TB design intent, tested on local[32]):
+- AQE on: runtime partition coalescing + skew-join splitting replace any
+  hand-tuned static shuffle count on a real cluster.
+- ``spark.sql.shuffle.partitions`` here is a *local* default; on a cluster
+  AQE's coalescing makes the initial number mostly an upper bound.
+- Arrow enabled: every pandas_udf / applyInPandas / toPandas crosses the
+  JVM<->Python boundary in columnar batches, not rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_APP = "emdrive-spark"
+
+
+def get_spark(app_name: str = _DEFAULT_APP, extra_conf: dict | None = None) -> SparkSession:
+    """Build (or fetch) the engine session.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local parallelism so the driver's
+    bench harness controls core count.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # Correctness: DuckDB timestamps are UTC-naive; pin Spark to UTC.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Scale: adaptive execution re-plans shuffles/joins at runtime.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Local default ≈ cores; AQE coalesces below this when data is small.
+        .config("spark.sql.shuffle.partitions", "32")
+        # Arrow for all Python<->JVM batch transfer (pandas_udf, toPandas).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no ns type —
+        # read as long, converted to µs timestamp in sources.tables.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Keep the UI off in headless runs.
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

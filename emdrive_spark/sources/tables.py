@@ -1,0 +1,58 @@
+"""Parquet table loaders for the driver's synthetic star schema.
+
+Mirrors the reference's notion of a data directory holding one file tree
+per table (/root/reference/src/storage/filesystem.rs:11-15) — here each
+table is a Parquet file under an ``sf`` directory. Spark's vectorized
+Parquet reader + Catalyst pushdown replace the reference's page-level
+random I/O (/root/reference/src/storage/filesystem.rs:41-67).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Full table scan (reference: read meta page -> walk B+tree leaves,
+    /root/reference/src/executor/read.rs:7-31). Here: a Parquet scan that
+    Catalyst can prune by column and filter pushdown."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) on disk, surfaced as nanos-since-epoch
+        # long (spark.sql.legacy.parquet.nanosAsLong). Truncate to µs —
+        # the same truncation DuckDB applies (its TIMESTAMP is µs).
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views so spark.sql() queries resolve,
+    mirroring the reference's system catalog bootstrap
+    (/root/reference/src/executor/mod.rs:64-71)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,1 @@
+"""emdrive-spark: PySpark-native engine with the capabilities of Twixes/emdrive."""
