@@ -1,0 +1,253 @@
+"""System catalog: table definitions + data registration.
+
+Mirrors the reference's ``system.tables`` / ``system.columns`` bootstrap
+(/root/reference/src/storage/system.rs:3-91,
+/root/reference/src/executor/mod.rs:64-71) with the extra metadata Spark
+can't natively store: primary key, metric key + metric, defaults,
+emdrive nullability (SURVEY §1.1).
+
+Storage model: each table is a DataFrame registered as a temp view;
+appends replace the view (Spark DataFrames are immutable). On a real
+deployment the same class writes PK-sorted Parquet/Delta per table —
+the in-session dict is the unit-test surface, the layout contract
+(sorted by PK for min/max pruning) is what scales.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from emdrive_spark.functions.generators import ulid
+from emdrive_spark.sql import ast
+from emdrive_spark.sql.errors import EmdriveValidationError
+from emdrive_spark.types import EmdriveType
+
+DEFAULT_SCHEMA = "main"
+
+
+@dataclass
+class TableEntry:
+    name: str
+    schema_name: str
+    columns: tuple[ast.ColumnDef, ...]
+    df: DataFrame
+
+    @property
+    def pk(self) -> ast.ColumnDef:
+        return next(c for c in self.columns if c.primary_key)
+
+    def column(self, name: str) -> ast.ColumnDef:
+        for c in self.columns:
+            if c.name == name:
+                return c
+        raise EmdriveValidationError(
+            f"Column {name!r} does not exist in table {self.name}."
+        )
+
+
+def spark_schema(columns: tuple[ast.ColumnDef, ...]) -> T.StructType:
+    """Emdrive columns → Spark StructType. Non-nullable by default
+    (README.md:19 — the inverse of Spark's default); PK/metric/default
+    metadata rides in StructField.metadata (SURVEY §1.1)."""
+    fields = []
+    for c in columns:
+        meta = {"primary_key": c.primary_key}
+        if c.metric:
+            meta["metric"] = c.metric
+            meta["index_kind"] = c.index_kind
+        if c.etype.length is not None:
+            meta["max_length"] = c.etype.length
+        fields.append(
+            T.StructField(c.name, c.etype.spark_type, nullable=c.etype.nullable, metadata=meta)
+        )
+    return T.StructType(fields)
+
+
+class Catalog:
+    """Session-scoped catalog. ``system_tables()`` / ``system_columns()``
+    expose the same relations the reference bootstraps."""
+
+    def __init__(self, spark: SparkSession, schema_name: str = DEFAULT_SCHEMA):
+        self.spark = spark
+        self.schema_name = schema_name
+        self.tables: dict[str, TableEntry] = {}
+
+    # -- DDL ------------------------------------------------------------
+
+    def create_table(self, stmt: ast.CreateTable) -> None:
+        stmt.validate()
+        if stmt.name in self.tables:
+            if stmt.if_not_exists:
+                return
+            raise EmdriveValidationError(f"Table {stmt.name} already exists.")
+        df = self.spark.createDataFrame([], schema=spark_schema(stmt.columns))
+        entry = TableEntry(
+            name=stmt.name, schema_name=self.schema_name, columns=stmt.columns, df=df
+        )
+        self.tables[stmt.name] = entry
+        df.createOrReplaceTempView(stmt.name)
+
+    def get(self, name: str) -> TableEntry:
+        try:
+            return self.tables[name]
+        except KeyError:
+            raise EmdriveValidationError(f"Table {name} does not exist.") from None
+
+    # -- DML ------------------------------------------------------------
+
+    def insert(self, stmt: ast.Insert) -> int:
+        stmt.validate()
+        entry = self.get(stmt.table)
+        for col in stmt.columns:
+            entry.column(col)  # raises on unknown column
+
+        py_rows = [self._materialize_row(entry, stmt.columns, row) for row in stmt.rows]
+        schema = spark_schema(entry.columns)
+        batch = self.spark.createDataFrame(py_rows, schema=schema)
+
+        # PK uniqueness (reference enforces exactly-one-PK at DDL,
+        # components.rs:164-169; uniqueness is the B+tree key contract).
+        # Within-batch check driver-side (batch is a VALUES list, small);
+        # against existing data via left-anti join — distributed, no
+        # collect, scales to any table size.
+        pk = entry.pk.name
+        pk_vals = [r[pk] for r in py_rows]
+        if len(set(pk_vals)) != len(pk_vals):
+            raise EmdriveValidationError(
+                f"Duplicate PRIMARY KEY value in INSERT batch for table {stmt.table}."
+            )
+        clashes = batch.join(entry.df.select(pk), on=pk, how="left_semi").limit(1).count()
+        if clashes:
+            raise EmdriveValidationError(
+                f"PRIMARY KEY value already exists in table {stmt.table}."
+            )
+
+        entry.df = entry.df.unionByName(batch)
+        entry.df.createOrReplaceTempView(entry.name)
+        return len(py_rows)
+
+    def _materialize_row(
+        self, entry: TableEntry, columns: tuple[str, ...], row: tuple
+    ) -> dict:
+        given = dict(zip(columns, row))
+        out: dict[str, object] = {}
+        for cdef in entry.columns:
+            if cdef.name in given:
+                value = _eval_value(given[cdef.name])
+            elif cdef.default is not None:
+                value = _eval_value(cdef.default)  # DEFAULT injection
+            else:
+                value = None
+            if value is None and not cdef.etype.nullable:
+                raise EmdriveValidationError(
+                    f"Column {cdef.name} is not nullable and has no default; "
+                    f"a value is required."
+                )
+            out[cdef.name] = _coerce(cdef, value)
+        return out
+
+    # -- system tables (system.rs:14-91 + SURVEY §1.1 extras) ------------
+
+    def system_tables(self) -> DataFrame:
+        rows = [
+            {"schema_name": e.schema_name, "table_name": e.name}
+            for e in self.tables.values()
+        ]
+        return self.spark.createDataFrame(
+            rows, schema="schema_name string, table_name string"
+        ) if rows else self.spark.createDataFrame([], "schema_name string, table_name string")
+
+    def system_columns(self) -> DataFrame:
+        rows = []
+        for e in self.tables.values():
+            for i, c in enumerate(e.columns):
+                rows.append(
+                    {
+                        "table_name": e.name,
+                        "ordinal": i,
+                        "column_name": c.name,
+                        "data_type": c.etype.render(),
+                        "primary_key": c.primary_key,
+                        "is_nullable": c.etype.nullable,
+                        "metric_key": c.metric is not None,
+                        "metric": c.metric,
+                        "default_expr": _render_default(c.default),
+                    }
+                )
+        schema = (
+            "table_name string, ordinal int, column_name string, data_type string, "
+            "primary_key boolean, is_nullable boolean, metric_key boolean, "
+            "metric string, default_expr string"
+        )
+        return (
+            self.spark.createDataFrame(rows, schema=schema)
+            if rows
+            else self.spark.createDataFrame([], schema)
+        )
+
+
+def _eval_value(expr: object) -> object:
+    """Driver-side evaluation of INSERT atoms: constants and the two
+    generator functions (functions.rs:16-21)."""
+    if isinstance(expr, ast.Const):
+        return expr.value
+    if isinstance(expr, ast.FuncCall):
+        if expr.name == "ULID":
+            return ulid()
+        if expr.name == "NOW":
+            return _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        raise EmdriveValidationError(f"Unknown function {expr.name}().")
+    if isinstance(expr, ast.Ident):
+        raise EmdriveValidationError(
+            f"Column reference {expr.name!r} is not allowed in VALUES."
+        )
+    return expr  # already a python value
+
+
+def _coerce(cdef: ast.ColumnDef, value: object) -> object:
+    et: EmdriveType = cdef.etype
+    if value is None:
+        return None
+    if et.base.startswith("UINT") and isinstance(value, (int, bool)):
+        value = int(value)
+        if value < 0:
+            raise EmdriveValidationError(
+                f"Column {cdef.name} is unsigned; got {value}."
+            )
+        bits = int(et.base[4:])
+        if value >= 1 << bits:
+            raise EmdriveValidationError(
+                f"Value {value} out of range for {et.base} column {cdef.name}."
+            )
+        if et.base in {"UINT64", "UINT128"}:
+            import decimal
+
+            return decimal.Decimal(value)
+        return value
+    if et.base == "STRING" and isinstance(value, str):
+        if et.length is not None and len(value) > et.length:
+            raise EmdriveValidationError(
+                f"Value of length {len(value)} exceeds STRING({et.length}) "
+                f"for column {cdef.name}."
+            )
+        return value
+    if et.base == "TIMESTAMP" and isinstance(value, str):
+        # ISO-8601 literal, stored at µs precision (declared semantics,
+        # README.md:15; the reference code truncates to seconds —
+        # a README/code discrepancy, we follow the README. SURVEY §1.2)
+        return _dt.datetime.fromisoformat(value)
+    return value
+
+
+def _render_default(expr: ast.Expr | None) -> str | None:
+    if expr is None:
+        return None
+    if isinstance(expr, ast.Const):
+        return repr(expr.value)
+    if isinstance(expr, ast.FuncCall):
+        return f"{expr.name}()"
+    return str(expr)

@@ -1,0 +1,144 @@
+"""Query engine: SQL string → parse → validate → execute on Spark.
+
+The moral equivalent of the reference's server→executor pipeline
+(/root/reference/src/server/mod.rs:36-63 →
+/root/reference/src/executor/mod.rs:74-90), with the executor actually
+implemented (the reference's is a hardcoded stub, executor/mod.rs:83-88).
+
+SELECT semantics follow the README's declared behavior, notably that a
+WHERE may reference a SELECT alias (``SELECT ..., hash @ q AS distance
+... WHERE distance < 4``, README.md:67-78): select expressions are
+computed first (withColumn), the filter applies after, then the output
+projects the requested columns — all lazily, so Catalyst still pushes
+eligible predicates to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emdrive_spark.catalog import Catalog, TableEntry
+from emdrive_spark.functions import distance as D
+from emdrive_spark.functions.generators import now_expr, ulid_expr
+from emdrive_spark.sql import ast
+from emdrive_spark.sql.errors import EmdriveValidationError
+from emdrive_spark.sql.parser import parse_statement
+
+
+class Engine:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.catalog = Catalog(spark)
+
+    def execute(self, sql: str) -> DataFrame | None:
+        """Run one statement. DDL/DML return None; SELECT returns the
+        result DataFrame. (Statement-per-request, like the reference's
+        ';'-terminated tokenization, tokenizer.rs:226-228.)"""
+        stmt = parse_statement(sql)
+        if isinstance(stmt, ast.CreateTable):
+            self.catalog.create_table(stmt)
+            return None
+        if isinstance(stmt, ast.Insert):
+            self.catalog.insert(stmt)
+            return None
+        if isinstance(stmt, ast.Select):
+            return self._execute_select(stmt)
+        raise EmdriveValidationError(f"Unsupported statement {type(stmt).__name__}.")
+
+    def execute_script(self, sql: str) -> DataFrame | None:
+        """Multiple ';'-separated statements; returns the last result."""
+        result = None
+        for part in sql.split(";"):
+            if part.strip():
+                result = self.execute(part)
+        return result
+
+    # -- SELECT ----------------------------------------------------------
+
+    def _execute_select(self, stmt: ast.Select) -> DataFrame:
+        stmt.validate()
+        entry = self.catalog.get(stmt.table)
+        df = entry.df
+        base_cols = [c.name for c in entry.columns]
+
+        if not stmt.items:  # SELECT *
+            out_names = base_cols
+        else:
+            out_names = []
+            for i, item in enumerate(stmt.items):
+                name = item.alias or _auto_name(item.expr, i)
+                if not (isinstance(item.expr, ast.Ident) and item.expr.name == name):
+                    df = df.withColumn(name, self._compile(entry, item.expr))
+                out_names.append(name)
+
+        if stmt.where is not None:
+            # aliases are visible to WHERE (README.md:71)
+            df = df.filter(self._compile(entry, stmt.where, extra_cols=out_names))
+        return df.select(*out_names)
+
+    def _compile(
+        self, entry: TableEntry, expr: ast.Expr, extra_cols: list[str] | None = None
+    ) -> Column:
+        if isinstance(expr, ast.Const):
+            return F.lit(expr.value)
+        if isinstance(expr, ast.Ident):
+            known = {c.name for c in entry.columns} | set(extra_cols or ())
+            if expr.name not in known:
+                raise EmdriveValidationError(
+                    f"Column {expr.name!r} does not exist in table {entry.name}."
+                )
+            return F.col(expr.name)
+        if isinstance(expr, ast.FuncCall):
+            if expr.name == "ULID":
+                return ulid_expr()
+            if expr.name == "NOW":
+                return now_expr()
+            raise EmdriveValidationError(f"Unknown function {expr.name}().")
+        if isinstance(expr, ast.BinOp):
+            if expr.op == "@":
+                return self._compile_distance(entry, expr)
+            left = self._compile(entry, expr.left, extra_cols)
+            right = self._compile(entry, expr.right, extra_cols)
+            ops = {
+                "=": lambda a, b: a == b,
+                "!=": lambda a, b: a != b,
+                "<": lambda a, b: a < b,
+                ">": lambda a, b: a > b,
+                "<=": lambda a, b: a <= b,
+                ">=": lambda a, b: a >= b,
+                "AND": lambda a, b: a & b,
+                "OR": lambda a, b: a | b,
+            }
+            return ops[expr.op](left, right)
+        raise EmdriveValidationError(f"Unsupported expression {expr!r}.")
+
+    def _compile_distance(self, entry: TableEntry, expr: ast.BinOp) -> Column:
+        """``col @ operand`` — distance under the column's METRIC KEY
+        metric (README.md:67-78). The metric comes from the DDL
+        declaration; a ``@`` on a column without one is a validation
+        error (matches the README contract that ``@`` is defined by the
+        metric index)."""
+        if not isinstance(expr.left, ast.Ident):
+            raise EmdriveValidationError(
+                "Left side of @ must be a METRIC KEY column."
+            )
+        cdef = entry.column(expr.left.name)
+        if cdef.metric is None:
+            raise EmdriveValidationError(
+                f"Column {cdef.name!r} has no METRIC KEY; @ is not defined for it."
+            )
+        metric_fn = D.resolve(cdef.metric)
+        left = F.col(cdef.name)
+        right = self._compile(entry, expr.right)
+        if cdef.metric == "hamming":
+            return metric_fn(left.cast("long"), right.cast("long")).cast("long")
+        return metric_fn(left, right)
+
+
+def _auto_name(expr: ast.Expr, i: int) -> str:
+    if isinstance(expr, ast.Ident):
+        return expr.name
+    if isinstance(expr, ast.FuncCall):
+        return expr.name.lower()
+    return f"col{i}"

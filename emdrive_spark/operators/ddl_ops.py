@@ -1,0 +1,126 @@
+"""DDL/DML + generator operators registered for the driver gate
+(SURVEY §2.1 create_table/insert_rows, §2.8 gen_ulid/gen_now).
+
+These run the real Engine (parse → validate → catalog → Spark) and
+surface deterministic projections of the result so the DuckDB oracle
+can check them; generator outputs are nondeterministic by nature →
+rows-only."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emdrive_spark.engine import Engine
+from emdrive_spark.functions.generators import ulid_expr
+from emdrive_spark.registry import register
+
+_CREATE = """
+CREATE TABLE photos_seen (
+    hash UINT8 METRIC KEY USING mtree(hamming),
+    url STRING(2048) PRIMARY KEY,
+    width UINT32,
+    height UINT32,
+    seen_at TIMESTAMP DEFAULT NOW()
+)
+"""
+
+_INSERT = """
+INSERT INTO photos_seen (hash, url, width, height)
+VALUES (0b11001111, 'https://twixes.com/a.png', 1280, 820),
+       (0b00001011, 'https://twixes.com/b.png', 640, 480),
+       (0b11111111, 'https://twixes.com/c.png', 1, 1)
+"""
+
+
+@register(
+    "create_table",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), 'hash',    'UINT8',        false, false, true,  'hamming'),
+      (CAST(1 AS BIGINT), 'url',     'STRING(2048)', true,  false, false, CAST(NULL AS VARCHAR)),
+      (CAST(2 AS BIGINT), 'width',   'UINT32',       false, false, false, CAST(NULL AS VARCHAR)),
+      (CAST(3 AS BIGINT), 'height',  'UINT32',       false, false, false, CAST(NULL AS VARCHAR)),
+      (CAST(4 AS BIGINT), 'seen_at', 'TIMESTAMP',    false, false, false, CAST(NULL AS VARCHAR))
+    ) AS t(ordinal, column_name, data_type, primary_key, is_nullable, metric_key, metric)
+    """,
+)
+def create_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE end-to-end (reference: parse create_table.rs:8-105,
+    validate components.rs:133-172, file creation write.rs:12-38):
+    the catalog's column metadata is the observable result."""
+    eng = Engine(spark)
+    eng.execute(_CREATE)
+    return (
+        eng.catalog.system_columns()
+        .filter(F.col("table_name") == "photos_seen")
+        .select(
+            F.col("ordinal").cast("long").alias("ordinal"),
+            "column_name",
+            "data_type",
+            "primary_key",
+            "is_nullable",
+            "metric_key",
+            "metric",
+        )
+    )
+
+
+@register(
+    "insert_rows",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(207 AS SMALLINT), 'https://twixes.com/a.png', CAST(1280 AS BIGINT), CAST(820 AS BIGINT)),
+      (CAST(11 AS SMALLINT),  'https://twixes.com/b.png', CAST(640 AS BIGINT),  CAST(480 AS BIGINT)),
+      (CAST(255 AS SMALLINT), 'https://twixes.com/c.png', CAST(1 AS BIGINT),    CAST(1 AS BIGINT))
+    ) AS t(hash, url, width, height)
+    """,
+)
+def insert_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT ... VALUES end-to-end with DEFAULT injection (seen_at ←
+    NOW(), excluded from the compared projection because it is
+    generated): reference parse insert.rs:6-35, append write.rs:40-76."""
+    eng = Engine(spark)
+    eng.execute(_CREATE)
+    eng.execute(_INSERT)
+    out = eng.execute("SELECT * FROM photos_seen")
+    # seen_at was DEFAULT-generated; assert it exists, compare the rest.
+    assert "seen_at" in out.columns
+    return out.select("hash", "url", "width", "height")
+
+
+@register("gen_ulid", oracle=None)  # random entropy → rows-only
+def gen_ulid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ULID() generation (functions.rs:16-21): 1000 ids,
+    validated for shape/uniqueness in tests."""
+    return spark.range(1000).select("id", ulid_expr().alias("ulid"))
+
+
+@register("gen_now", oracle=None)  # wall clock → rows-only
+def gen_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOW() (functions.rs:19)."""
+    return spark.range(1).select(F.current_timestamp().alias("now"))
+
+
+@register(
+    "pivot_sum",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (columns from values) — groupBy().pivot() with an explicit
+    value list so the plan is a single pass (no value-discovery job)."""
+    from emdrive_spark.sources.tables import load
+
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )

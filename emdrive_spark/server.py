@@ -1,0 +1,107 @@
+"""HTTP SQL endpoint — the reference's query lifecycle entry points
+(/root/reference/src/server/mod.rs:93-170):
+
+- ``POST /`` with a SQL body → execute, JSON rows (NamedRow maps,
+  encoding.rs:327-338).
+- ``GET /?query=...`` → read-only: SELECT allowed, DDL/DML rejected
+  (the reference's declared GET intent, server/mod.rs:66-91).
+- per-request ULID id + µs timing header (server/mod.rs:97-99,132-136).
+
+Errors return HTTP 400 with ``{"type": "syntax"|"validation",
+"message": ...}`` (errors.rs:4-18). stdlib http.server — the front end
+is deliberately thin; Spark's scheduler provides the concurrency the
+reference got from its bounded mpsc channel (executor/mod.rs:19)."""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import SparkSession
+
+from emdrive_spark.engine import Engine
+from emdrive_spark.functions.generators import ulid
+from emdrive_spark.sql.errors import EmdriveError
+
+DEFAULT_HOST = "127.0.0.1"
+DEFAULT_PORT = 8824  # the reference's default (config.rs:14-22)
+
+
+def _rows_json(df) -> str:
+    if df is None:
+        return json.dumps({"column_names": [], "rows": []})
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    return json.dumps(
+        {"column_names": df.columns, "rows": rows}, default=str
+    )
+
+
+def make_handler(engine: Engine):
+    class Handler(BaseHTTPRequestHandler):
+        def _run(self, sql: str, read_only: bool) -> None:
+            t0 = time.perf_counter_ns()
+            try:
+                if read_only and not sql.lstrip().upper().startswith("SELECT"):
+                    raise EmdriveError("GET accepts read-only (SELECT) statements.")
+                df = engine.execute_script(sql)
+                body = _rows_json(df)
+                code = 200
+            except EmdriveError as exc:
+                body = json.dumps(exc.to_json())
+                code = 400
+            except Exception as exc:  # server-class error (errors.rs:28-34)
+                body = json.dumps({"type": "server", "message": str(exc)})
+                code = 500
+            elapsed_us = (time.perf_counter_ns() - t0) // 1000
+            self._respond(code, body, elapsed_us)
+
+        def _respond(self, code: int, body: str, elapsed_us: int) -> None:
+            data = body.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.send_header("X-Request-Id", ulid())
+            self.send_header("X-Elapsed-Us", str(elapsed_us))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_POST(self):  # noqa: N802
+            length = int(self.headers.get("Content-Length", 0))
+            sql = self.rfile.read(length).decode()
+            self._run(sql, read_only=False)
+
+        def do_GET(self):  # noqa: N802
+            parsed = urllib.parse.urlparse(self.path)
+            qs = urllib.parse.parse_qs(parsed.query)
+            sql = (qs.get("query") or [""])[0]
+            self._run(sql, read_only=True)
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+    return Handler
+
+
+def serve(
+    spark: SparkSession | None = None,
+    host: str = DEFAULT_HOST,
+    port: int = DEFAULT_PORT,
+) -> ThreadingHTTPServer:
+    """Start the endpoint (non-blocking; call ``.serve_forever()`` or
+    drive it from a thread — tests do the latter)."""
+    if spark is None:
+        from emdrive_spark.session import get_spark
+
+        spark = get_spark("emdrive-server")
+    engine = Engine(spark)
+    httpd = ThreadingHTTPServer((host, port), make_handler(engine))
+    httpd.engine = engine  # type: ignore[attr-defined]
+    return httpd
+
+
+if __name__ == "__main__":
+    server = serve()
+    print(f"emdrive-spark listening on http://{DEFAULT_HOST}:{DEFAULT_PORT}")
+    server.serve_forever()

@@ -1,0 +1,138 @@
+"""End-to-end engine tests: the README flagship session
+(/root/reference/README.md:43-78) executed for real — CREATE TABLE,
+INSERT with defaults/ULID/NOW, metric-distance SELECT with alias
+filter — plus the semantic guarantees the reference declares
+(non-nullable default, PK uniqueness, STRING(n))."""
+
+from __future__ import annotations
+
+import pytest
+
+from emdrive_spark.engine import Engine
+from emdrive_spark.functions.generators import ulid
+from emdrive_spark.sql.errors import EmdriveValidationError
+
+CREATE = """
+CREATE TABLE photos_seen (
+    hash UINT8 METRIC KEY USING mtree(hamming),
+    url STRING(2048) PRIMARY KEY,
+    width UINT32,
+    height UINT32,
+    seen_at TIMESTAMP
+)
+"""
+
+INSERT = """
+INSERT INTO photos_seen (hash, url, width, height, seen_at)
+VALUES (0b11001111, 'https://twixes.com/a.png', 1280, 820, '2077-01-01T21:37:00')
+"""
+
+FLAGSHIP = (
+    "SELECT url, hash @ 0b00001011 AS distance FROM photos_seen WHERE distance < 4"
+)
+
+
+@pytest.fixture()
+def engine(spark):
+    return Engine(spark)
+
+
+def test_readme_flagship_known_answer(engine):
+    engine.execute(CREATE)
+    engine.execute(INSERT)
+    rows = engine.execute(FLAGSHIP).collect()
+    # popcount(0b11001111 ^ 0b00001011) = popcount(0b11000100) = 3
+    assert len(rows) == 1
+    assert rows[0]["url"] == "https://twixes.com/a.png"
+    assert rows[0]["distance"] == 3
+    # threshold excludes when distance >= 4
+    none = engine.execute(
+        "SELECT url, hash @ 0b00110000 AS distance FROM photos_seen WHERE distance < 2"
+    ).collect()
+    assert none == []
+
+
+def test_select_star_and_eq_filter(engine):
+    engine.execute("CREATE TABLE t (id UINT32 PRIMARY KEY, name STRING)")
+    engine.execute("INSERT INTO t (id, name) VALUES (1, 'Foo 🧐'), (2, 'Здравствуйте')")
+    rows = engine.execute("SELECT * FROM t WHERE name = 'Foo 🧐'").collect()
+    assert len(rows) == 1 and rows[0]["id"] == 1
+    # unicode round-trip, as the reference's paging tests pin (paging.rs:314-354)
+    both = {r["name"] for r in engine.execute("SELECT name FROM t").collect()}
+    assert both == {"Foo 🧐", "Здравствуйте"}
+
+
+def test_create_if_not_exists_and_duplicate(engine):
+    engine.execute("CREATE TABLE t2 (id UINT32 PRIMARY KEY)")
+    engine.execute("CREATE TABLE IF NOT EXISTS t2 (id UINT32 PRIMARY KEY)")  # no-op
+    with pytest.raises(EmdriveValidationError, match="already exists"):
+        engine.execute("CREATE TABLE t2 (id UINT32 PRIMARY KEY)")
+
+
+def test_insert_defaults_ulid_now(engine):
+    engine.execute(
+        "CREATE TABLE d (id UUID PRIMARY KEY DEFAULT ULID(), "
+        "at TIMESTAMP DEFAULT NOW(), n NULLABLE(UINT8))"
+    )
+    engine.execute("INSERT INTO d (n) VALUES (5)")
+    engine.execute("INSERT INTO d (n) VALUES (NULL)")
+    rows = engine.execute("SELECT * FROM d").collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert len(r["id"]) == 26  # ULID shape
+        assert r["at"] is not None
+    assert {r["n"] for r in rows} == {5, None}
+
+
+def test_non_nullable_rejects_missing(engine):
+    engine.execute("CREATE TABLE nn (id UINT32 PRIMARY KEY, req STRING)")
+    with pytest.raises(EmdriveValidationError, match="not nullable"):
+        engine.execute("INSERT INTO nn (id) VALUES (1)")
+
+
+def test_pk_uniqueness(engine):
+    engine.execute("CREATE TABLE pk (id UINT32 PRIMARY KEY, v NULLABLE(UINT8))")
+    engine.execute("INSERT INTO pk (id, v) VALUES (1, 1)")
+    with pytest.raises(EmdriveValidationError, match="PRIMARY KEY value already exists"):
+        engine.execute("INSERT INTO pk (id, v) VALUES (1, 2)")
+    with pytest.raises(EmdriveValidationError, match="Duplicate PRIMARY KEY"):
+        engine.execute("INSERT INTO pk (id, v) VALUES (2, 1), (2, 2)")
+
+
+def test_string_length_enforced(engine):
+    engine.execute("CREATE TABLE s (id UINT32 PRIMARY KEY, s STRING(3))")
+    with pytest.raises(EmdriveValidationError, match="exceeds STRING"):
+        engine.execute("INSERT INTO s (id, s) VALUES (1, 'toolong')")
+
+
+def test_uint_range_enforced(engine):
+    engine.execute("CREATE TABLE u (id UINT8 PRIMARY KEY)")
+    with pytest.raises(EmdriveValidationError, match="out of range"):
+        engine.execute("INSERT INTO u (id) VALUES (256)")
+    with pytest.raises(EmdriveValidationError, match="out of range"):
+        engine.execute("INSERT INTO u (id) VALUES (0x1FF)")  # hex parses, still >255
+
+
+def test_metric_required_for_at(engine):
+    engine.execute("CREATE TABLE m (id UINT32 PRIMARY KEY, h UINT8)")
+    engine.execute("INSERT INTO m (id, h) VALUES (1, 7)")
+    with pytest.raises(EmdriveValidationError, match="no METRIC KEY"):
+        engine.execute("SELECT h @ 1 AS d FROM m")
+
+
+def test_system_catalog(engine):
+    engine.execute(CREATE.replace("photos_seen", "cat_t"))
+    tables = {r["table_name"] for r in engine.catalog.system_tables().collect()}
+    assert "cat_t" in tables
+    cols = engine.catalog.system_columns().filter("table_name = 'cat_t'").collect()
+    by_name = {c["column_name"]: c for c in cols}
+    assert by_name["url"]["primary_key"] is True
+    assert by_name["hash"]["metric"] == "hamming"
+    assert by_name["url"]["data_type"] == "STRING(2048)"
+
+
+def test_ulid_shape_and_sortability():
+    a = ulid(ms=1, entropy=b"\x00" * 10)
+    b = ulid(ms=2, entropy=b"\x00" * 10)
+    assert len(a) == len(b) == 26
+    assert a < b  # time-prefix sortable

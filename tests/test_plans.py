@@ -1,0 +1,87 @@
+"""Physical-plan audits: the scale claims in the operator docstrings,
+pinned by .explain() (the 100 TB design contract — pushdown, pruning,
+broadcast, top-k, no Python in hot paths)."""
+
+from __future__ import annotations
+
+from emdrive_spark import registry
+from emdrive_spark.plans.topk_planner import plan_topk
+from emdrive_spark.sources.tables import load
+
+from .conftest import SF_SMOKE
+
+registry.load_all()
+
+
+def _plan(spark, name: str) -> str:
+    df = registry.REGISTRY[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    plan = _plan(spark, "filter_eq")
+    assert "PushedFilters" in plan
+    assert "c_mktsegment" in plan.split("PushedFilters")[1][:200]
+
+
+def test_projection_prunes_columns(spark):
+    plan = _plan(spark, "project")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_broadcast_join_is_broadcast(spark):
+    assert "BroadcastHashJoin" in _plan(spark, "join_broadcast")
+
+
+def test_semi_join_planned_as_semi(spark):
+    assert "LeftSemi" in _plan(spark, "join_semi")
+
+
+def test_limit_is_take_ordered(spark):
+    assert "TakeOrderedAndProject" in _plan(spark, "limit")
+
+
+def test_knn_is_take_ordered_not_global_sort(spark):
+    plan = _plan(spark, "knn_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_text_quality_has_no_python_in_hot_path(spark):
+    # higher-order array lambdas run JVM-side (not codegen'd, but never
+    # Python) — the contract is zero Python eval nodes in the plan
+    plan = _plan(spark, "text_quality")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_distance_threshold_is_pure_codegen(spark):
+    plan = _plan(spark, "distance_threshold")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    # one Exchange for the window partitioning (plus AQE reads); the
+    # point is there is NO join-explosion (no CartesianProduct/BNLJ)
+    plan = _plan(spark, "join_asof")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_planner_both_paths(spark):
+    emb = load(spark, SF_SMOKE, "embeddings")
+    q = emb.head()["embedding"]
+    q = [float(x) for x in q]
+    exact = plan_topk(emb, q, 5)
+    assert exact.strategy == "exact"  # small table → exact
+    rows_exact = exact.df.collect()
+    assert len(rows_exact) == 5
+    assert rows_exact[0]["dist"] == 0.0  # the query vector itself
+    lsh = plan_topk(emb, q, 5, force="lsh")
+    assert lsh.strategy == "lsh"
+    rows_lsh = lsh.df.collect()
+    assert len(rows_lsh) == 5
+    # LSH with these settings recalls the exact neighbor set here
+    assert {r["vec_id"] for r in rows_lsh} == {r["vec_id"] for r in rows_exact}
+    forced = plan_topk(emb, q, 5, row_estimate=100_000_000)
+    assert forced.strategy == "lsh"

@@ -1,0 +1,78 @@
+"""HTTP endpoint round-trip — the reference's working query path
+(POST / with SQL body, /root/reference/src/server/mod.rs:101-113) and
+the GET read-only path (:114-122), including the error JSON taxonomy."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from emdrive_spark.server import serve
+
+
+@pytest.fixture(scope="module")
+def endpoint(spark):
+    httpd = serve(spark, host="127.0.0.1", port=18824)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield "http://127.0.0.1:18824"
+    httpd.shutdown()
+
+
+def _post(url: str, sql: str):
+    req = urllib.request.Request(url, data=sql.encode(), method="POST")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read()), dict(resp.headers)
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read()), dict(e.headers)
+
+
+def test_post_roundtrip(endpoint):
+    status, body, headers = _post(
+        endpoint,
+        "CREATE TABLE ht (id UINT32 PRIMARY KEY, name STRING);"
+        "INSERT INTO ht (id, name) VALUES (1, 'one'), (2, 'two');"
+        "SELECT name FROM ht WHERE id = 2",
+    )
+    assert status == 200
+    assert body["column_names"] == ["name"]
+    assert body["rows"] == [{"name": "two"}]
+    assert len(headers["X-Request-Id"]) == 26  # per-request ULID
+    assert int(headers["X-Elapsed-Us"]) > 0  # µs timing (server/mod.rs:132-136)
+
+
+def test_syntax_error_400(endpoint):
+    status, body, _ = _post(endpoint, "SELEKT 1")
+    assert status == 400
+    assert body["type"] == "syntax"
+    assert "Expected" in body["message"]
+
+
+def test_validation_error_400(endpoint):
+    status, body, _ = _post(endpoint, "SELECT x FROM no_such_table")
+    assert status == 400
+    assert body["type"] == "validation"
+    assert "does not exist" in body["message"]
+
+
+def test_get_is_read_only(endpoint):
+    q = urllib.parse.quote("CREATE TABLE evil (id UINT32 PRIMARY KEY)")
+    try:
+        with urllib.request.urlopen(f"{endpoint}/?query={q}") as resp:
+            status, body = resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        status, body = e.code, json.loads(e.read())
+    assert status in (400, 500)
+    assert "read-only" in body["message"]
+
+
+def test_get_select(endpoint):
+    q = urllib.parse.quote("SELECT name FROM ht WHERE id = 1")
+    with urllib.request.urlopen(f"{endpoint}/?query={q}") as resp:
+        body = json.loads(resp.read())
+    assert body["rows"] == [{"name": "one"}]

@@ -1,0 +1,39 @@
+"""Structured Streaming twins produce the same answers as their batch
+counterparts when driven over the finite events source."""
+
+from __future__ import annotations
+
+from emdrive_spark.operators.timeseries import events_tumbling_count
+from emdrive_spark.streaming import events as S
+
+from .conftest import SF_SMOKE
+
+
+def test_streaming_tumbling_matches_batch(spark):
+    stream = S.events_stream(spark, SF_SMOKE)
+    assert stream.isStreaming
+    got = S.run_to_memory(spark, S.tumbling_counts(stream), "t_tumbling").toPandas()
+    want = events_tumbling_count(spark, SF_SMOKE).toPandas()
+    key = ["window_start", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["n"].values == want["n"].values).all()
+    assert (got["sum_value"].values == want["sum_value"].values).all()
+
+
+def test_streaming_session_window(spark):
+    stream = S.events_stream(spark, SF_SMOKE)
+    out = S.run_to_memory(spark, S.session_aggregates(stream), "t_sessions").toPandas()
+    assert len(out) > 0
+    assert {"session_start", "user_id", "n_events", "sum_value"} <= set(out.columns)
+    # session totals must account for every event exactly once
+    ev_count = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert out["n_events"].sum() == ev_count
+
+
+def test_streaming_dedup(spark):
+    stream = S.events_stream(spark, SF_SMOKE)
+    out = S.run_to_memory(spark, S.streaming_dedup(stream), "t_dedup", mode="append")
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    assert out.count() == ev.count()  # no dupes in source; all rows pass once
