@@ -232,3 +232,41 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.95)
     )
+
+
+@register(
+    "dedup_minhash_det",
+    oracle=rf"""
+    WITH corpus AS ({_DOUBLED_SQL}),
+    sigs AS (
+      SELECT doc_id,
+             {', '.join(f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS sig{j}" for j in range(8))}
+      FROM (
+        SELECT doc_id,
+               list_distinct(
+                 list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM corpus)
+      )
+    )
+    SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM sigs
+    GROUP BY {', '.join(f'sig{j}' for j in range(8))}
+    """,
+)
+def dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup by FULL MinHash-signature equality, with the
+    deterministic md5 hash family (portable across engines, unlike
+    MLlib's) — groupBy on the 8-wide signature is the linear-cost dedup
+    path: one shuffle of (signature, id), payload never moves, exactly
+    like dedup_exact but tolerant to shingle-set sampling. The doubled
+    corpus yields a known answer: every doc collapses with its copy."""
+    from emdrive_spark.operators.text import minhash_sig, shingles
+
+    sh = F.array_distinct(shingles(F.col("text")))
+    sigs = [minhash_sig(sh, j).alias(f"sig{j}") for j in range(8)]
+    corpus = _doubled(spark, sf_dir).select("doc_id", *sigs)
+    return corpus.groupBy(*[f"sig{j}" for j in range(8)]).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_count")
+    ).select("keep_id", "dup_count")

@@ -242,3 +242,29 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("l2_dist"), F.col("vec_id"))
         .limit(k)
     )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, CAST(i - 1 AS BIGINT) AS dim, round(sum(v), 6) / count(*) AS centroid
+    FROM (
+      SELECT label, unnest(embedding::DOUBLE[]) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    )
+    GROUP BY label, i
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (the IVF/KMeans building block) as a
+    relational aggregate: posexplode dims → partial+final avg per
+    (label, dim). At 100 TB this is the one-pass, map-side-combined way
+    to compute class centroids — no driver-side vector math."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg((F.round(F.sum("v"), 6) / F.count("*")).alias("centroid"))
+        .select("label", F.col("dim").cast("long").alias("dim"), "centroid")
+    )

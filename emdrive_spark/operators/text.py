@@ -185,3 +185,68 @@ def text_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "documents").select(
         "doc_id", F.size(shingles(F.col("text"))).cast("long").alias("n_shingles")
     )
+
+
+@register(
+    "text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization (lowercase, strip non-alnum, collapse
+    whitespace) — the first stage of every dedup/fingerprint pipeline,
+    as one codegen'd projection."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return load(spark, sf_dir, "documents").select("doc_id", norm.alias("norm_text"))
+
+
+_N_HASHES = 8
+
+
+def minhash_sig(sh, j: int):
+    """min over shingles of md5(f"{j}:" || shingle). NB: the lambda must
+    be single-arg — a two-arg lambda (e.g. the `j=j` default-capture
+    idiom) makes F.transform bind the array *index* column to the second
+    parameter, silently corrupting the prefix."""
+
+    def _hash(s):
+        return F.md5(F.concat(F.lit(f"{j}:"), s))
+
+    return F.array_min(F.transform(sh, _hash))
+
+
+@register(
+    "minhash_signatures",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                              i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents)
+    )
+    SELECT doc_id,
+           {', '.join(f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS sig{j}" for j in range(_N_HASHES))}
+    FROM t
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MinHash signatures: sig_j = min over shingles of
+    md5(j || ':' || shingle). Engine-portable (md5 is identical
+    everywhere) unlike MLlib's internal hash family — this is the
+    signature scheme a cross-system dedup pipeline would standardize
+    on. One projection per doc; cost O(shingles × hashes), no shuffle."""
+    sh = shingles(F.col("text"))
+    sigs = [minhash_sig(sh, j).alias(f"sig{j}") for j in range(_N_HASHES)]
+    return load(spark, sf_dir, "documents").select("doc_id", *sigs)
