@@ -313,6 +313,55 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_right",
+    oracle="""
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi right outer join (SURVEY §2.3 full family). nation is tiny,
+    but a RIGHT outer cannot broadcast its preserved (right) side —
+    Spark plans broadcast-left or shuffles; either way null-extends
+    supplier-less nations."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return s.join(n, s.s_nationkey == n.n_nationkey, "right").select(
+        "s_suppkey", "s_name", "n_name"
+    )
+
+
+@register(
+    "join_full",
+    oracle="""
+    SELECT coalesce(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp
+    FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+    FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+      ON c.nk = s.nk
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides — per-nation customer
+    vs supplier counts. Pre-aggregating BEFORE the outer join is the
+    scale move: the join operates on ≤25 rows per side instead of the
+    raw tables, and at small SF some nations exist on only one side, so
+    both null-extension directions are exercised."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return c.join(s, "nk", "full").select(
+        F.col("nk").alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.4 aggregations
 # ---------------------------------------------------------------------------
@@ -492,6 +541,123 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey", _r2(F.sum("o_totalprice").over(w)).alias("running_total"))
+    )
+
+
+@register(
+    "window_ntile_lead",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS INT) AS price_quartile,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           first_value(o_orderkey) OVER w AS first_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+    """,
+)
+def window_ntile_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/lead/first_value over one shared window spec (SURVEY §2.5
+    ranking + analytic family). One shuffle on the partition key serves
+    all three functions — Spark collapses same-spec windows into a
+    single Window physical node."""
+    w = W.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_orderpriority ORDER BY o_orderkey
+             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_total
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-count-based) — all orders whose
+    key lies within 1000 of the current row's. Summed in DECIMAL so the
+    result is exact regardless of intra-frame add order, then cast to
+    double for the comparison."""
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_orderkey")
+        .rangeBetween(-1000, W.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("near_total"),
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5)  AS p50,
+           quantile_cont(l_quantity, 0.95) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (SURVEY §2.4). Spark's percentile
+    is a sort-based exact aggregate — at 100 TB prefer approx_percentile
+    (see agg_approx_count_distinct for the sketch-family caveat); this
+    op pins the exact semantics the approximate one converges to."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+            F.expr("percentile(l_quantity, 0.95)").alias("p95"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 subquery shapes (via the SQL surface — Catalyst decorrelates)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "subquery_scalar",
+    oracle="""
+    SELECT p_partkey, p_retailprice
+    FROM part
+    WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: Catalyst plans the inner agg as a
+    separate 1-row stage whose result is injected into the outer
+    filter — two passes over part, no join."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        "SELECT p_partkey, p_retailprice FROM part "
+        "WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)"
+    )
+
+
+@register(
+    "subquery_in",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery → Catalyst rewrites to LEFT SEMI join (same physical
+    plan as join_semi; this pins the SQL surface for it)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
     )
 
 

@@ -245,6 +245,52 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_join",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             round(list_distance(e.embedding::DOUBLE[], q.qv), 6) AS l2_dist
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != q.q_id
+    )
+    SELECT q_id, vec_id, l2_dist
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY l2_dist, vec_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN JOIN: top-3 neighbors for EACH of a set of query vectors —
+    the batch shape of similarity serving. The query set broadcasts
+    (tiny side ships to every task; the 100-TB side never moves), each
+    task scores its slice against all queries, and a per-query window
+    keeps k. Scales as |data| × |queries| with zero data shuffle until
+    the final k×|queries|-row window."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.round(l2(F.col("embedding"), F.col("qv")), 6).alias("l2_dist"))
+    )
+    w = W.partitionBy("q_id").orderBy("l2_dist", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("q_id", "vec_id", "l2_dist")
+    )
+
+
+@register(
     "embedding_centroids",
     oracle="""
     SELECT label, CAST(i - 1 AS BIGINT) AS dim, round(sum(v), 6) / count(*) AS centroid

@@ -46,6 +46,7 @@ _OPERATOR_MODULES = (
     "emdrive_spark.operators.multimodal",
     "emdrive_spark.operators.ddl_ops",
     "emdrive_spark.operators.analytics",
+    "emdrive_spark.operators.scale",
 )
 
 # SURVEY §2 lists some ops under a second name; expose both so the

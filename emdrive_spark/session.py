@@ -19,6 +19,7 @@ Scale notes (100 TB design intent, tested on local[32]):
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -49,6 +50,11 @@ def get_spark(app_name: str = _DEFAULT_APP, extra_conf: dict | None = None) -> S
         # events.parquet stores TIMESTAMP(NANOS); Spark has no ns type —
         # read as long, converted to µs timestamp in sources.tables.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Managed tables (bucketed sinks) land in tmp, not the repo.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "emdrive_warehouse"),
+        )
         # Keep the UI off in headless runs.
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))

@@ -68,6 +68,46 @@ def test_asof_join_single_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_partitioned_sink_read_prunes(spark):
+    # the o_year=1997 filter must resolve via partition pruning — the
+    # scan's PartitionFilters carries it and only one partition dir is
+    # listed (partition count 1 in the scan node)
+    plan = _plan(spark, "sink_partitioned")
+    assert "PartitionFilters" in plan
+    assert "o_year" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    # both sides bucketed+sorted on the key: sort-merge join directly on
+    # bucket reads — no *shuffle* Exchange anywhere in the plan. At this
+    # SF the planner would (rightly) broadcast instead, which also hides
+    # bucketing; pin the big-table path by disabling broadcast.
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "sink_bucketed_join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    assert "SortMergeJoin" in plan
+    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+    assert "SelectedBucketsCount" in plan
+
+
+def test_salted_join_matches_unsalted(spark):
+    salted = registry.REGISTRY["join_skew_salted"].fn(spark, SF_SMOKE)
+    o = load(spark, SF_SMOKE, "orders")
+    c = load(spark, SF_SMOKE, "customer")
+    plain = o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "c_mktsegment")
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_knn_join_broadcasts_queries(spark):
+    plan = _plan(spark, "knn_join")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_topk_planner_both_paths(spark):
     emb = load(spark, SF_SMOKE, "embeddings")
     q = emb.head()["embedding"]
