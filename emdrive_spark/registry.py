@@ -47,6 +47,7 @@ _OPERATOR_MODULES = (
     "emdrive_spark.operators.ddl_ops",
     "emdrive_spark.operators.analytics",
     "emdrive_spark.operators.scale",
+    "emdrive_spark.streaming.events",
 )
 
 # SURVEY §2 lists some ops under a second name; expose both so the

@@ -20,6 +20,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from emdrive_spark.registry import register
 from emdrive_spark.sources.tables import load, table_path
 
 _STAGE_DIRS: dict[str, str] = {}
@@ -84,6 +85,52 @@ def streaming_dedup(events: DataFrame) -> DataFrame:
     return events.withWatermark("ts", "1 hour").dropDuplicates(["event_id", "ts"])
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (SURVEY
+    §2.9/2.10): per-user running (count, sum) kept in explicit state,
+    updated per micro-batch in Arrow-sized pandas chunks. This is the
+    extension point for operators Spark lacks natively — the state
+    schema is ours, the update function is ours, Spark owns shuffling
+    by key, state storage, checkpointing, and recovery."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     spark: SparkSession, stream_df: DataFrame, name: str, mode: str = "complete"
 ) -> DataFrame:
@@ -101,3 +148,93 @@ def run_to_memory(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+# ---------------------------------------------------------------------------
+# Registered streaming entries (SURVEY §2.9). The finite file source +
+# processAllAvailable makes these DETERMINISTIC, so unlike most engines'
+# streaming paths they carry full value-checked oracles: the stream must
+# converge to exactly the batch answer.
+# ---------------------------------------------------------------------------
+
+_RUN_SEQ = iter(range(1_000_000))
+
+
+def _drive(spark: SparkSession, sf_dir: str, builder, mode: str) -> DataFrame:
+    name = f"emdrive_stream_{next(_RUN_SEQ)}"
+    return run_to_memory(spark, builder(events_stream(spark, sf_dir)), name, mode)
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window counts driven to completion — must
+    equal the batch/SQL answer exactly (same epoch alignment)."""
+    return _drive(spark, sf_dir, tumbling_counts, "complete")
+
+
+@register(
+    "stream_session_agg",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    )
+    SELECT min(ts) AS session_start, user_id, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sessions GROUP BY user_id, session_idx
+    """,
+)
+def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (native F.session_window) — converges
+    to the batch lag-gap sessionization, pinned by the oracle."""
+    return _drive(spark, sf_dir, session_aggregates, "complete")
+
+
+@register(
+    "stream_dedup",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded stateful dedup on (event_id, ts): every unique
+    event passes exactly once."""
+    out = _drive(spark, sf_dir, streaming_dedup, "append")
+    return out.select("event_id", "user_id", "event_type", "value")
+
+
+@register(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState custom operator driven to completion; the
+    per-user (count, sum) state must equal the batch groupBy."""
+    out = _drive(spark, sf_dir, stateful_user_totals, "update")
+    # One update row per user per micro-batch; keep the final state.
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", F.round("total_value", 2).alias("total_value"))
+    )
