@@ -39,6 +39,14 @@ HEADLINE = (
     "events_tumbling_count",  # time windows
     "events_session_agg",   # sessionization
     "set_except",           # multiset difference
+    "tpch_q1",              # pricing summary: scan-heavy agg
+    "tpch_q3",              # shipping priority: 3-way join + top-k
+    "tpch_q5",              # local supplier: 6-table star join
+    "tpch_q6",              # forecast revenue: pushdown showcase
+    "tpch_q18",             # large-volume: having-semi-join
+    "dedup_minhash_det",    # one-pass minhash signature dedup
+    "dedup_components",     # iterative dup-cluster propagation
+    "knn_join",             # per-query top-k similarity join
 )
 
 

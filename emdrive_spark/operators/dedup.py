@@ -235,6 +235,118 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_components",
+    oracle=rf"""
+    WITH RECURSIVE
+    corpus AS ({_DOUBLED_SQL}),
+    sigs AS (
+      SELECT doc_id,
+             {', '.join(f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS sig{j}" for j in range(8))}
+      FROM (
+        SELECT doc_id,
+               list_distinct(
+                 list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM corpus)
+      )
+    ),
+    bands AS (
+      {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, sig{2*b} || '|' || sig{2*b+1} AS key FROM sigs" for b in range(4))}
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id <> b.doc_id
+    ),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM sigs
+      UNION
+      SELECT e.src, r.label FROM reach r JOIN edges e ON r.node = e.dst
+    )
+    SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    LSH-band collision graph (4 bands × 2 minhash sigs), by iterative
+    min-label propagation — each round, every node takes the least label
+    among itself and its neighbors, until fixpoint. This is the step
+    that turns pairwise near-dup hits into canonical clusters (A~B, B~C
+    ⇒ {{A,B,C}} share one keep-id even when A≁C directly).
+
+    Scale: per round = one shuffle-join edges⋈labels + one min-agg —
+    both on bigint keys; rounds = graph diameter (tiny for dup
+    clusters). localCheckpoint() truncates the plan each round so the
+    lineage doesn't grow with iterations. The oracle is a recursive-CTE
+    transitive closure — same fixpoint, declaratively."""
+    from emdrive_spark.operators.text import minhash_sig_array, shingles
+
+    sh = F.array_distinct(shingles(F.col("text")))
+    # Signatures are read 8× downstream (4 bands × 2) — materialize the
+    # one-pass array once instead of letting projection pushdown
+    # recompute the shingle pipeline per band.
+    corpus = (
+        _doubled(spark, sf_dir)
+        .select("doc_id", minhash_sig_array(sh).alias("sig_arr"))
+        .localCheckpoint(eager=False)
+    )
+
+    bands = None
+    for b in range(4):
+        part = corpus.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat(
+                F.col("sig_arr")[2 * b], F.lit("|"), F.col("sig_arr")[2 * b + 1]
+            ).alias("key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    labels = corpus.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint()
+    for _ in range(20):  # diameter bound; dup clusters are shallow
+        msgs = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(msgs, labels.doc_id == msgs.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            labels.alias("old")
+            .join(new_labels.alias("new"), "doc_id")
+            .filter(F.col("old.component") != F.col("new.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
     "dedup_minhash_det",
     oracle=rf"""
     WITH corpus AS ({_DOUBLED_SQL}),
@@ -262,11 +374,11 @@ def dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     path: one shuffle of (signature, id), payload never moves, exactly
     like dedup_exact but tolerant to shingle-set sampling. The doubled
     corpus yields a known answer: every doc collapses with its copy."""
-    from emdrive_spark.operators.text import minhash_sig, shingles
+    from emdrive_spark.operators.text import minhash_sig_array, shingles
 
     sh = F.array_distinct(shingles(F.col("text")))
-    sigs = [minhash_sig(sh, j).alias(f"sig{j}") for j in range(8)]
-    corpus = _doubled(spark, sf_dir).select("doc_id", *sigs)
+    mid = _doubled(spark, sf_dir).select("doc_id", minhash_sig_array(sh).alias("sig_arr"))
+    corpus = mid.select("doc_id", *[F.col("sig_arr")[j].alias(f"sig{j}") for j in range(8)])
     return corpus.groupBy(*[f"sig{j}" for j in range(8)]).agg(
         F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_count")
     ).select("keep_id", "dup_count")
