@@ -48,6 +48,7 @@ _OPERATOR_MODULES = (
     "emdrive_spark.operators.analytics",
     "emdrive_spark.operators.scale",
     "emdrive_spark.streaming.events",
+    "emdrive_spark.operators.udfs",
 )
 
 # SURVEY §2 lists some ops under a second name; expose both so the
