@@ -258,6 +258,49 @@ def _roundtrip_dir(fmt: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"emdrive_roundtrip_{fmt}")
 
 
+@register(
+    "agg_argminmax",
+    oracle="""
+    SELECT l_returnflag,
+           arg_min(l_orderkey, l_extendedprice) AS cheapest_order,
+           arg_max(l_orderkey, l_extendedprice) AS priciest_order,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (argmin/argmax) aggregates — 'which row attains the
+    extreme', one pass, no self-join back to find the witness row.
+    (Prices are unique per flag group in this corpus, so the witness is
+    deterministic.)"""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.min_by("l_orderkey", "l_extendedprice").alias("cheapest_order"),
+        F.max_by("l_orderkey", "l_extendedprice").alias("priciest_order"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-valued aggregation: distinct segments per nation as a SORTED
+    array (collect_set order is partition-dependent; array_sort makes
+    the result deterministic and engine-portable)."""
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.array_sort(F.collect_set("c_mktsegment")).alias("segments"))
+    )
+
+
 @register("source_csv_roundtrip", oracle="SELECT * FROM region")
 def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink+source (ABSENT in reference, §2.1 external formats):
@@ -276,3 +319,49 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region")
     region.write.mode("overwrite").json(path)
     return spark.read.schema(region.schema).json(path)
+
+
+@register("source_orc_roundtrip", oracle="SELECT * FROM region")
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+source (§2.1) — the second columnar format with native
+    vectorized read + predicate pushdown."""
+    path = _roundtrip_dir("orc")
+    region = load(spark, sf_dir, "region")
+    region.write.mode("overwrite").orc(path)
+    return spark.read.schema(region.schema).orc(path)
+
+
+@register(
+    "source_range",
+    oracle="SELECT CAST(range AS BIGINT) AS id, range * 2 AS doubled FROM range(0, 1000)",
+)
+def source_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic range source — the zero-I/O generator table (splits
+    evenly across tasks; the seed of every backfill/testgen job)."""
+    return spark.range(0, 1000).select("id", (F.col("id") * 2).alias("doubled"))
+
+
+@register(
+    "source_binaryfile",
+    oracle="""
+    SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || '.bin' AS name,
+           CAST(octet_length(encode(text)) AS BIGINT) AS length
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source (§2.1 / multimodal ingestion): each file one
+    row of (path, modificationTime, length, content binary) — how raw
+    media lands before mm_pack-style normalization. Staged here by
+    writing 50 docs as .bin files, then reading the directory back."""
+    path = _roundtrip_dir("bin")
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).collect()
+    os.makedirs(path, exist_ok=True)
+    for r in docs:
+        with open(os.path.join(path, f"doc_{r['doc_id']:04d}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    bf = spark.read.format("binaryFile").load(path)
+    return bf.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("name"),
+        F.col("length"),
+    )
