@@ -703,3 +703,25 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").cast("long").alias("o_month"),
         F.date_trunc("month", "o_orderdate").alias("month_start"),
     )
+
+
+@register(
+    "str_levenshtein",
+    oracle="""
+    SELECT p_partkey, p_name,
+           CAST(levenshtein(p_name, 'promo burnished copper') AS BIGINT) AS edit_dist
+    FROM part
+    WHERE levenshtein(p_name, 'promo burnished copper') <= 10
+    """,
+)
+def str_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity on strings (the non-vector cousin of the
+    metric ops): distance to a probe name with a threshold filter —
+    same SELECT-distance-WHERE shape as the README's hash @ query
+    flagship, over a string metric space."""
+    p = load(spark, sf_dir, "part")
+    d = F.levenshtein(F.col("p_name"), F.lit("promo burnished copper"))
+    return (
+        p.select("p_partkey", "p_name", d.cast("long").alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 10)
+    )

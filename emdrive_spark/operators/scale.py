@@ -112,3 +112,23 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(c, (o.o_custkey == c.c_custkey) & (o.salt == c.salt)).select(
         "o_orderkey", "c_mktsegment"
     )
+
+
+@register(
+    "sample_hash",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sampling by key-hash prefix — the reproducible
+    alternative to sample(): every engine, every run, every partitioning
+    selects the SAME rows (md5 is engine-portable; '1a'/256 ≈ 10.2%).
+    This is how a 100 TB pipeline takes a consistent dev slice, and how
+    correlated tables stay aligned (sample both on the same join key)."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "1a"
+    ).select("o_orderkey", "o_totalprice")

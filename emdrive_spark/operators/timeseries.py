@@ -131,3 +131,105 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "events").select(
         "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
     )
+
+
+@register(
+    "events_multi_rollup",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('minute', ts) AS t_minute,
+             date_trunc('hour', ts)   AS t_hour,
+             date_trunc('day', ts)    AS t_day,
+             value
+      FROM events
+    )
+    SELECT t_minute, t_hour, t_day, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM b GROUP BY GROUPING SETS ((t_minute), (t_hour), (t_day))
+    """,
+)
+def events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: one pass maintains
+    minute, hour, AND day granularities via GROUPING SETS — the batch
+    form of a timeseries DB's cascaded materialized rollups. At 100 TB
+    the expansion happens map-side (each row feeds 3 partial aggs); the
+    shuffle carries only the (bucket, partial) pairs, and each coarser
+    granularity is strictly smaller. NULL pattern identifies the level."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_mr")
+    return spark.sql(
+        """
+        WITH b AS (
+          SELECT date_trunc('minute', ts) AS t_minute,
+                 date_trunc('hour', ts)   AS t_hour,
+                 date_trunc('day', ts)    AS t_day,
+                 value
+          FROM events_mr
+        )
+        SELECT t_minute, t_hour, t_day, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM b GROUP BY GROUPING SETS ((t_minute), (t_hour), (t_day))
+        """
+    )
+
+
+@register(
+    "join_time_range",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.ts AS purchase_ts, v.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts BETWEEN p.ts - INTERVAL '24 hours' AND p.ts
+    """,
+)
+def join_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: every view within the 24h attribution window
+    before each purchase by the same user. The equi key (user_id)
+    carries the shuffle; the BETWEEN evaluates post-match, so cost is
+    per-user pairs, never a cross product. (The as-of join keeps ONE
+    match; attribution keeps ALL in-window matches.)"""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    win = (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 24 HOURS")) & (
+        F.col("view_ts") <= F.col("purchase_ts")
+    )
+    return p.join(v, (p.p_user == v.v_user) & win).select(
+        "purchase_id", "view_id", "purchase_ts", "view_ts"
+    )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts,
+           CASE WHEN r.ts >= l.ts - INTERVAL '24 hours' THEN r.ts END AS matched_ts,
+           CASE WHEN r.ts >= l.ts - INTERVAL '24 hours' THEN r.value END AS matched_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance bound (pandas merge_asof semantics):
+    the latest prior view, but only if within 24h — stale matches null
+    out. Same single-shuffle union+window plan as join_asof plus one
+    cheap post-predicate."""
+    from emdrive_spark.registry import REGISTRY
+
+    base = REGISTRY["join_asof"].fn(spark, sf_dir)
+    fresh = F.col("matched_ts") >= F.col("ts") - F.expr("INTERVAL 24 HOURS")
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("matched_ts")).alias("matched_ts"),
+        F.when(fresh, F.col("matched_value")).alias("matched_value"),
+    )
