@@ -245,6 +245,32 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_normalize",
+    oracle="""
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+                          x -> round(x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                               embedding::DOUBLE[])), 6))
+             AS unit_vec
+    FROM embeddings
+    """,
+)
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize embeddings (unit vectors) — the standard index-prep
+    transform that turns cosine similarity into a plain dot product.
+    One projection; the norm is an aggregate fold over the array,
+    division a transform — all JVM-side."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "e", F.col("embedding").cast("array<double>")
+    )
+    norm = F.sqrt(dot(F.col("e"), F.col("e")))
+    return emb.select(
+        "vec_id",
+        F.transform(F.col("e"), lambda x: F.round(x / norm, 6)).alias("unit_vec"),
+    )
+
+
+@register(
     "knn_join",
     oracle="""
     WITH q AS (
