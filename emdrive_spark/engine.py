@@ -22,7 +22,7 @@ from emdrive_spark.catalog import Catalog, TableEntry
 from emdrive_spark.functions import distance as D
 from emdrive_spark.functions.generators import now_expr, ulid_expr
 from emdrive_spark.sql import ast
-from emdrive_spark.sql.errors import EmdriveValidationError
+from emdrive_spark.sql.errors import EmdriveSyntaxError, EmdriveValidationError
 from emdrive_spark.sql.parser import parse_statement
 
 
@@ -34,8 +34,17 @@ class Engine:
     def execute(self, sql: str) -> DataFrame | None:
         """Run one statement. DDL/DML return None; SELECT returns the
         result DataFrame. (Statement-per-request, like the reference's
-        ';'-terminated tokenization, tokenizer.rs:226-228.)"""
-        stmt = parse_statement(sql)
+        ';'-terminated tokenization, tokenizer.rs:226-228.)
+
+        Statements beyond the emdrive grammar fall through to full ANSI
+        SQL on the same tables (catalog tables are live temp views):
+        the dialect parser owns emdrive-isms (``@``, alias-in-WHERE,
+        ULID()/NOW()); Catalyst owns everything else — joins, GROUP BY,
+        ORDER BY, window functions, subqueries, CTEs."""
+        try:
+            stmt = parse_statement(sql)
+        except EmdriveSyntaxError:
+            return self._ansi_passthrough(sql)
         if isinstance(stmt, ast.CreateTable):
             self.catalog.create_table(stmt)
             return None
@@ -45,6 +54,20 @@ class Engine:
         if isinstance(stmt, ast.Select):
             return self._execute_select(stmt)
         raise EmdriveValidationError(f"Unsupported statement {type(stmt).__name__}.")
+
+    def _ansi_passthrough(self, sql: str) -> DataFrame:
+        """Read-only ANSI fallback via spark.sql. Only query forms are
+        eligible — mutations must go through the dialect layer so the
+        catalog's PK/nullability/default contracts hold."""
+        head = sql.strip().split(None, 1)[0].upper() if sql.strip() else ""
+        if head not in ("SELECT", "WITH", "VALUES", "TABLE"):
+            # surface the dialect's own syntax error for non-queries
+            parse_statement(sql)  # re-raises EmdriveSyntaxError
+            raise AssertionError("unreachable")
+        try:
+            return self.spark.sql(sql)
+        except Exception as exc:
+            raise EmdriveValidationError(str(exc).split("\n")[0]) from exc
 
     def execute_script(self, sql: str) -> DataFrame | None:
         """Multiple ';'-separated statements; returns the last result."""

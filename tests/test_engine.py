@@ -136,3 +136,45 @@ def test_ulid_shape_and_sortability():
     b = ulid(ms=2, entropy=b"\x00" * 10)
     assert len(a) == len(b) == 26
     assert a < b  # time-prefix sortable
+
+
+def test_ansi_passthrough_group_by(engine):
+    engine.execute(CREATE.replace("photos_seen", "pt"))
+    engine.execute(
+        "INSERT INTO pt (hash, url, width, height, seen_at) VALUES "
+        "(1, 'a', 10, 10, '2077-01-01T00:00:00'), "
+        "(2, 'b', 10, 20, '2077-01-01T00:00:00'), "
+        "(3, 'c', 20, 30, '2077-01-01T00:00:00')"
+    )
+    # GROUP BY / ORDER BY are beyond the emdrive grammar → ANSI fallback
+    rows = engine.execute(
+        "SELECT width, count(*) AS n FROM pt GROUP BY width ORDER BY width"
+    ).collect()
+    assert [(r["width"], r["n"]) for r in rows] == [(10, 2), (20, 1)]
+
+
+def test_ansi_passthrough_join_and_cte(engine):
+    engine.execute("CREATE TABLE ta (id UINT32 PRIMARY KEY, v UINT32)")
+    engine.execute("CREATE TABLE tb (id UINT32 PRIMARY KEY, w UINT32)")
+    engine.execute("INSERT INTO ta (id, v) VALUES (1, 10), (2, 20)")
+    engine.execute("INSERT INTO tb (id, w) VALUES (1, 7)")
+    rows = engine.execute(
+        "WITH j AS (SELECT ta.id AS id, v, w FROM ta JOIN tb ON ta.id = tb.id) "
+        "SELECT id, v + w AS s FROM j"
+    ).collect()
+    assert [(r["id"], r["s"]) for r in rows] == [(1, 17)]
+
+
+def test_ansi_passthrough_rejects_mutations(engine):
+    from emdrive_spark.sql.errors import EmdriveSyntaxError
+
+    engine.execute("CREATE TABLE tm (id UINT32 PRIMARY KEY)")
+    # DROP isn't emdrive grammar and isn't a query form → syntax error,
+    # NOT silently executed by Spark
+    with pytest.raises(EmdriveSyntaxError):
+        engine.execute("DROP TABLE tm")
+
+
+def test_ansi_passthrough_bad_query_is_validation_error(engine):
+    with pytest.raises(EmdriveValidationError):
+        engine.execute("SELECT nope FROM does_not_exist GROUP BY nope")
