@@ -725,3 +725,78 @@ def str_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.select("p_partkey", "p_name", d.cast("long").alias("edit_dist"))
         .filter(F.col("edit_dist") <= 10)
     )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    )
+    WHERE rnk <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the grouped top-k idiom (window
+    row_number + filter). One shuffle on the group key; rank columns
+    never materialize beyond k per group after the filter. The global
+    variant is `limit`/TakeOrderedAndProject; this is its per-key twin."""
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           round(covar_pop(l_extendedprice, l_quantity), 2) AS price_qty_cov,
+           round(stddev_samp(l_extendedprice), 2) AS price_stddev
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / covar_pop / stddev_samp) — one
+    pass, numerically stable streaming moments (partial+final), no
+    two-pass mean-then-deviation scan."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.covar_pop("l_extendedprice", "l_quantity"), 2).alias("price_qty_cov"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+    )
+
+
+@register(
+    "window_percent_rank",
+    oracle="""
+    SELECT o_orderkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+    """,
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position analytics: percent_rank and cume_dist over the
+    same spec (one Window node). Ordering key is the unique PK, so both
+    are tie-free and deterministic."""
+    w = W.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )

@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) for the pure-Python layers —
+the dialect tokenizer/parser contracts the reference pins with unit
+tests (/root/reference/src/sql/tokenizer.rs:267-540,
+/root/reference/src/sql/parser.rs:83-205), generalized to generated
+inputs, plus ULID shape/ordering and the hamming known-answer family.
+
+No SparkSession needed: everything here is driver-side logic.
+"""
+
+from __future__ import annotations
+
+import re
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from emdrive_spark.functions.generators import ulid
+from emdrive_spark.sql import ast
+from emdrive_spark.sql.parser import parse_statement
+from emdrive_spark.sql.tokenizer import KEYWORDS, tokenize
+
+idents = st.text(string.ascii_lowercase, min_size=1, max_size=12).filter(
+    lambda s: s.upper() not in KEYWORDS
+)
+# string literals: printable minus quote/backslash (escapes covered below)
+plain_str = st.text(
+    st.characters(codec="ascii", exclude_characters="'\\;\n"), max_size=20
+)
+
+
+@given(idents, idents)
+@settings(max_examples=200)
+def test_keyword_case_insensitive_identifier_case_sensitive(tbl, col):
+    """tokenizer.rs:392 — SELECT/FROM match in any case; identifiers
+    keep their exact case."""
+    mixed = f"SeLeCt {col} FrOm {tbl}"
+    stmt = parse_statement(mixed)
+    assert isinstance(stmt, ast.Select)
+    assert stmt.table == tbl
+    assert stmt.items[0].expr == ast.Ident(col)
+
+
+@given(plain_str)
+@settings(max_examples=200)
+def test_string_literal_roundtrip(s):
+    """tokenizer.rs:457 — '…' literals hold arbitrary text; backslash
+    escapes reproduce quotes and backslashes exactly."""
+    escaped = s.replace("\\", "\\\\").replace("'", "\\'")
+    toks = tokenize(f"SELECT '{escaped}' FROM t")
+    lit = [t for t in toks if t.kind == "string"]
+    assert len(lit) == 1
+    assert lit[0].value == s
+
+
+@given(st.integers(min_value=0, max_value=2**63 - 1))
+@settings(max_examples=200)
+def test_integer_literal_roundtrip(n):
+    stmt = parse_statement(f"SELECT c FROM t WHERE c = {n}")
+    assert stmt.where == ast.BinOp("=", ast.Ident("c"), ast.Const(n))
+
+
+@given(st.integers(min_value=0, max_value=255), st.integers(min_value=0, max_value=255))
+@settings(max_examples=200)
+def test_hamming_popcount_xor_model(a, b):
+    """README.md:58-78 model: distance = popcount(a XOR b), symmetric,
+    zero iff equal, triangle inequality."""
+    d = bin(a ^ b).count("1")
+    assert d == bin(b ^ a).count("1")
+    assert (d == 0) == (a == b)
+    for c in (0, 255, a ^ b):
+        dc = bin(a ^ c).count("1") + bin(c ^ b).count("1")
+        assert d <= dc
+
+
+@given(st.integers(min_value=0, max_value=2**48 - 1), st.binary(min_size=10, max_size=10))
+@settings(max_examples=200)
+def test_ulid_shape_and_time_order(ms, entropy):
+    """functions.rs:16-21 / README.md:115-117: 26-char Crockford
+    base32, lexicographic order follows the ms timestamp."""
+    u = ulid(ms=ms, entropy=entropy)
+    assert len(u) == 26
+    assert re.fullmatch(r"[0-9ABCDEFGHJKMNPQRSTVWXYZ]{26}", u)
+    later = ulid(ms=ms + 1, entropy=entropy)
+    assert u < later
+
+
+@given(idents, st.lists(idents, min_size=1, max_size=5, unique=True))
+@settings(max_examples=100)
+def test_select_projection_roundtrip(tbl, cols):
+    sql = f"SELECT {', '.join(cols)} FROM {tbl}"
+    stmt = parse_statement(sql)
+    assert [i.expr for i in stmt.items] == [ast.Ident(c) for c in cols]
+    assert stmt.table == tbl
+
+
+@given(st.text(max_size=30))
+@settings(max_examples=300)
+def test_tokenizer_never_crashes_unexpectedly(s):
+    """Any input either tokenizes or raises the dialect's own syntax
+    error — never an internal exception."""
+    from emdrive_spark.sql.errors import EmdriveSyntaxError
+
+    try:
+        tokenize(s)
+    except EmdriveSyntaxError:
+        pass
