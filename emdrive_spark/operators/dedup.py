@@ -382,3 +382,31 @@ def dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.groupBy(*[f"sig{j}" for j in range(8)]).agg(
         F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_count")
     ).select("keep_id", "dup_count")
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH corpus AS ({_DOUBLED_SQL})
+    SELECT md5(text) AS fp,
+           arg_max(doc_id, len(text) * 1000000 - doc_id) AS keep_id,
+           count(*) AS dup_count
+    FROM corpus GROUP BY md5(text)
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy dedup: within each duplicate cluster keep the BEST
+    representative (here: longest text, lowest id as tiebreak) — the
+    realistic corpus-dedup decision, vs dedup_exact's min-id. One
+    max_by aggregate; the quality score rides the shuffle as part of
+    the (digest, id, score) triple, payload still never moves."""
+    score = F.length("text") * F.lit(1_000_000) - F.col("doc_id")
+    return (
+        _doubled(spark, sf_dir)
+        .select(F.md5("text").alias("fp"), "doc_id", score.alias("score"))
+        .groupBy("fp")
+        .agg(
+            F.max_by("doc_id", "score").alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )

@@ -800,3 +800,94 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@register(
+    "array_funcs",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, [o_orderkey, o_orderkey * 2, o_orderkey * 3] AS arr
+      FROM orders WHERE o_orderkey <= 100
+    )
+    SELECT o_orderkey,
+           list_slice(arr, 2, 3) AS mid,
+           CAST(len(arr) AS INT) AS n,
+           list_transform(list_zip(arr, arr), p -> p[1] + p[2]) AS doubled,
+           list_sum(arr) AS total
+    FROM t
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array library passthrough (SURVEY §2.8): construct, slice, size,
+    zip_with arithmetic, aggregate-sum — all JVM-side higher-order
+    expressions, no shuffle, no Python."""
+    arr = F.array(F.col("o_orderkey"), F.col("o_orderkey") * 2, F.col("o_orderkey") * 3)
+    t = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 100)
+        .select("o_orderkey", arr.alias("arr"))
+    )
+    return t.select(
+        "o_orderkey",
+        F.slice("arr", 2, 2).alias("mid"),
+        F.size("arr").alias("n"),
+        F.zip_with("arr", "arr", lambda a, b: a + b).alias("doubled"),
+        F.aggregate("arr", F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("total"),
+    )
+
+
+@register(
+    "null_conditional_funcs",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END AS tier,
+           round(greatest(c_acctbal, 0.0), 2) AS nonneg_bal,
+           round(least(c_acctbal, 9999.99), 2) AS capped_bal
+    FROM customer
+    """,
+)
+def null_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL/conditional library (SURVEY §2.8): coalesce, nullif,
+    CASE WHEN chains, greatest/least — pure codegen projections."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.round(F.greatest("c_acctbal", F.lit(0.0)), 2).alias("nonneg_bal"),
+        F.round(F.least("c_acctbal", F.lit(9999.99)), 2).alias("capped_bal"),
+    )
+
+
+@register(
+    "cast_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+           CAST(strftime(o_orderdate, '%Y-%m-%d') AS VARCHAR) AS date_str
+    FROM orders
+    """,
+)
+def cast_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast/conversion surface pinning the emdrive↔Spark type map
+    (SURVEY §1.2). floor() is explicit on both sides: DuckDB's
+    float→int CAST rounds while Spark's truncates — never rely on
+    implicit float→int casts in cross-engine code."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.floor("o_totalprice").cast("long").alias("price_floor"),
+        F.col("o_orderdate").cast("date").cast("string").alias("order_date"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
+    )
