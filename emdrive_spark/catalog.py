@@ -152,6 +152,73 @@ class Catalog:
 
     # -- system tables (system.rs:14-91 + SURVEY §1.1 extras) ------------
 
+    # -- durability (reference: data/<schema>/<table>/0 files,
+    # filesystem.rs:11-15; blank-file bootstrap write.rs:12-38) --------
+
+    def save(self, root: str) -> None:
+        """Persist every table as PK-sorted Parquet at
+        ``<root>/<schema>/<table>/`` plus a ``_catalog.json`` with the
+        DDL metadata Spark can't store (PK, metric, defaults, emdrive
+        nullability). PK-sorting is the layout contract: Parquet
+        min/max row-group stats make PK equality lookups prune like the
+        reference's B+tree."""
+        import json
+        import os
+
+        meta = {}
+        for e in self.tables.values():
+            path = os.path.join(root, e.schema_name, e.name)
+            e.df.sortWithinPartitions(e.pk.name).write.mode("overwrite").parquet(path)
+            meta[e.name] = {
+                "schema_name": e.schema_name,
+                "columns": [
+                    {
+                        "name": c.name,
+                        "type": c.etype.render(),
+                        "primary_key": c.primary_key,
+                        "metric": c.metric,
+                        "index_kind": c.index_kind,
+                        "default": _default_to_json(c.default),
+                    }
+                    for c in e.columns
+                ],
+            }
+        os.makedirs(root, exist_ok=True)
+        with open(os.path.join(root, "_catalog.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+
+    def restore(self, root: str) -> int:
+        """Load a saved catalog: re-register every table (schema from
+        the metadata file — nullability/PK/metric survive the
+        round-trip, which plain Parquet alone would lose)."""
+        import json
+        import os
+
+        from emdrive_spark.types import parse_type
+
+        with open(os.path.join(root, "_catalog.json")) as f:
+            meta = json.load(f)
+        for name, t in meta.items():
+            columns = tuple(
+                ast.ColumnDef(
+                    name=c["name"],
+                    etype=parse_type(c["type"]),
+                    primary_key=c["primary_key"],
+                    metric=c["metric"],
+                    index_kind=c["index_kind"],
+                    default=_default_from_json(c["default"]),
+                )
+                for c in t["columns"]
+            )
+            path = os.path.join(root, t["schema_name"], name)
+            df = self.spark.read.schema(spark_schema(columns)).parquet(path)
+            entry = TableEntry(
+                name=name, schema_name=t["schema_name"], columns=columns, df=df
+            )
+            self.tables[name] = entry
+            df.createOrReplaceTempView(name)
+        return len(meta)
+
     def system_tables(self) -> DataFrame:
         rows = [
             {"schema_name": e.schema_name, "table_name": e.name}
@@ -241,6 +308,24 @@ def _coerce(cdef: ast.ColumnDef, value: object) -> object:
         # a README/code discrepancy, we follow the README. SURVEY §1.2)
         return _dt.datetime.fromisoformat(value)
     return value
+
+
+def _default_to_json(expr: ast.Expr | None) -> dict | None:
+    if expr is None:
+        return None
+    if isinstance(expr, ast.Const):
+        return {"kind": "const", "value": expr.value}
+    if isinstance(expr, ast.FuncCall):
+        return {"kind": "func", "name": expr.name}
+    raise EmdriveValidationError(f"Unserializable default {expr!r}.")
+
+
+def _default_from_json(d: dict | None) -> ast.Expr | None:
+    if d is None:
+        return None
+    if d["kind"] == "const":
+        return ast.Const(d["value"])
+    return ast.FuncCall(d["name"])
 
 
 def _render_default(expr: ast.Expr | None) -> str | None:

@@ -178,3 +178,33 @@ def test_ansi_passthrough_rejects_mutations(engine):
 def test_ansi_passthrough_bad_query_is_validation_error(engine):
     with pytest.raises(EmdriveValidationError):
         engine.execute("SELECT nope FROM does_not_exist GROUP BY nope")
+
+
+def test_catalog_save_restore_roundtrip(engine, tmp_path, spark):
+    engine.execute(CREATE.replace("photos_seen", "persist_t"))
+    engine.execute(
+        "INSERT INTO persist_t (hash, url, width, height, seen_at) VALUES "
+        "(5, 'u1', 100, 200, '2077-01-01T00:00:00'), "
+        "(9, 'u2', 300, 400, '2077-01-02T00:00:00')"
+    )
+    root = str(tmp_path / "cat")
+    engine.catalog.save(root)
+
+    fresh = Engine(spark)
+    n = fresh.catalog.restore(root)
+    assert n >= 1
+    entry = fresh.catalog.get("persist_t")
+    # DDL metadata survives: PK, metric, nullability, STRING(n)
+    assert entry.pk.name == "url"
+    assert entry.column("hash").metric == "hamming"
+    assert entry.column("url").etype.length == 2048
+    assert entry.column("width").etype.nullable is False
+    # data survives, and the dialect runs against the restored table
+    rows = fresh.execute("SELECT url, width FROM persist_t WHERE hash = 9").collect()
+    assert [(r["url"], r["width"]) for r in rows] == [("u2", 300)]
+    # PK uniqueness still enforced post-restore
+    with pytest.raises(EmdriveValidationError, match="already exists"):
+        fresh.execute(
+            "INSERT INTO persist_t (hash, url, width, height, seen_at) VALUES "
+            "(1, 'u1', 1, 1, '2077-01-01T00:00:00')"
+        )
