@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from emdrive_spark.functions import money as M
 from emdrive_spark.registry import register
 from emdrive_spark.sources.tables import load
 
@@ -369,16 +370,16 @@ def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_group_sum",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                       AS sum_qty,
-           round(sum(l_extendedprice), 2)                                  AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(sum(l_quantity), 2) / count(*)                            AS avg_qty,
-           round(sum(l_extendedprice), 2) / count(*)                       AS avg_price,
-           round(sum(l_discount), 2) / count(*)                            AS avg_disc,
-           count(*)                                                        AS count_order
+           round(sum(l_quantity), 2)                 AS sum_qty,
+           {M.sql_money_sum('l_extendedprice')}      AS sum_base_price,
+           CAST(sum({M.SQL_DISC_PRICE}) AS DOUBLE)   AS sum_disc_price,
+           CAST(sum({M.SQL_CHARGE}) AS DOUBLE)       AS sum_charge,
+           round(sum(l_quantity), 2) / count(*)      AS avg_qty,
+           {M.sql_money_sum('l_extendedprice')} / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*)                                  AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
@@ -386,24 +387,26 @@ def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: filtered scan → partial+final hash aggregate.
-    The filter pushes to Parquet; only 7 of 11 columns are read."""
+    The filter pushes to Parquet; only 7 of 11 columns are read.
+    Money sums run in DECIMAL (functions.money): double sums vary with
+    combine order and can flip a cent at half-cent boundaries under a
+    different partitioning; decimal sums are exact on any engine.
+    Quantity sums stay double — integral values sum exactly."""
     li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _r2(F.sum("l_quantity")).alias("sum_qty"),
-            _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            _r2(F.sum(disc_price)).alias("sum_disc_price"),
-            _r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
-            # avg = round(sum,2)/n with no outer round: bitwise-equal
-            # inputs divide deterministically, while re-rounding the
-            # quotient can land on exact decimal midpoints (power-of-two
-            # counts) where Spark HALF_UP != DuckDB HALF_EVEN.
+            M.money_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(M.disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(M.charge()).cast("double").alias("sum_charge"),
+            # avg = exact-sum / n: bitwise-equal inputs divide
+            # deterministically; no outer round (quotient midpoints are
+            # where Spark HALF_UP != DuckDB HALF_EVEN).
             (_r2(F.sum("l_quantity")) / F.count("*")).alias("avg_qty"),
-            (_r2(F.sum("l_extendedprice")) / F.count("*")).alias("avg_price"),
-            (_r2(F.sum("l_discount")) / F.count("*")).alias("avg_disc"),
+            (M.money_sum("l_extendedprice") / F.count("*")).alias("avg_price"),
+            (F.sum(M.rate("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -460,9 +463,9 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_rollup",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
-           round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+           {M.sql_money_sum('o_totalprice')} AS sum_price, count(*) AS n
     FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
 )
@@ -470,7 +473,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
-        .agg(_r2(F.sum("o_totalprice")).alias("sum_price"), F.count("*").alias("n"))
+        .agg(M.money_sum("o_totalprice").alias("sum_price"), F.count("*").alias("n"))
     )
 
 

@@ -25,7 +25,7 @@ from emdrive_spark.sources.tables import load
     "events_tumbling_count",
     oracle="""
     SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
-           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+           event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -35,7 +35,7 @@ def events_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n"), F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )
 
@@ -51,7 +51,7 @@ def events_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT window_start, count(*) AS n,
-           round(sum(value), 2) / count(*) AS avg_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
     FROM assigned GROUP BY 1
     """,
 )
@@ -68,7 +68,7 @@ def events_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # n is a power of two (Spark rounds HALF_UP, DuckDB HALF_EVEN).
         .agg(
             F.count("*").alias("n"),
-            (F.round(F.sum("value"), 2) / F.count("*")).alias("avg_value"),
+            (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("avg_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n", "avg_value")
     )
@@ -92,7 +92,7 @@ def events_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM flagged
     )
     SELECT user_id, session_idx, count(*) AS n_events,
-           round(sum(value), 2) AS sum_value, min(ts) AS session_start
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, min(ts) AS session_start
     FROM sessions GROUP BY user_id, session_idx
     """,
 )
@@ -114,7 +114,7 @@ def events_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sessions.groupBy("user_id", "session_idx").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         F.min("ts").alias("session_start"),
     )
 
@@ -143,7 +143,7 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
              value
       FROM events
     )
-    SELECT t_minute, t_hour, t_day, count(*) AS n, round(sum(value), 2) AS sum_value
+    SELECT t_minute, t_hour, t_day, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM b GROUP BY GROUPING SETS ((t_minute), (t_hour), (t_day))
     """,
 )
@@ -164,7 +164,7 @@ def events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  value
           FROM events_mr
         )
-        SELECT t_minute, t_hour, t_day, count(*) AS n, round(sum(value), 2) AS sum_value
+        SELECT t_minute, t_hour, t_day, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM b GROUP BY GROUPING SETS ((t_minute), (t_hour), (t_day))
         """
     )

@@ -58,7 +58,7 @@ def tumbling_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFra
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n"), F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )
 
@@ -69,7 +69,7 @@ def session_aggregates(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     return (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))
         .select(
             F.col("w.start").alias("session_start"),
             "user_id",
@@ -109,17 +109,19 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         ]
     )
     state_schema = StructType(
-        [StructField("n", LongType()), StructField("total", DoubleType())]
+        [StructField("n", LongType()), StructField("cents", LongType())]
     )
 
     def update(key, pdfs, state):
-        n, total = state.get if state.exists else (0, 0.0)
+        # State carries integer CENTS: float accumulation would drift
+        # with batch order; 2-decimal values times 100 sum exactly.
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
@@ -169,7 +171,7 @@ def _drive(spark: SparkSession, sf_dir: str, builder, mode: str) -> DataFrame:
     "stream_tumbling_counts",
     oracle="""
     SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
-           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+           event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -197,7 +199,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM flagged
     )
     SELECT min(ts) AS session_start, user_id, count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM sessions GROUP BY user_id, session_idx
     """,
 )
@@ -221,7 +223,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_stateful_totals",
     oracle="""
-    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    SELECT user_id, count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY user_id
     """,
 )
@@ -236,5 +238,5 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", "n_events", F.round("total_value", 2).alias("total_value"))
+        .select("user_id", "n_events", "total_value")
     )
