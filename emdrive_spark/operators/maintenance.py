@@ -1,0 +1,158 @@
+"""Table maintenance operations: upsert/merge, targeted delete,
+small-file compaction, statistics collection.
+
+The reference's only mutation is a leaf-page append
+(/root/reference/src/executor/write.rs:40-76). A production lake needs
+the day-2 operations around immutable columnar storage: merge new
+versions over a keyed table (SCD-1), rewrite-without (GDPR-style
+delete), compact the small files that streaming/appends accumulate, and
+collect the column statistics an optimizer prunes with. All are
+expressed as read → declarative transform → rewrite; Spark parallelizes
+the rewrite, the pattern is Delta/Iceberg's under the hood without the
+transaction log (out of scope: no such package in this environment).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emdrive_spark.registry import register
+from emdrive_spark.sources.tables import load
+
+_TMP = os.path.join(tempfile.gettempdir(), "emdrive_maint")
+
+
+@register(
+    "upsert_table",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 10 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment,
+           CASE WHEN c_custkey % 10 = 0 THEN round(c_acctbal + 1000, 2) ELSE c_acctbal END
+             AS c_acctbal
+    FROM customer
+    UNION ALL
+    SELECT c_custkey + 10000000 AS c_custkey, 'NEW' AS c_mktsegment, 0.0 AS c_acctbal
+    FROM customer WHERE c_custkey % 100 = 0
+    """,
+)
+def upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert (SCD-1): updates for every 10th customer, inserts
+    for every 100th (id-shifted). Realized as full-outer join on the
+    key + coalesce-newest — one shuffle on the key, then a full
+    partition-parallel rewrite. This is exactly what Delta MERGE plans
+    when most files are touched; when updates are sparse, a real lake
+    format adds file-level pruning on top of the same join."""
+    target = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    updates = target.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit("UPDATED").alias("u_seg"),
+        F.round(F.col("c_acctbal") + 1000, 2).alias("u_bal"),
+    )
+    inserts = target.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        F.lit("NEW").alias("u_seg"),
+        F.lit(0.0).alias("u_bal"),
+    )
+    source = updates.unionByName(inserts)
+    merged = (
+        target.alias("t")
+        .join(source.alias("s"), "c_custkey", "full")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("s.u_seg"), F.col("t.c_mktsegment")).alias("c_mktsegment"),
+            F.coalesce(F.col("s.u_bal"), F.col("t.c_acctbal")).alias("c_acctbal"),
+        )
+    )
+    path = os.path.join(_TMP, "customer_upserted")
+    merged.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+@register(
+    "delete_where",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_custkey % 7 = 0)
+    """,
+)
+def delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted delete on immutable storage = rewrite-without (the
+    GDPR/right-to-erasure pattern): anti-filter + overwrite. At 100 TB
+    with a partitioned layout only the partitions containing matches
+    rewrite (pair with sink_partitioned); everything else is untouched
+    metadata."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    kept = o.filter(~((F.col("o_orderstatus") == "F") & (F.col("o_custkey") % 7 == 0)))
+    path = os.path.join(_TMP, "orders_deleted")
+    kept.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+@register(
+    "compact_small_files",
+    oracle="SELECT s_suppkey, s_name, s_acctbal FROM supplier",
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: the table is first fragmented into one
+    file per row-bucket (what streaming appends produce), then
+    coalesced into a handful of right-sized files. Content must be
+    byte-for-byte equivalent (the oracle checks it); the file count
+    drop is asserted in tests. At 100 TB this is the nightly OPTIMIZE
+    job — scan cost is dominated by file count, not bytes, once files
+    shrink below a row group."""
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    frag = os.path.join(_TMP, "supplier_fragmented")
+    compacted = os.path.join(_TMP, "supplier_compacted")
+    # fragment: many tiny files (worst case: one per ~8 rows)
+    s.repartition(64).write.mode("overwrite").parquet(frag)
+    # compact: few large files
+    spark.read.parquet(frag).coalesce(2).write.mode("overwrite").parquet(compacted)
+    return spark.read.parquet(compacted)
+
+
+@register(
+    "analyze_table",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name,
+           CAST(min(o_orderkey) AS DOUBLE) AS min_val,
+           CAST(max(o_orderkey) AS DOUBLE) AS max_val,
+           count(DISTINCT o_orderkey) AS ndv,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS null_count
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE),
+           count(DISTINCT o_totalprice),
+           CAST(count(*) - count(o_totalprice) AS BIGINT)
+    FROM orders
+    """,
+)
+def analyze_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column statistics collection (ANALYZE TABLE): per-column
+    min/max/NDV/null-count in ONE scan via a multi-aggregate projection
+    then unpivot — not one scan per column. These are the stats CBO
+    join-ordering and skew detection feed on; at 100 TB the single-pass
+    shape is the difference between a stats job and a stats week."""
+    o = load(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.min("o_orderkey").cast("double").alias("k_min"),
+        F.max("o_orderkey").cast("double").alias("k_max"),
+        F.count_distinct(F.col("o_orderkey")).alias("k_ndv"),
+        (F.count("*") - F.count("o_orderkey")).alias("k_nulls"),
+        F.min("o_totalprice").cast("double").alias("p_min"),
+        F.max("o_totalprice").cast("double").alias("p_max"),
+        F.count_distinct(F.col("o_totalprice")).alias("p_ndv"),
+        (F.count("*") - F.count("o_totalprice")).alias("p_nulls"),
+    )
+    return agg.selectExpr(
+        """stack(2,
+             'o_orderkey',  k_min, k_max, k_ndv, k_nulls,
+             'o_totalprice', p_min, p_max, p_ndv, p_nulls
+           ) AS (column_name, min_val, max_val, ndv, null_count)"""
+    )

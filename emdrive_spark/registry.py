@@ -49,6 +49,7 @@ _OPERATOR_MODULES = (
     "emdrive_spark.operators.scale",
     "emdrive_spark.streaming.events",
     "emdrive_spark.operators.udfs",
+    "emdrive_spark.operators.maintenance",
 )
 
 # SURVEY §2 lists some ops under a second name; expose both so the

@@ -125,3 +125,18 @@ def test_topk_planner_both_paths(spark):
     assert {r["vec_id"] for r in rows_lsh} == {r["vec_id"] for r in rows_exact}
     forced = plan_topk(emb, q, 5, row_estimate=100_000_000)
     assert forced.strategy == "lsh"
+
+
+def test_compaction_reduces_file_count(spark):
+    import glob
+    import os
+    import tempfile
+
+    registry.REGISTRY["compact_small_files"].fn(spark, SF_SMOKE).count()
+    tmp = os.path.join(tempfile.gettempdir(), "emdrive_maint")
+    frag = glob.glob(os.path.join(tmp, "supplier_fragmented", "*.parquet"))
+    comp = glob.glob(os.path.join(tmp, "supplier_compacted", "*.parquet"))
+    assert len(comp) <= 2
+    # at smoke SF supplier is tiny (empty partitions write no file);
+    # the invariant is a strict reduction, not a fixed ratio
+    assert len(frag) > 2 * len(comp)
