@@ -233,3 +233,42 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("matched_ts")).alias("matched_ts"),
         F.when(fresh, F.col("matched_value")).alias("matched_value"),
     )
+
+
+@register(
+    "events_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1 FROM events
+    ),
+    grid AS (
+      SELECT unnest(generate_series(t0, t1, INTERVAL '1 hour')) AS bucket FROM bounds
+    ),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS bucket, count(*) AS n FROM events GROUP BY 1
+    )
+    SELECT g.bucket, coalesce(a.n, 0) AS n
+    FROM grid g LEFT JOIN agg a ON g.bucket = a.bucket
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling: a dense hourly grid (sequence over the observed
+    range) left-joined against the sparse aggregate, empty buckets
+    zero-filled — what every timeseries dashboard needs and naive
+    GROUP BY can't produce. The grid generates from ONE min/max row
+    (broadcastable); the left join shuffles only the sparse aggregate,
+    never raw events."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
+    )
+    agg = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket")).agg(
+        F.count("*").alias("n")
+    )
+    return grid.join(agg, "bucket", "left").select(
+        "bucket", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
