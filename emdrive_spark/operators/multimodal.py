@@ -117,3 +117,49 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(0).cast("long"), F.col("n_frames") - 1, F.lit(5).cast("long"))
         ).alias("frame_idx"),
     )
+
+
+@register(
+    "mm_resize",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             (doc_id % 640) + 32 AS orig_w,
+             (doc_id % 480) + 32 AS orig_h
+      FROM documents
+    )
+    SELECT doc_id, orig_w, orig_h,
+           CAST(floor(orig_w * least(1.0, 256.0 / greatest(orig_w, orig_h)) + 0.5) AS BIGINT) AS new_w,
+           CAST(floor(orig_h * least(1.0, 256.0 / greatest(orig_w, orig_h)) + 0.5) AS BIGINT) AS new_h
+    FROM dims
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing via mapInPandas: aspect-preserving
+    fit-to-256 box math per payload, computed in Arrow batches. The
+    pixel resample itself is the stubbed decode step (decode_image); the
+    schema, batching, and the exact target-dimension contract — what a
+    distributed thumbnailing job must get right — are real and checked.
+    Dimensions derive deterministically from the PK (the corpus carries
+    no real images)."""
+
+    def resize_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = (pdf["doc_id"] % 640) + 32
+            h = (pdf["doc_id"] % 480) + 32
+            import numpy as np
+
+            scale = np.minimum(1.0, 256.0 / np.maximum(w, h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_w": w,
+                    "orig_h": h,
+                    "new_w": np.floor(w * scale + 0.5).astype("int64"),
+                    "new_h": np.floor(h * scale + 0.5).astype("int64"),
+                }
+            )
+
+    return _pack(spark, sf_dir).mapInPandas(
+        resize_meta, schema="doc_id long, orig_w long, orig_h long, new_w long, new_h long"
+    )
