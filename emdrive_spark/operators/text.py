@@ -303,3 +303,63 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mid.select(
         "doc_id", *[F.col("sig_arr")[j].alias(f"sig{j}") for j in range(_N_HASHES)]
     )
+
+
+@register(
+    "text_vocabulary",
+    oracle=r"""
+    SELECT tok, count(*) AS freq
+    FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY freq DESC, tok
+    LIMIT 20
+    """,
+)
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-20 tokens by frequency — the first step of
+    any tokenizer/vocab build. explode → count → TakeOrderedAndProject;
+    the shuffle carries (token, partial count), map-side combined."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.tok,
+           round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    WHERE tf * ln(CAST(n_docs AS DOUBLE) / df) > 1.0
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF weights per (doc, term), thresholded — the classical
+    relevance/quality signal, fully relational: term frequencies and
+    document frequencies are two aggregations over one explode; idf
+    joins back on the term (broadcastable — vocab << corpus). At 100 TB
+    the only large shuffle is the (token, doc) pair stream."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = load(spark, sf_dir, "documents").count()
+    tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .filter(tfidf > 1.0)
+        .select("doc_id", "tok", F.round(tfidf, 6).alias("tfidf"))
+    )
