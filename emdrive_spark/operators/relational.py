@@ -764,22 +764,61 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_stats",
     oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
     SELECT l_returnflag,
-           round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
-           round(covar_pop(l_extendedprice, l_quantity), 2) AS price_qty_cov,
-           round(stddev_samp(l_extendedprice), 2) AS price_stddev
-    FROM lineitem GROUP BY l_returnflag
+           round((sxy / n - (sx / n) * (sy / n))
+                 / sqrt((sxx / n - (sx / n) * (sx / n))
+                        * (syy / n - (sy / n) * (sy / n))), 6) AS price_qty_corr,
+           round(sxy / n - (sx / n) * (sy / n), 2) AS price_qty_cov,
+           round(sqrt((sxx - sx * sx / n) / (n - 1)), 2) AS price_stddev
+    FROM m
     """,
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates (corr / covar_pop / stddev_samp) — one
-    pass, numerically stable streaming moments (partial+final), no
-    two-pass mean-then-deviation scan."""
+    """Statistical aggregates (corr / covar_pop / stddev_samp), derived
+    from exact DECIMAL power sums (Σx, Σy, Σxy, Σx², Σy²) rather than
+    the built-in streaming co-moments: co-moment merges depend on
+    partition order, so their last ulp differs run to run; power sums
+    of 2-decimal values are exact, and the identical downstream double
+    arithmetic yields identical results on every engine and
+    partitioning. (At this value range the textbook cancellation risk
+    of the power-sum form is ~1e-9 relative — far under the rounding.)
+    Still one pass, still partial+final map-side aggregation."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
-        F.round(F.covar_pop("l_extendedprice", "l_quantity"), 2).alias("price_qty_cov"),
-        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+    x = M.dec2("l_extendedprice")
+    y = F.col("l_quantity").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov = sxy / n - (sx / n) * (sy / n)
+    corr = cov / F.sqrt(
+        (sxx / n - (sx / n) * (sx / n)) * (syy / n - (sy / n) * (sy / n))
+    )
+    stddev = F.sqrt((sxx - sx * sx / n) / (n - 1))
+    return m.select(
+        "l_returnflag",
+        F.round(corr, 6).alias("price_qty_corr"),
+        F.round(cov, 2).alias("price_qty_cov"),
+        F.round(stddev, 2).alias("price_stddev"),
     )
 
 
@@ -893,4 +932,29 @@ def cast_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("o_totalprice").cast("long").alias("price_floor"),
         F.col("o_orderdate").cast("date").cast("string").alias("order_date"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_total
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: bucket = floor(value / width) — one hash
+    aggregate, bucket count bounded by the value range, not the row
+    count. The building block for distribution profiling and skew
+    detection at corpus scale (pair with analyze_table's min/max to
+    pick the width)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            M.money_sum("o_totalprice").alias("bucket_total"),
+        )
     )
