@@ -324,23 +324,23 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        # new label + changed-flag in ONE checkpointed frame: the
+        # convergence check is then a scan of the checkpoint, not a
+        # second old⋈new join per round.
+        new_component = F.least(
+            F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+        )
+        stepped = (
             labels.join(msgs, labels.doc_id == msgs.src, "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
+                new_component.alias("component"),
+                (new_component < F.col("component")).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            labels.alias("old")
-            .join(new_labels.alias("new"), "doc_id")
-            .filter(F.col("old.component") != F.col("new.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter("chg").count()
+        labels = stepped.select("doc_id", "component")
         if changed == 0:
             break
     return labels
