@@ -156,3 +156,40 @@ def analyze_table(spark: SparkSession, sf_dir: str) -> DataFrame:
              'o_totalprice', p_min, p_max, p_ndv, p_nulls
            ) AS (column_name, min_val, max_val, ndv, null_count)"""
     )
+
+
+@register(
+    "mv_incremental_refresh",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a pre-existing
+    aggregate (orders with key < split) merged with the DELTA batch's
+    aggregate by re-aggregating partials — count-of-counts and
+    sum-of-sums — instead of recomputing over the full table. The
+    oracle IS the full recompute: the algebra must be lossless. At
+    100 TB this is the difference between touching one day's partition
+    and re-scanning years; works for any commutative-monoid aggregate
+    (count/sum/min/max; avg as sum+count; distinct via sketches)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    split = 7500  # the "already materialized" boundary
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_dec"),
+        )
+
+    mv = partial(o.filter(F.col("o_orderkey") < split))
+    delta = partial(o.filter(F.col("o_orderkey") >= split))
+    return (
+        mv.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n").alias("n"), F.sum("total_dec").cast("double").alias("total"))
+    )

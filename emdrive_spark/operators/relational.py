@@ -958,3 +958,26 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             M.money_sum("o_totalprice").alias("bucket_total"),
         )
     )
+
+
+@register(
+    "subquery_correlated_agg",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE c_acctbal > (SELECT 2 * avg(o_totalprice) / 100 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def subquery_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar-aggregate subquery — Catalyst decorrelates it
+    into aggregate + join (one pass over orders, no per-row re-scan);
+    the naive reading is O(|customer| × |orders|)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE c_acctbal > (SELECT 2 * avg(o_totalprice) / 100 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey)
+        """
+    )
