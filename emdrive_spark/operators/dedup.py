@@ -410,3 +410,112 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("dup_count"),
         )
     )
+
+
+_SIMHASH_BITS = 32
+_SIMHASH_BANDS = 4
+
+_DET_TOKHASH_SQL = "CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)"
+_DET_BITSUMS_SQL = ", ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(_SIMHASH_BITS)
+)
+_DET_FP_SQL = " + ".join(
+    f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SIMHASH_BITS)
+)
+_DET_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * 8}) & 255 AS key FROM fp"
+    for b in range(_SIMHASH_BANDS)
+)
+
+
+@register(
+    "dedup_simhash_det",
+    oracle=rf"""
+    WITH corpus AS ({_DOUBLED_SQL}),
+    tok AS (
+      SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok
+      FROM corpus
+    ),
+    h AS (SELECT doc_id, {_DET_TOKHASH_SQL} AS h FROM tok),
+    bits AS (SELECT doc_id, {_DET_BITSUMS_SQL} FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id, {_DET_FP_SQL} AS simhash FROM bits),
+    bands AS ({_DET_BANDS_SQL})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with a DETERMINISTIC md5-derived 32-bit token
+    hash (the rows-only dedup_simhash uses Spark's xxhash64, which no
+    oracle can reproduce): per-bit ±1 vote sums → sign fingerprint →
+    8-bit band candidates → exact Hamming ≤ 3. Every stage is portable
+    integer arithmetic, so the full pipeline is value-checked. Same
+    scale shape as dedup_simhash: one explode, two hash aggregates, one
+    band equi-join."""
+    corpus = _doubled(spark, sf_dir)
+    tok = corpus.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+    h = tok.select(
+        "doc_id", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h")
+    )
+    bit_sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(_SIMHASH_BITS)
+        ]
+    )
+    fp = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for i in range(_SIMHASH_BITS)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("key"),
+                    )
+                    for b in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
