@@ -44,6 +44,8 @@ HEADLINE = (
     "tpch_q5",              # local supplier: 6-table star join
     "tpch_q6",              # forecast revenue: pushdown showcase
     "tpch_q18",             # large-volume: having-semi-join
+    "tpch_q9",              # profit rollup: broadcast-dim fact join
+    "tpch_q21",             # waiting suppliers: cascaded fact aggs
     "dedup_minhash_det",    # one-pass minhash signature dedup
     "dedup_components",     # iterative dup-cluster propagation
     "knn_join",             # per-query top-k similarity join

@@ -46,6 +46,7 @@ _OPERATOR_MODULES = (
     "emdrive_spark.operators.multimodal",
     "emdrive_spark.operators.ddl_ops",
     "emdrive_spark.operators.analytics",
+    "emdrive_spark.operators.tpch_full",
     "emdrive_spark.operators.scale",
     "emdrive_spark.streaming.events",
     "emdrive_spark.operators.udfs",
