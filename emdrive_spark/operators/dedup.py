@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from emdrive_spark.operators.text import shingles, tokens
+from emdrive_spark.operators.text import minhash_lane_sql, shingles, tokens
 from emdrive_spark.registry import register
 from emdrive_spark.sources.tables import load
 
@@ -241,7 +241,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus AS ({_DOUBLED_SQL}),
     sigs AS (
       SELECT doc_id,
-             {', '.join(f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS sig{j}" for j in range(8))}
+             {', '.join(f"list_min(list_transform(sh, s -> {minhash_lane_sql(j)})) AS sig{j}" for j in range(8))}
       FROM (
         SELECT doc_id,
                list_distinct(
@@ -269,17 +269,23 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: connected components over the
-    LSH-band collision graph (4 bands × 2 minhash sigs), by iterative
-    min-label propagation — each round, every node takes the least label
-    among itself and its neighbors, until fixpoint. This is the step
-    that turns pairwise near-dup hits into canonical clusters (A~B, B~C
-    ⇒ {{A,B,C}} share one keep-id even when A≁C directly).
+    LSH-band collision graph (4 bands × 2 minhash sigs), by bucket-min
+    label propagation — each round, every bucket takes the least label
+    of its members and every doc takes the least label of its buckets,
+    until fixpoint. This turns pairwise near-dup hits into canonical
+    clusters (A~B, B~C ⇒ {{A,B,C}} share one keep-id even when A≁C).
 
-    Scale: per round = one shuffle-join edges⋈labels + one min-agg —
-    both on bigint keys; rounds = graph diameter (tiny for dup
-    clusters). localCheckpoint() truncates the plan each round so the
-    lineage doesn't grow with iterations. The oracle is a recursive-CTE
-    transitive closure — same fixpoint, declaratively."""
+    Scale: the graph is never materialized as PAIRS — a hot bucket with
+    m members would emit m² edges (the quadratic blowup that kills
+    edge-list connected components on skewed dup corpora); propagating
+    through the bucket node keeps every round linear in |memberships|
+    (4 rows/doc). Per round = two key-shuffled min-aggs (by bucket, by
+    doc) + one left join for the convergence flag; a bucket is a
+    clique, so bucket-hops preserve exactly the edge graph's
+    connectivity and reach fixpoint in ~half the rounds (2 hops per
+    round). localCheckpoint() truncates lineage each round. The oracle
+    is a recursive-CTE transitive closure — same fixpoint,
+    declaratively."""
     from emdrive_spark.operators.text import minhash_sig_array, shingles
 
     sh = F.array_distinct(shingles(F.col("text")))
@@ -292,37 +298,34 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
 
-    bands = None
-    for b in range(4):
-        part = corpus.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat(
-                F.col("sig_arr")[2 * b], F.lit("|"), F.col("sig_arr")[2 * b + 1]
-            ).alias("key"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
-
-    a = bands.alias("a")
-    b = bands.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-        .distinct()
-        .localCheckpoint()
-    )
+    member = corpus.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}|"),
+                        F.col("sig_arr")[2 * b],
+                        F.lit("|"),
+                        F.col("sig_arr")[2 * b + 1],
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bkt"),
+    ).localCheckpoint()
 
     labels = corpus.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint()
-    for _ in range(20):  # diameter bound; dup clusters are shallow
-        msgs = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_min"))
+    for _ in range(12):  # ceil(diameter/2) bound; dup clusters are shallow
+        bucket_min = (
+            member.join(labels, "doc_id")
+            .groupBy("bkt")
+            .agg(F.min("component").alias("bmin"))
+        )
+        nbr = (
+            member.join(bucket_min, "bkt")
+            .groupBy("doc_id")
+            .agg(F.min("bmin").alias("nbr_min"))
         )
         # new label + changed-flag in ONE checkpointed frame: the
         # convergence check is then a scan of the checkpoint, not a
@@ -331,7 +334,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
         )
         stepped = (
-            labels.join(msgs, labels.doc_id == msgs.src, "left")
+            labels.join(nbr, "doc_id", "left")
             .select(
                 "doc_id",
                 new_component.alias("component"),
@@ -352,7 +355,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH corpus AS ({_DOUBLED_SQL}),
     sigs AS (
       SELECT doc_id,
-             {', '.join(f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS sig{j}" for j in range(8))}
+             {', '.join(f"list_min(list_transform(sh, s -> {minhash_lane_sql(j)})) AS sig{j}" for j in range(8))}
       FROM (
         SELECT doc_id,
                list_distinct(
