@@ -1,0 +1,117 @@
+"""Behavioral / product analytics over the events table — funnel and
+cohort-retention operators.
+
+ABSENT in the reference (single-table SELECT only,
+/root/reference/src/constructs/statements.rs:39-40); these are the
+event-analytics queries a metric-search + events engine is actually
+deployed for, and they stress a shape TPC-H doesn't: sequential
+(happened-AFTER) semantics per entity.
+
+Scale notes: every stage aggregates to one row per user BEFORE joining,
+so the joins are user-cardinality, not event-cardinality; all three
+funnel stages and both retention sides shuffle on the same user_id key,
+which AQE coalesces into consecutive exchanges reusing the partitioning.
+At 100 TB of events the only full-size pass is the first per-user
+aggregation — map-side combined to |users| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emdrive_spark.registry import register
+from emdrive_spark.sources.tables import load
+
+_FUNNEL = ("signup", "click", "purchase")
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS stage, 'signup' AS event_type, count(*) AS n_users FROM s1
+    UNION ALL
+    SELECT 2, 'click', count(*) FROM s2
+    UNION ALL
+    SELECT 3, 'purchase', count(*) FROM s3
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → click → purchase: a user counts for
+    stage k only with a stage-k event strictly AFTER their stage-(k-1)
+    entry time. Each stage is a per-user min-timestamp aggregate joined
+    to the previous stage's (user, ts) — stage tables are |users| rows,
+    so at scale these are cheap user-keyed joins, not event joins."""
+    ev = load(spark, sf_dir, "events")
+    stage_counts = []
+    prev = None  # DataFrame[user_id, t] of the previous stage
+    for i, etype in enumerate(_FUNNEL):
+        cur = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            cur = cur.join(prev, "user_id").filter(F.col("ts") > F.col("t"))
+        cur = cur.groupBy("user_id").agg(F.min("ts").alias("t"))
+        stage_counts.append(
+            cur.agg(
+                F.lit(i + 1).alias("stage"),
+                F.lit(etype).alias("event_type"),
+                F.count("*").alias("n_users"),
+            )
+        )
+        prev = cur
+    out = stage_counts[0]
+    for s in stage_counts[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+@register(
+    "events_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(a.d - f.cohort_day AS BIGINT) AS day_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM active a JOIN first_seen f ON a.user_id = f.user_id
+    WHERE CAST(a.d - f.cohort_day AS BIGINT) <= 7
+    GROUP BY 1, 2
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity day, counted
+    on each subsequent active day up to a 7-day horizon. The classic
+    retention-matrix query. Both sides reduce to user-cardinality
+    before the join (first_seen: one row per user; active: one row per
+    user-day), so the event-scale table is scanned once."""
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    active = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    off = F.datediff(F.col("d"), F.col("cohort_day")).cast("long")
+    return (
+        active.join(first_seen, "user_id")
+        .select("user_id", "cohort_day", off.alias("day_offset"))
+        .filter(F.col("day_offset") <= 7)
+        # string cohort key: pandas renders Spark DATE as Timestamp but
+        # DuckDB DATE as date — ISO strings compare identically.
+        .groupBy(F.col("cohort_day").cast("string").alias("cohort_day"), "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

@@ -981,3 +981,250 @@ def subquery_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                            WHERE o.o_custkey = c.c_custkey)
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Modern aggregate / window / scalar breadth (round-1 continuation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_mode_median",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_quantity AS q, count(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT l_returnflag, q, n,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, q ASC) AS rn
+      FROM c
+    ),
+    med AS (
+      SELECT l_returnflag, median(l_quantity) AS median_qty
+      FROM lineitem GROUP BY 1
+    )
+    SELECT m.l_returnflag, m.q AS mode_qty, m.n AS mode_count, med.median_qty
+    FROM m JOIN med USING (l_returnflag)
+    WHERE m.rn = 1
+    """,
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode + median per group. The built-in mode() is tie-arbitrary in
+    both engines, so the mode is computed deterministically: count per
+    (group, value), rank by (count DESC, value ASC), keep rank 1 —
+    two map-side-combined aggregations, value-cardinality intermediate.
+    Median (exact, interpolating) joins on the 3-row group key."""
+    li = load(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", F.col("l_quantity").alias("q")).agg(
+        F.count("*").alias("n")
+    )
+    w = W.partitionBy("l_returnflag").orderBy(F.col("n").desc(), F.col("q").asc())
+    mode = (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("q").alias("mode_qty"), F.col("n").alias("mode_count"))
+    )
+    med = li.groupBy("l_returnflag").agg(F.median("l_quantity").alias("median_qty"))
+    return mode.join(med, "l_returnflag")
+
+
+@register(
+    "agg_regression",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+           round((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n, 4)
+             AS intercept,
+           round(((sxy - sx * sy / n) * (sxy - sx * sy / n))
+                 / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2
+    FROM m
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (regr_slope / regr_intercept / r²)
+    of quantity on price per group, derived from exact DECIMAL power
+    sums for the same reason as agg_stats: the built-in streaming
+    co-moments merge in partition order and wobble in the last ulp,
+    while power sums of 2-decimal values are exact and the downstream
+    double arithmetic is identical on every engine. One pass, map-side
+    partials."""
+    li = load(spark, sf_dir, "lineitem")
+    x = M.dec2("l_extendedprice")
+    y = F.col("l_quantity").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+        F.round(
+            ((sxy - sx * sy / n) * (sxy - sx * sy / n))
+            / ((sxx - sx * sx / n) * (syy - sy * sy / n)),
+            6,
+        ).alias("r2"),
+    )
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+    SELECT l_linestatus,
+           bit_and(l_orderkey) AS key_and,
+           bit_or(l_orderkey) AS key_or,
+           bit_xor(l_orderkey) AS key_xor,
+           count(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (AND/OR/XOR fold over a key column) — order-
+    and partitioning-independent by algebra, so they need none of the
+    decimal machinery; the XOR fold is the classic set-difference /
+    missing-element trick at corpus scale."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.bit_and("l_orderkey").alias("key_and"),
+            F.bit_or("l_orderkey").alias("key_or"),
+            F.bit_xor("l_orderkey").alias("key_xor"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "window_cume_dist",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           round(cume_dist() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice, o_orderkey), 6) AS cd,
+           nth_value(o_orderkey, 2) OVER (
+             PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_cheapest
+    FROM orders
+    """,
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + nth_value analytics (SURVEY §2.5 breadth). The
+    ordering key includes the unique o_orderkey so cume_dist is
+    tie-free and engine-identical; nth_value reads the full-partition
+    frame explicitly."""
+    o = load(spark, sf_dir, "orders")
+    order = [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()]
+    w = W.partitionBy("o_orderpriority").orderBy(*order)
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_cheapest"),
+    )
+
+
+@register(
+    "explode_pos",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents WHERE doc_id < 50
+    ),
+    e AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) + 1),
+                                   i -> {'pos': i - 1, 'tok': toks[i]})) AS u
+      FROM t
+    )
+    SELECT doc_id, CAST(u.pos AS INT) AS pos, u.tok AS tok FROM e
+    """,
+)
+def explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: array → (position, element) rows — the lateral-view
+    building block for token-level work. The position comes from the
+    generator itself, not a window, so no shuffle is added."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    from emdrive_spark.operators.text import tokens as _tokens
+
+    return d.select("doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok"))
+
+
+@register(
+    "regex_funcs",
+    oracle=r"""
+    SELECT o_orderkey,
+           CAST(regexp_extract(o_orderpriority, '^(\d+)-(.+)$', 1) AS INT)
+             AS prio_num,
+           regexp_extract(o_orderpriority, '^(\d+)-(.+)$', 2) AS prio_name,
+           regexp_matches(o_orderpriority, 'URGENT|HIGH') AS is_hot,
+           regexp_replace(lower(o_orderpriority), '[^a-z0-9]', '_', 'g') AS slug
+    FROM orders
+    """,
+)
+def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family (extract group / match / replace) in the
+    RE2-compatible dialect both engines evaluate identically — pure
+    codegen projection."""
+    o = load(spark, sf_dir, "orders")
+    pat = r"^(\d+)-(.+)$"
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", pat, 1).cast("int").alias("prio_num"),
+        F.regexp_extract("o_orderpriority", pat, 2).alias("prio_name"),
+        F.col("o_orderpriority").rlike("URGENT|HIGH").alias("is_hot"),
+        F.regexp_replace(F.lower(F.col("o_orderpriority")), "[^a-z0-9]", "_").alias(
+            "slug"
+        ),
+    )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, o_orderstatus,
+                      nullif(o_custkey % 7, 0) AS k FROM orders),
+    a AS (SELECT k, count(*) AS n_open FROM o WHERE o_orderstatus = 'O' GROUP BY k),
+    b AS (SELECT k, count(*) AS n_final FROM o WHERE o_orderstatus = 'F' GROUP BY k)
+    SELECT a.k, a.n_open, b.n_final
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): the NULL
+    key buckets match each other instead of vanishing — the semantics
+    ETL needs when the join key is legitimately absent. Still a hash
+    join on the key (null-safe equality is an equi-key to Spark), not
+    a BNLJ."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.nullif(F.col("o_custkey") % 7, F.lit(0)).alias("k"),
+    )
+    a = o.filter(F.col("o_orderstatus") == "O").groupBy("k").agg(F.count("*").alias("n_open"))
+    b = o.filter(F.col("o_orderstatus") == "F").groupBy("k").agg(F.count("*").alias("n_final"))
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(a["k"].alias("k"), "n_open", "n_final")

@@ -51,6 +51,8 @@ _OPERATOR_MODULES = (
     "emdrive_spark.streaming.events",
     "emdrive_spark.operators.udfs",
     "emdrive_spark.operators.maintenance",
+    "emdrive_spark.operators.behavioral",
+    "emdrive_spark.operators.pipeline",
 )
 
 # SURVEY §2 lists some ops under a second name; expose both so the

@@ -240,3 +240,40 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_value")
     )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming twin of events_sliding_avg: 10-minute windows sliding
+    every 5 — F.window expands each event into its two windows map-side
+    before the keyed state update, so overlap costs no join."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "avg_value")
+    )
+
+
+@register(
+    "stream_sliding_counts",
+    oracle="""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' AS window_start,
+             value
+      FROM events
+    )
+    SELECT window_start, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+    FROM assigned GROUP BY 1
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-window aggregation driven to completion — must
+    equal the batch overlap expansion exactly (same epoch alignment,
+    same decimal-sum determinism)."""
+    return _drive(spark, sf_dir, sliding_counts, "complete")

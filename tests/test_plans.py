@@ -140,3 +140,27 @@ def test_compaction_reduces_file_count(spark):
     # at smoke SF supplier is tiny (empty partitions write no file);
     # the invariant is a strict reduction, not a fixed ratio
     assert len(frag) > 2 * len(comp)
+
+
+def test_contamination_broadcasts_benchmark_set(spark):
+    # the benchmark shingle vocabulary must broadcast — the corpus side
+    # of the probe never shuffles its payload
+    plan = _plan(spark, "contamination_ngram")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pipeline_filters_are_pure_codegen(spark):
+    # scrub / sample / quality gate: single whole-corpus projections,
+    # zero Python eval and zero exchange
+    for name in ("text_pii_scrub", "sample_stratified", "quality_filter_gopher"):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "Exchange" not in plan, name
+
+
+def test_funnel_stages_are_user_cardinality(spark):
+    # every funnel join keys on user_id aggregates — no event-scale
+    # nested loop anywhere
+    plan = _plan(spark, "events_funnel")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
