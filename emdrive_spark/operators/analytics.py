@@ -564,3 +564,27 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
     )
     return j.filter(cond).agg(F.sum(M.disc_price()).cast("double").alias("revenue"))
+
+
+@register("sketch_hll_rollup", oracle=None)
+def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via Spark 3.5+
+    hll_sketch_agg / hll_union_agg): distinct suppliers sketched once
+    per (returnflag, linestatus) cell, then ROLLED UP to returnflag by
+    merging the binary sketches — no second pass over the fact table.
+    This re-aggregability is the 100 TB pattern: sketch at the finest
+    grain in the daily ETL, answer every coarser distinct-count from
+    the tiny sketch table. Approximate by design → rows-only check;
+    tests/test_engine.py pins the estimates against exact counts."""
+    li = load(spark, sf_dir, "lineitem")
+    cells = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_suppkey").alias("sk")
+    )
+    return (
+        cells.groupBy("l_returnflag")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            "l_returnflag",
+            F.hll_sketch_estimate("sk").alias("approx_suppliers"),
+        )
+    )

@@ -272,3 +272,65 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.join(agg, "bucket", "left").select(
         "bucket", F.coalesce(F.col("n"), F.lit(0)).alias("n")
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH f AS (
+      SELECT event_id, event_type, ts, value,
+             count(*) OVER w AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+                  OVER w AS DOUBLE) AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type,
+           round((value - s1 / n) / sqrt(nullif((s2 - s1 * s1 / n) / (n - 1), 0)), 4)
+             AS zscore,
+           abs((value - s1 / n) / sqrt(nullif((s2 - s1 * s1 / n) / (n - 1), 0))) > 3
+             AS is_anomaly
+    FROM f WHERE n >= 5
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against the
+    mean/stddev of its previous ≤20 events of the same type. The
+    moments come from exact DECIMAL power sums over the frame (frame
+    aggregation accumulates in ORDER BY order — deterministic; the
+    built-in stddev's streaming co-moments are not engine-portable).
+    One shuffle on event_type, then a single ordered pass per
+    partition — the standard telemetry-guardrail query at stream
+    scale."""
+    ev = load(spark, sf_dir, "events")
+    dv = F.col("value").cast("decimal(18,2)")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    n = F.count("*").over(w)
+    s1 = F.sum(dv).over(w).cast("double")
+    s2 = F.sum(dv * dv).over(w).cast("double")
+    f = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        n.alias("n"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+    ).filter(F.col("n") >= 5)
+    mean = F.col("s1") / F.col("n")
+    var = F.nullif(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1),
+        F.lit(0.0),
+    )
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return f.select(
+        "event_id",
+        "event_type",
+        F.round(z, 4).alias("zscore"),
+        (F.abs(z) > 3).alias("is_anomaly"),
+    )

@@ -277,3 +277,52 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal the batch overlap expansion exactly (same epoch alignment,
     same decimal-sum determinism)."""
     return _drive(spark, sf_dir, sliding_counts, "complete")
+
+
+@register(
+    "stream_foreach_upsert",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink pattern: each micro-batch reduces to per-user
+    PARTIAL aggregates (count, integer cents) appended to a parquet
+    state table; the read side merges partials with one groupBy. This
+    is the canonical 'streaming upsert into a warehouse table' recipe —
+    the stream writes only |users|-per-batch partial rows, the merge is
+    associative (exact cents, no float drift), and recovery is
+    append-idempotent per epoch. Must converge to the batch answer."""
+    out_dir = tempfile.mkdtemp(prefix="emdrive_upsert_")
+
+    def sink_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n_events"),
+            (F.sum("cents") / 100.0).alias("total_value"),
+        )
+    )

@@ -208,3 +208,32 @@ def test_catalog_save_restore_roundtrip(engine, tmp_path, spark):
             "INSERT INTO persist_t (hash, url, width, height, seen_at) VALUES "
             "(1, 'u1', 1, 1, '2077-01-01T00:00:00')"
         )
+
+
+def test_hll_sketch_estimates_track_exact(spark):
+    """sketch_hll_rollup is rows-only for the driver; pin its accuracy
+    here — HLL at default lgK=12 is well under 5% error at this scale,
+    and the union-of-cell-sketches must equal sketching the whole
+    group directly."""
+    from emdrive_spark import registry
+    from emdrive_spark.sources.tables import load
+
+    from .conftest import SF_SMOKE
+
+    registry.load_all()
+    est = {
+        r["l_returnflag"]: r["approx_suppliers"]
+        for r in registry.REGISTRY["sketch_hll_rollup"].fn(spark, SF_SMOKE).collect()
+    }
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in load(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count_distinct("l_suppkey").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, v in exact.items():
+        assert abs(est[k] - v) / v < 0.05, (k, est[k], v)
