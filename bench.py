@@ -49,6 +49,11 @@ HEADLINE = (
     "dedup_minhash_det",    # one-pass minhash signature dedup
     "dedup_components",     # iterative dup-cluster propagation
     "knn_join",             # per-query top-k similarity join
+    "events_funnel",        # ordered-stage funnel (user-keyed joins)
+    "events_retention",     # cohort retention matrix
+    "events_anomaly_zscore",  # rolling power-sum z-score
+    "quality_filter_gopher",  # composite corpus quality gate
+    "contamination_ngram",  # benchmark shingle-overlap check
 )
 
 

@@ -226,23 +226,21 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     train = sh.filter(F.col("source") != _BENCH_SOURCE)
-    ex = train.select("doc_id", F.explode("sh").alias("s"))
-    overlap = (
-        ex.join(F.broadcast(bench), "s")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_overlap"))
+    # ONE shingle evaluation per doc: carry the count through the
+    # explode (explode_outer keeps shingle-less docs) and left-probe
+    # the broadcast set — re-deriving n_shingles from `train` later
+    # would run the whole shingle pipeline a second time.
+    ex = train.select(
+        "doc_id",
+        F.size("sh").cast("long").alias("n_shingles"),
+        F.explode_outer("sh").alias("s"),
     )
-    return (
-        train.select("doc_id", F.size("sh").cast("long").alias("n_shingles"))
-        .join(overlap, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
-            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
-            F.round(
-                F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
-                / F.nullif(F.col("n_shingles"), F.lit(0)),
-                4,
-            ).alias("contamination"),
-        )
+    hit = ex.join(F.broadcast(bench.withColumn("hit", F.lit(1))), "s", "left")
+    return hit.groupBy("doc_id", "n_shingles").agg(
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_overlap"),
+        F.round(
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("double")
+            / F.nullif(F.first("n_shingles"), F.lit(0)),
+            4,
+        ).alias("contamination"),
     )
