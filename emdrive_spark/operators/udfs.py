@@ -117,3 +117,77 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         # half-up rounding JVM-side (numpy rounds half-to-even)
         .select("o_orderkey", F.round("z", 4).alias("z"))
     )
+
+
+@register(
+    "udf_map_in_pandas",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_m
+    FROM documents
+    """,
+)
+def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas: an iterator-of-Arrow-batches transform — the shape
+    for streaming per-partition Python work that neither groups nor
+    aggregates (tokenizer inference, decode pipelines; multimodal ops
+    build on this). Each batch is processed and yielded without
+    materializing the partition."""
+
+    def batch_stats(batches):
+        for pdf in batches:
+            s = pdf["text"].str.strip()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": s.str.split().map(len).astype("int64"),
+                    "n_chars_m": pdf["text"].str.len().astype("int64"),
+                }
+            )
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(batch_stats, "doc_id long, n_tokens long, n_chars_m long")
+    )
+
+
+@register(
+    "udf_table_function",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, string_split(o_orderpriority, '-') AS parts FROM orders
+    ),
+    e AS (
+      SELECT o_orderkey,
+             unnest(list_transform(range(1, len(parts) + 1),
+                                   i -> {'pos': i - 1, 'part': parts[i]})) AS u
+      FROM t
+    )
+    SELECT o_orderkey, CAST(u.pos AS INT) AS pos, u.part AS part FROM e
+    """,
+)
+def udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+): a table function yielding multiple
+    rows per input — registered in the session catalog and applied via
+    LATERAL, the §2.10 extension shape for one-to-many Python logic
+    (parsers, span extractors). The declarative twin is posexplode
+    (see explode_pos); the UDTF form is for generators SQL can't
+    express."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, part string")
+    class SplitParts:
+        def eval(self, s: str):
+            for i, p in enumerate((s or "").split("-")):
+                yield i, p
+
+    spark.udtf.register("split_parts", SplitParts)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_udtf")
+    return spark.sql(
+        """
+        SELECT o_orderkey, t.pos, t.part
+        FROM orders_udtf, LATERAL split_parts(o_orderpriority) t
+        """
+    )
