@@ -98,6 +98,18 @@ class Engine:
         if stmt.where is not None:
             # aliases are visible to WHERE (README.md:71)
             df = df.filter(self._compile(entry, stmt.where, extra_cols=out_names))
+        if stmt.order_by:
+            # aliases in scope here too; ORDER BY + LIMIT plans as
+            # TakeOrderedAndProject (per-partition heap, k rows to the
+            # driver merge) — the exact top-k primitive the README's
+            # distance search needs, never a global sort.
+            sort_cols = []
+            for o in stmt.order_by:
+                c = self._compile(entry, o.expr, extra_cols=out_names)
+                sort_cols.append(c.asc() if o.asc else c.desc())
+            df = df.orderBy(*sort_cols)
+        if stmt.limit is not None:
+            df = df.limit(stmt.limit)
         return df.select(*out_names)
 
     def _compile(

@@ -110,14 +110,24 @@ class SelectItem:
 
 
 @dataclass(frozen=True)
+class OrderItem:
+    expr: Expr
+    asc: bool = True
+
+
+@dataclass(frozen=True)
 class Select:
     table: str
     items: tuple[SelectItem, ...] = field(default_factory=tuple)  # empty = *
     where: Expr | None = None
+    order_by: tuple[OrderItem, ...] = field(default_factory=tuple)
+    limit: int | None = None
 
     def validate(self) -> None:
         if not self.table:
             raise EmdriveValidationError("SELECT requires a source table.")
+        if self.limit is not None and self.limit < 0:
+            raise EmdriveValidationError("LIMIT must be non-negative.")
 
 
 Statement = CreateTable | Insert | Select

@@ -241,7 +241,40 @@ def _parse_select(cur: _Cursor) -> ast.Select:
     where = None
     if cur.try_kw("WHERE"):
         where = _parse_expr(cur)
-    return ast.Select(table=table, items=tuple(items), where=where)
+    # ORDER BY / LIMIT: beyond the reference grammar (tokenizer has no
+    # ORDER/LIMIT keywords, /root/reference/src/sql/tokenizer.rs:55-75)
+    # but required to express its README's top-k-by-distance queries
+    # (/root/reference/README.md:58-78) through the SQL surface; SELECT
+    # aliases are in scope, like WHERE (README.md:71).
+    order_by: list[ast.OrderItem] = []
+    if cur.try_kw("ORDER"):
+        cur.expect_kw("BY")
+        while True:
+            oexpr = _parse_expr(cur)
+            asc = True
+            if cur.try_kw("DESC"):
+                asc = False
+            else:
+                cur.try_kw("ASC")
+            order_by.append(ast.OrderItem(expr=oexpr, asc=asc))
+            if not cur.try_op(","):
+                break
+    limit = None
+    if cur.try_kw("LIMIT"):
+        tok = cur.next()
+        n = parse_number(tok) if tok.kind == "number" else None
+        if not isinstance(n, int):
+            raise EmdriveSyntaxError(
+                f"Expected an integer LIMIT, instead found {tok.value}."
+            )
+        limit = n
+    return ast.Select(
+        table=table,
+        items=tuple(items),
+        where=where,
+        order_by=tuple(order_by),
+        limit=limit,
+    )
 
 
 # --- expressions ------------------------------------------------------------

@@ -20,6 +20,7 @@ KEYWORDS = {
     "CREATE", "TABLE", "IF", "NOT", "EXISTS", "INSERT", "INTO", "VALUES",
     "SELECT", "FROM", "WHERE", "AS", "PRIMARY", "METRIC", "KEY", "USING",
     "DEFAULT", "AND", "OR", "TRUE", "FALSE", "NULL",
+    "ORDER", "BY", "LIMIT", "ASC", "DESC",
 }
 
 _SINGLE_CHAR = {",", "(", ")", "=", ";", "@", "*", "<", ">"}

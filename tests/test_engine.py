@@ -237,3 +237,38 @@ def test_hll_sketch_estimates_track_exact(spark):
     assert set(est) == set(exact)
     for k, v in exact.items():
         assert abs(est[k] - v) / v < 0.05, (k, est[k], v)
+
+
+def test_knn_topk_through_sql_surface(engine):
+    """The README's raison d'être (top-k by distance,
+    /root/reference/README.md:58-78) expressed directly in the dialect:
+    ORDER BY distance LIMIT k. Planned as TakeOrderedAndProject."""
+    engine.execute(CREATE)
+    engine.execute(INSERT)
+    engine.execute(
+        "INSERT INTO photos_seen (hash, url, width, height, seen_at) VALUES "
+        "(0b00001011, 'https://twixes.com/b.png', 1, 1, '2077-01-01T00:00:00'), "
+        "(0b11111111, 'https://twixes.com/c.png', 2, 2, '2077-01-01T00:00:00')"
+    )
+    df = engine.execute(
+        "SELECT url, hash @ 0b00001011 AS distance FROM photos_seen "
+        "ORDER BY distance LIMIT 2"
+    )
+    rows = df.collect()
+    assert [r["url"] for r in rows] == [
+        "https://twixes.com/b.png",  # distance 0
+        "https://twixes.com/a.png",  # distance 3
+    ]
+    assert [r["distance"] for r in rows] == [0, 3]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_order_by_desc_and_limit_zero(engine):
+    engine.execute(CREATE)
+    engine.execute(INSERT)
+    assert engine.execute("SELECT url FROM photos_seen LIMIT 0").count() == 0
+    rows = engine.execute(
+        "SELECT url, width FROM photos_seen ORDER BY width DESC"
+    ).collect()
+    assert rows[0]["width"] == 1280

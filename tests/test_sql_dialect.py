@@ -134,3 +134,20 @@ def test_validate_unique_columns():
 def test_validate_at_least_one_column():
     with pytest.raises(EmdriveValidationError, match="at least one column"):
         ast.CreateTable("t", ()).validate()
+
+
+def test_parse_select_order_by_limit():
+    stmt = parse_statement(
+        "SELECT url, hash @ 3 AS distance FROM photos ORDER BY distance, url DESC LIMIT 5"
+    )
+    assert isinstance(stmt, ast.Select)
+    assert stmt.order_by[0] == ast.OrderItem(expr=ast.Ident("distance"), asc=True)
+    assert stmt.order_by[1] == ast.OrderItem(expr=ast.Ident("url"), asc=False)
+    assert stmt.limit == 5
+
+
+def test_parse_limit_rejects_non_integer():
+    with pytest.raises(EmdriveSyntaxError, match="integer LIMIT"):
+        parse_statement("SELECT * FROM t LIMIT 2.5")
+    with pytest.raises(EmdriveSyntaxError):
+        parse_statement("SELECT * FROM t LIMIT x")
