@@ -1228,3 +1228,101 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "O").groupBy("k").agg(F.count("*").alias("n_open"))
     b = o.filter(F.col("o_orderstatus") == "F").groupBy("k").agg(F.count("*").alias("n_final"))
     return a.join(b, a["k"].eqNullSafe(b["k"])).select(a["k"].alias("k"), "n_open", "n_final")
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (dim × dim — the only place a Cartesian
+    product is legitimate; both sides are constant-size). Completes the
+    §2.3 join family."""
+    r = load(spark, sf_dir, "region").select("r_name")
+    n = load(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@register(
+    "window_ignore_nulls",
+    oracle="""
+    SELECT o_orderkey,
+           last_value(big_key IGNORE NULLS) OVER (
+             PARTITION BY o_orderpriority ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_big,
+           first_value(big_key IGNORE NULLS) OVER (
+             PARTITION BY o_orderpriority ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_big
+    FROM (SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_totalprice > 150000 THEN o_orderkey END AS big_key
+          FROM orders)
+    """,
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last IGNORE NULLS over a running frame — the
+    carry-forward-last-observation primitive (same mechanism as
+    events_gap_fill, here in its §2.5 window form on a sparse derived
+    column)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_totalprice") > 150000, F.col("o_orderkey")).alias("big_key"),
+    )
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        F.last("big_key", ignorenulls=True).over(w).alias("last_big"),
+        F.first("big_key", ignorenulls=True).over(w).alias("first_big"),
+    )
+
+
+@register(
+    "map_funcs",
+    oracle="""
+    SELECT event_id,
+           ['k'] AS prop_keys,
+           [CAST(json_extract_string(props, '$.k') AS BIGINT)] AS prop_vals,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: props parsed to map<string,long>, then
+    map_keys / map_values / element access — the semi-structured
+    property-bag pattern. (Output as arrays/scalars: map columns don't
+    round-trip through the pandas compare.)"""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", F.from_json("props", "map<string,bigint>").alias("m")
+    )
+    return ev.select(
+        "event_id",
+        F.map_keys("m").alias("prop_keys"),
+        F.map_values("m").alias("prop_vals"),
+        F.col("m")["k"].alias("k_val"),
+    )
+
+
+@register(
+    "union_by_name",
+    oracle="""
+    SELECT n_name AS name, n_regionkey AS rkey FROM nation
+    UNION ALL BY NAME
+    SELECT NULL AS rkey, r_name AS name FROM region
+    """,
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName with allowMissingColumns: schema-evolution-tolerant
+    append (column order differs, missing columns null-fill) — the ETL
+    union, not the positional one."""
+    a = load(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("name"), F.col("n_regionkey").alias("rkey")
+    )
+    b = load(spark, sf_dir, "region").select(F.col("r_name").alias("name"))
+    return a.unionByName(b, allowMissingColumns=True)
