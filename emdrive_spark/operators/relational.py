@@ -1326,3 +1326,29 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = load(spark, sf_dir, "region").select(F.col("r_name").alias("name"))
     return a.unionByName(b, allowMissingColumns=True)
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_value,
+           bool_and(l_quantity >= 1) AS all_positive_qty,
+           bool_or(l_tax = 0) AS any_tax_free
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates: count_if / FILTERed sum / bool_and /
+    bool_or — the one-pass alternative to N filtered subqueries; all
+    map-side combined."""
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount") > 0.05
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(disc).alias("n_discounted"),
+        F.sum(F.when(disc, M.dec2("l_extendedprice"))).cast("double").alias("discounted_value"),
+        F.bool_and(F.col("l_quantity") >= 1).alias("all_positive_qty"),
+        F.bool_or(F.col("l_tax") == 0).alias("any_tax_free"),
+    )
