@@ -1,0 +1,67 @@
+"""An end-to-end LLM training-data pipeline on emdrive-spark: quality
+gate → PII scrub → stratified rebalance → near-dedup → contamination
+check, each stage a registered engine operator composing over the
+documents corpus.
+
+This is the north-star workload the engine is designed for at 100 TB:
+every stage is either a zero-shuffle codegen projection (gate, scrub,
+sample) or shuffles only signatures/counts (dedup, contamination) —
+the document payload moves at most once.
+
+Run: python examples/corpus_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from emdrive_spark import registry
+from emdrive_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("emdrive-corpus-pipeline")
+    registry.load_all()
+    q = registry.REGISTRY
+
+    # 1. Quality gate: why would the corpus shrink?
+    gate = q["quality_filter_gopher"].fn(spark, sf_dir).cache()
+    audit = gate.groupBy("passed", "reasons").count().orderBy(F.desc("count"))
+    print("== quality gate audit ==")
+    audit.show(10, truncate=False)
+    kept = gate.filter("passed").select("doc_id")
+
+    # 2. PII scrub: redaction counts over the kept slice
+    scrub = q["text_pii_scrub"].fn(spark, sf_dir).join(kept, "doc_id")
+    n_redacted = scrub.agg(
+        F.sum("n_email").alias("emails"), F.sum("n_phone").alias("phones")
+    ).collect()[0]
+    print(f"redacted: {n_redacted['emails']} emails, {n_redacted['phones']} phones")
+
+    # 3. Stratified rebalance: deterministic hash sampling per language
+    sample = q["sample_stratified"].fn(spark, sf_dir)
+    print("== post-rebalance language mix ==")
+    sample.groupBy("lang").count().orderBy("lang").show()
+
+    # 4. Near-dedup: minhash signature clusters (keep the min doc_id)
+    clusters = q["dedup_minhash_det"].fn(spark, sf_dir)
+    n_dupes = clusters.filter("dup_count > 1").count()
+    print(f"near-dup clusters with >1 member: {n_dupes}")
+
+    # 5. Benchmark contamination: training docs overlapping the eval slice
+    contam = q["contamination_ngram"].fn(spark, sf_dir)
+    worst = contam.orderBy(F.desc("contamination")).limit(5)
+    print("== most contaminated training docs ==")
+    worst.show()
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
