@@ -326,3 +326,34 @@ def stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cents") / 100.0).alias("total_value"),
         )
     )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(ts) AS cohort_ts FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.event_type, f.cohort_ts
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (§2.9): the live stream enriched per
+    micro-batch against a static batch dimension (per-user first-seen
+    cohort). The static side is planned once and broadcast/reused each
+    batch — the standard streaming-enrichment shape; state-free, so no
+    watermark is needed. Must equal the batch join exactly."""
+    static_dim = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("cohort_ts"))
+    )
+    stream = events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    joined = stream.join(static_dim, "user_id").select(
+        "event_id", "user_id", "event_type", "cohort_ts"
+    )
+    name = f"emdrive_stream_{next(_RUN_SEQ)}"
+    return run_to_memory(spark, joined, name, "append")
