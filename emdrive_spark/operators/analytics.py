@@ -588,3 +588,19 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate("sk").alias("approx_suppliers"),
         )
     )
+
+
+@register(
+    "source_text_roundtrip",
+    oracle="SELECT CAST(length(text) AS BIGINT) AS n_chars_rt FROM documents",
+)
+def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text sink+source (§2.1): the corpus text written as
+    raw lines and read back with spark.read.text — the ingest format of
+    most raw web-scrape dumps. Roundtrip pinned by per-line length
+    (the fixture corpus is newline-free by construction)."""
+    path = _roundtrip_dir("text")
+    load(spark, sf_dir, "documents").select("text").write.mode("overwrite").text(path)
+    return spark.read.text(path).select(
+        F.length("value").cast("long").alias("n_chars_rt")
+    )
