@@ -1352,3 +1352,20 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("l_quantity") >= 1).alias("all_positive_qty"),
         F.bool_or(F.col("l_tax") == 0).alias("any_tax_free"),
     )
+
+
+@register("agg_percentile_approx", oracle=None)
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (percentile_approx, re-aggregable
+    KLL-style sketch) — the 100 TB path the exact agg_percentile op
+    converges from: constant memory per group, mergeable partials.
+    Approximate by design → rows-only check; accuracy vs the exact
+    percentile is pinned in tests/test_engine.py."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_approx"),
+            F.percentile_approx("l_quantity", 0.95, 10000).alias("p95_approx"),
+        )
+    )

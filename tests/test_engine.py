@@ -272,3 +272,24 @@ def test_order_by_desc_and_limit_zero(engine):
         "SELECT url, width FROM photos_seen ORDER BY width DESC"
     ).collect()
     assert rows[0]["width"] == 1280
+
+
+def test_percentile_approx_tracks_exact(spark):
+    from emdrive_spark import registry
+
+    from .conftest import SF_SMOKE
+
+    registry.load_all()
+    approx = {
+        r["l_returnflag"]: (r["p50_approx"], r["p95_approx"])
+        for r in registry.REGISTRY["agg_percentile_approx"].fn(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p95"])
+        for r in registry.REGISTRY["agg_percentile"].fn(spark, SF_SMOKE).collect()
+    }
+    for k, (e50, e95) in exact.items():
+        a50, a95 = approx[k]
+        # quantity spans ~1..50; at accuracy=10000 the sketch is
+        # effectively exact up to interpolation differences
+        assert abs(a50 - e50) <= 1.0 and abs(a95 - e95) <= 1.0, (k, approx[k], exact[k])
