@@ -357,3 +357,50 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"emdrive_stream_{next(_RUN_SEQ)}"
     return run_to_memory(spark, joined, name, "append")
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.ts AS purchase_ts, v.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts BETWEEN p.ts - INTERVAL '24 hours' AND p.ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (§2.9): purchases joined to the views
+    that preceded them within 24h, both sides live streams. Watermarks
+    on BOTH inputs plus the time-range predicate let Spark bound the
+    join state (views older than the watermark minus 24h are evicted) —
+    the canonical streaming attribution join. Converges to the batch
+    interval join (join_time_range's oracle) exactly."""
+    base = events_stream(spark, sf_dir)
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    views = (
+        base.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "25 hours")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 24 HOURS"))
+        & (F.col("view_ts") <= F.col("purchase_ts")),
+    ).select("purchase_id", "view_id", "purchase_ts", "view_ts")
+    name = f"emdrive_stream_{next(_RUN_SEQ)}"
+    return run_to_memory(spark, joined, name, "append")
