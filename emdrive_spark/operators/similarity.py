@@ -376,3 +376,26 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e"), lambda x: F.floor(x / F.col("scale") + 0.5).cast("int")
         ).alias("q"),
     )
+
+
+@register("embedding_pca", oracle=None)
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib PCA batch projection (BASELINE.json spark_approach: 'MLlib
+    for batch index build'): fit k=4 principal components over the
+    embedding corpus, project every vector — the dimensionality-
+    reduction step ahead of coarse quantization / visualization. The
+    model is a (dim × k) matrix broadcast to executors; the projection
+    is one matrix multiply per row, no shuffle. Component SIGNS are
+    SVD-ambiguous → rows-only check; tests pin the explained-variance
+    contract instead."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = PCA(k=4, inputCol="features", outputCol="pca").fit(emb)
+    return model.transform(emb).select(
+        "vec_id",
+        vector_to_array("pca").alias("pca4"),
+    )

