@@ -24,6 +24,17 @@ from emdrive_spark.functions.generators import now_expr, ulid_expr
 from emdrive_spark.sql import ast
 from emdrive_spark.sql.errors import EmdriveSyntaxError, EmdriveValidationError
 from emdrive_spark.sql.parser import parse_statement
+from emdrive_spark.sql.tokenizer import split_statements
+
+# Statement heads Spark treats as pure queries — shared by the ANSI
+# passthrough and the HTTP GET read-only guard (server.py) so the two
+# never disagree about what "read-only" means.
+QUERY_HEADS = ("SELECT", "WITH", "VALUES", "TABLE")
+
+
+def _head(sql: str) -> str:
+    s = sql.strip()
+    return s.split(None, 1)[0].upper() if s else ""
 
 
 class Engine:
@@ -59,8 +70,7 @@ class Engine:
         """Read-only ANSI fallback via spark.sql. Only query forms are
         eligible — mutations must go through the dialect layer so the
         catalog's PK/nullability/default contracts hold."""
-        head = sql.strip().split(None, 1)[0].upper() if sql.strip() else ""
-        if head not in ("SELECT", "WITH", "VALUES", "TABLE"):
+        if _head(sql) not in QUERY_HEADS:
             # surface the dialect's own syntax error for non-queries
             parse_statement(sql)  # re-raises EmdriveSyntaxError
             raise AssertionError("unreachable")
@@ -69,12 +79,26 @@ class Engine:
         except Exception as exc:
             raise EmdriveValidationError(str(exc).split("\n")[0]) from exc
 
-    def execute_script(self, sql: str) -> DataFrame | None:
-        """Multiple ';'-separated statements; returns the last result."""
+    def execute_script(self, sql: str, read_only: bool = False) -> DataFrame | None:
+        """Multiple ';'-separated statements; returns the last result.
+
+        Splitting is quote-aware (a ';' inside a string literal is
+        content, not a terminator). With ``read_only=True`` EVERY
+        statement must be a query form — enforced per statement BEFORE
+        any statement runs, so a 'SELECT 1; INSERT ...' script cannot
+        smuggle a mutation through a read-only entry point (HTTP GET)."""
+        parts = split_statements(sql)
+        if read_only:
+            for part in parts:
+                if _head(part) not in QUERY_HEADS:
+                    raise EmdriveValidationError(
+                        "This endpoint is read-only: every statement must "
+                        f"be a query ({'/'.join(QUERY_HEADS)}); got "
+                        f"{_head(part) or 'empty statement'!r}."
+                    )
         result = None
-        for part in sql.split(";"):
-            if part.strip():
-                result = self.execute(part)
+        for part in parts:
+            result = self.execute(part)
         return result
 
     # -- SELECT ----------------------------------------------------------
@@ -116,7 +140,13 @@ class Engine:
         self, entry: TableEntry, expr: ast.Expr, extra_cols: list[str] | None = None
     ) -> Column:
         if isinstance(expr, ast.Const):
-            return F.lit(expr.value)
+            v = expr.value
+            if isinstance(v, int) and not isinstance(v, bool) and not (-(2**63) <= v < 2**63):
+                # beyond signed-long range (UINT64/UINT128 hashes):
+                # F.lit would overflow py4j's long — carry it as an
+                # exact decimal literal instead.
+                return F.expr(f"CAST('{v}' AS DECIMAL(38,0))")
+            return F.lit(v)
         if isinstance(expr, ast.Ident):
             known = {c.name for c in entry.columns} | set(extra_cols or ())
             if expr.name not in known:
@@ -167,6 +197,12 @@ class Engine:
         left = F.col(cdef.name)
         right = self._compile(entry, expr.right)
         if cdef.metric == "hamming":
+            if cdef.etype.base in ("UINT64", "UINT128"):
+                # decimal-backed hashes: limb-split popcount — a plain
+                # cast("long") overflows for values ≥ 2⁶³.
+                return D.hamming_wide(
+                    left, right, nlimbs=4 if cdef.etype.base == "UINT128" else 2
+                )
             return metric_fn(left.cast("long"), right.cast("long")).cast("long")
         return metric_fn(left, right)
 

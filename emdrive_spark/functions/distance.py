@@ -30,6 +30,43 @@ def hamming(a: Column | str, b: Column | int) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def hamming_wide(a: Column, b: Column, nlimbs: int = 2) -> Column:
+    """Hamming distance over the FULL unsigned 64/128-bit range.
+
+    UINT64/UINT128 columns are stored as DECIMAL (types.py) because
+    values ≥ 2⁶³ overflow Spark's signed long — a plain ``cast("long")``
+    before popcount throws CAST_OVERFLOW on exactly the perceptual-hash
+    values the reference's METRIC KEY is for. Split each operand into
+    32-bit limbs with EXACT decimal arithmetic — ``pmod`` is an exact
+    remainder, and (d - lo) / 2³² divides evenly so the quotient's
+    decimal rounding is a no-op (naive floor(d / 2³²) could round
+    5.9999… up across the integer boundary) — then popcount the XOR of
+    each limb pair and sum. Bit-identical to wide popcount; all codegen
+    arithmetic, fused into the scan like every other metric here.
+
+    nlimbs: 2 for UINT64, 4 for UINT128 (values beyond DECIMAL(38,0) —
+    above ~10³⁸ — are the documented BinaryType edge, types.py)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    two32 = F.lit(4294967296).cast("decimal(38,0)")
+
+    def limbs(c: Column) -> list[Column]:
+        d = c.cast("decimal(38,0)")
+        out = []
+        for _ in range(nlimbs):
+            lo = F.pmod(d, two32)
+            out.append(lo.cast("long"))
+            d = ((d - lo) / two32).cast("decimal(38,0)")
+        return out
+
+    pairs = zip(limbs(a), limbs(b))
+    total = None
+    for x, y in pairs:
+        term = F.bit_count(x.bitwiseXOR(y))
+        total = term if total is None else total + term
+    return total.cast("long")
+
+
 def dot(a: Column, b: Column) -> Column:
     """Inner product of two array<float|double> columns.
 

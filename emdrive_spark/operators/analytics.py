@@ -288,18 +288,24 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_collect_sorted",
     oracle="""
-    SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments
+    SELECT c_nationkey,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments
     FROM customer GROUP BY c_nationkey
     """,
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-valued aggregation: distinct segments per nation as a SORTED
-    array (collect_set order is partition-dependent; array_sort makes
-    the result deterministic and engine-portable)."""
+    list (collect_set order is partition-dependent; array_sort makes
+    the result deterministic and engine-portable), serialized to CSV —
+    raw arrays are unhashable in the driver's pandas canonicalizer."""
     return (
         load(spark, sf_dir, "customer")
         .groupBy("c_nationkey")
-        .agg(F.array_sort(F.collect_set("c_mktsegment")).alias("segments"))
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("c_mktsegment")), ","
+            ).alias("segments")
+        )
     )
 
 

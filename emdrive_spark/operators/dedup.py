@@ -189,9 +189,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(F.col("hamming") <= 3)
 
 
-@register(
-    "dedup_embedding",
-    oracle=f"""
+_EMB_COSINE_ORACLE = f"""
     WITH corpus AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
       UNION ALL
@@ -205,21 +203,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(list_dot_product(a.v, b.v)
                 / nullif(sqrt(list_dot_product(a.v, a.v))
                          * sqrt(list_dot_product(b.v, b.v)), 0.0), 6) >= 0.95
-    """,
-)
-def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (sim ≥ 0.95) — brute-force here
-    (the oracle-checkable exact twin); at 100 TB the candidate pairs come
-    from LSH/IVF bucketing (see operators.similarity) and this exact
-    cosine runs only on candidates."""
-    from emdrive_spark.functions.distance import cosine_similarity
+    """
 
+_CELL = 0.35  # > sqrt(2 - 2*0.95) ≈ 0.3162 — the unit-sphere chord at cos 0.95
+
+
+def _embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    corpus = emb.unionByName(
-        emb.select((F.col("vec_id") + _SHIFT).alias("vec_id"), "v")
-    )
+    return emb.unionByName(emb.select((F.col("vec_id") + _SHIFT).alias("vec_id"), "v"))
+
+
+def dedup_embedding_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs exact cosine twin — O(n²), pytest-only oracle for
+    dedup_embedding. NOT registered: at 100 TB an ungated theta join is
+    unrunnable; the registered op must gate candidates (r1 verdict)."""
+    from emdrive_spark.functions.distance import cosine_similarity
+
+    corpus = _embedding_corpus(spark, sf_dir)
     a = corpus.alias("a")
     b = corpus.alias("b")
     sim = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
@@ -230,6 +232,68 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("id_b"),
             sim.alias("cos_sim"),
         )
+        .filter(F.col("cos_sim") >= 0.95)
+    )
+
+
+@register("dedup_embedding", oracle=_EMB_COSINE_ORACLE)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (sim ≥ 0.95) with PROVABLY
+    COMPLETE candidate gating — no cartesian product anywhere in the
+    plan (pinned by tests/test_plans.py).
+
+    Geometry: cos(a,b) ≥ 0.95 on unit vectors ⇔ ‖â−b̂‖₂ ≤ √(2−2·0.95)
+    ≈ 0.3162, which bounds every coordinate delta by the same amount.
+    Bucketing the two leading unit-sphere coordinates into cells of
+    width 0.35 > 0.3162 therefore guarantees any qualifying pair lands
+    in the same or ±1-adjacent cell per axis. Side A explodes its 3×3
+    neighborhood, side B keeps its true cell, and the equality join on
+    (k0,k1) yields a candidate superset; exact cosine reranks. Each
+    true pair is emitted exactly once (B's cell key is unique, A's nine
+    neighbor keys are distinct), so results are bit-identical to the
+    brute-force twin. Scale shape: shuffle on cell key, candidates ~
+    local density — the same cell-probe pattern as IVF (ann_ivf), not
+    n². Zero-norm vectors drop on both sides (cosine undefined ⇒ NULL
+    fails the ≥ threshold in the oracle too)."""
+    from emdrive_spark.functions.distance import cosine_similarity, norm2
+
+    corpus = _embedding_corpus(spark, sf_dir)
+    cells = (
+        corpus.withColumn("nrm", norm2(F.col("v")))
+        .filter(F.col("nrm") > 0)
+        .select(
+            "vec_id",
+            "v",
+            F.floor(F.col("v")[0] / F.col("nrm") / _CELL).alias("c0"),
+            F.floor(F.col("v")[1] / F.col("nrm") / _CELL).alias("c1"),
+        )
+    )
+    neighborhood = F.array(
+        *[
+            F.struct(
+                (F.col("c0") + dx).alias("k0"),
+                (F.col("c1") + dy).alias("k1"),
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    a = cells.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.explode(neighborhood).alias("nb"),
+    ).select("id_a", "va", F.col("nb.k0").alias("k0"), F.col("nb.k1").alias("k1"))
+    b = cells.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("c0").alias("k0"),
+        F.col("c1").alias("k1"),
+    )
+    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, ["k0", "k1"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.95)
     )
 

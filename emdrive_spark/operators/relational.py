@@ -852,9 +852,10 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders WHERE o_orderkey <= 100
     )
     SELECT o_orderkey,
-           list_slice(arr, 2, 3) AS mid,
+           array_to_string(list_slice(arr, 2, 3), ',') AS mid,
            CAST(len(arr) AS INT) AS n,
-           list_transform(list_zip(arr, arr), p -> p[1] + p[2]) AS doubled,
+           array_to_string(
+             list_transform(list_zip(arr, arr), p -> p[1] + p[2]), ',') AS doubled,
            list_sum(arr) AS total
     FROM t
     """,
@@ -862,7 +863,9 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array library passthrough (SURVEY §2.8): construct, slice, size,
     zip_with arithmetic, aggregate-sum — all JVM-side higher-order
-    expressions, no shuffle, no Python."""
+    expressions, no shuffle, no Python. Array outputs are serialized to
+    CSV strings: the driver's order-insensitive hash sorts values in
+    pandas, and raw Python lists are unhashable there (r1 finding)."""
     arr = F.array(F.col("o_orderkey"), F.col("o_orderkey") * 2, F.col("o_orderkey") * 3)
     t = (
         load(spark, sf_dir, "orders")
@@ -871,9 +874,11 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return t.select(
         "o_orderkey",
-        F.slice("arr", 2, 2).alias("mid"),
+        F.array_join(F.slice("arr", 2, 2).cast("array<string>"), ",").alias("mid"),
         F.size("arr").alias("n"),
-        F.zip_with("arr", "arr", lambda a, b: a + b).alias("doubled"),
+        F.array_join(
+            F.zip_with("arr", "arr", lambda a, b: a + b).cast("array<string>"), ","
+        ).alias("doubled"),
         F.aggregate("arr", F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("total"),
     )
 
@@ -1046,11 +1051,11 @@ def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY 1
     )
     SELECT l_returnflag, n,
-           round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+           round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) + 0.0 AS slope,
            round((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n, 4)
-             AS intercept,
+             + 0.0 AS intercept,
            round(((sxy - sx * sy / n) * (sxy - sx * sy / n))
-                 / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2
+                 / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) + 0.0 AS r2
     FROM m
     """,
 )
@@ -1076,15 +1081,20 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
     slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    # "+ 0.0" normalizes IEEE negative zero: a slope that rounds to
+    # -0.0 here but 0.0 in the oracle would hash-mismatch (r1 finding).
     return m.select(
         "l_returnflag",
         "n",
-        F.round(slope, 6).alias("slope"),
-        F.round((sy - slope * sx) / n, 4).alias("intercept"),
-        F.round(
-            ((sxy - sx * sy / n) * (sxy - sx * sy / n))
-            / ((sxx - sx * sx / n) * (syy - sy * sy / n)),
-            6,
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
+        (F.round((sy - slope * sx) / n, 4) + F.lit(0.0)).alias("intercept"),
+        (
+            F.round(
+                ((sxy - sx * sy / n) * (sxy - sx * sy / n))
+                / ((sxx - sx * sx / n) * (syy - sy * sy / n)),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("r2"),
     )
 

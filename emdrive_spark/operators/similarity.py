@@ -248,10 +248,13 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_normalize",
     oracle="""
     SELECT vec_id,
-           list_transform(embedding::DOUBLE[],
-                          x -> round(x / sqrt(list_dot_product(embedding::DOUBLE[],
-                                                               embedding::DOUBLE[])), 6))
-             AS unit_vec
+           array_to_string(
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000
+                                            / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                                    embedding::DOUBLE[]))
+                                            + 0.5) AS BIGINT)),
+             ',') AS unit_vec
     FROM embeddings
     """,
 )
@@ -259,14 +262,26 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalize embeddings (unit vectors) — the standard index-prep
     transform that turns cosine similarity into a plain dot product.
     One projection; the norm is an aggregate fold over the array,
-    division a transform — all JVM-side."""
+    division a transform — all JVM-side.
+
+    Output serialization: components ship as CSV micro-units
+    (floor(x·10⁶ + .5) per element). Raw arrays are unhashable in the
+    driver's pandas canonicalizer, and double→string rendering differs
+    between engines (scientific-notation thresholds) — scaled integers
+    compare exactly everywhere."""
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "e", F.col("embedding").cast("array<double>")
     )
     norm = F.sqrt(dot(F.col("e"), F.col("e")))
     return emb.select(
         "vec_id",
-        F.transform(F.col("e"), lambda x: F.round(x / norm, 6)).alias("unit_vec"),
+        F.array_join(
+            F.transform(
+                F.col("e"),
+                lambda x: F.floor(x * F.lit(1000000.0) / norm + 0.5).cast("long"),
+            ).cast("array<string>"),
+            ",",
+        ).alias("unit_vec"),
     )
 
 
@@ -351,7 +366,8 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT vec_id, round(scale, 9) AS scale,
-           list_transform(e, x -> CAST(floor(x / scale + 0.5) AS INT)) AS q
+           array_to_string(
+             list_transform(e, x -> CAST(floor(x / scale + 0.5) AS INT)), ',') AS q
     FROM t WHERE scale > 0
     """,
 )
@@ -361,7 +377,9 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the IVF cell payloads in ann_ivf would store these). floor(+0.5)
     instead of round(): both engines floor identically on identical
     doubles, while round() implementations diverge at .5 boundaries.
-    All JVM-side array folds, one projection."""
+    All JVM-side array folds, one projection. The int8 codes ship as a
+    CSV string (ints render identically in every engine; raw arrays are
+    unhashable in the driver's pandas canonicalizer)."""
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "e", F.col("embedding").cast("array<double>")
     )
@@ -372,8 +390,11 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "vec_id",
         F.round("scale", 9).alias("scale"),
-        F.transform(
-            F.col("e"), lambda x: F.floor(x / F.col("scale") + 0.5).cast("int")
+        F.array_join(
+            F.transform(
+                F.col("e"), lambda x: F.floor(x / F.col("scale") + 0.5).cast("int")
+            ).cast("array<string>"),
+            ",",
         ).alias("q"),
     )
 

@@ -101,12 +101,14 @@ def events_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative sum of the flag numbers the sessions. One shuffle on
     user_id; the streaming twin is F.session_window (see streaming/)."""
     order = W.partitionBy("user_id").orderBy("ts", "event_id")
-    # Microsecond-exact gap (cast(long) would truncate to seconds and
-    # could disagree with the oracle's interval comparison).
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(order)
+    # Microsecond-exact gap via native timestamp subtraction (works on
+    # NTZ and LTZ alike, no unix_micros — that builtin rejects NTZ):
+    # the day-time interval compares against the same INTERVAL literal
+    # the oracle uses.
+    gap = F.col("ts") - F.lag(F.col("ts")).over(order)
     flagged = load(spark, sf_dir, "events").withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > F.expr("INTERVAL 30 MINUTES")), 1).otherwise(0),
     )
     sessions = flagged.withColumn(
         "session_idx",

@@ -15,12 +15,19 @@ reference got from its bounded mpsc channel (executor/mod.rs:19)."""
 from __future__ import annotations
 
 import json
+import logging
 import time
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+# Request log stream — the reference debug-logs a ULID per request at
+# receipt and completion with µs elapsed (server/mod.rs:97-99,132-136).
+# Same id also rides the X-Request-Id response header.
+log = logging.getLogger("emdrive_spark.server")
+
 from pyspark.sql import SparkSession
 
+from emdrive_spark.config import Config
 from emdrive_spark.engine import Engine
 from emdrive_spark.functions.generators import ulid
 from emdrive_spark.sql.errors import EmdriveError
@@ -42,10 +49,14 @@ def make_handler(engine: Engine):
     class Handler(BaseHTTPRequestHandler):
         def _run(self, sql: str, read_only: bool) -> None:
             t0 = time.perf_counter_ns()
+            request_id = ulid()
+            log.debug("received request ID %s", request_id)
             try:
-                if read_only and not sql.lstrip().upper().startswith("SELECT"):
-                    raise EmdriveError("GET accepts read-only (SELECT) statements.")
-                df = engine.execute_script(sql)
+                # read-only is enforced PER STATEMENT inside the engine
+                # (quote-aware split), so 'SELECT 1; INSERT ...' cannot
+                # smuggle a mutation through GET; WITH/VALUES/TABLE query
+                # forms are allowed, matching the ANSI passthrough.
+                df = engine.execute_script(sql, read_only=read_only)
                 body = _rows_json(df)
                 code = 200
             except EmdriveError as exc:
@@ -55,14 +66,17 @@ def make_handler(engine: Engine):
                 body = json.dumps({"type": "server", "message": str(exc)})
                 code = 500
             elapsed_us = (time.perf_counter_ns() - t0) // 1000
-            self._respond(code, body, elapsed_us)
+            log.debug("finished request ID %s in %d µs", request_id, elapsed_us)
+            self._respond(code, body, elapsed_us, request_id)
 
-        def _respond(self, code: int, body: str, elapsed_us: int) -> None:
+        def _respond(
+            self, code: int, body: str, elapsed_us: int, request_id: str
+        ) -> None:
             data = body.encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(data)))
-            self.send_header("X-Request-Id", ulid())
+            self.send_header("X-Request-Id", request_id)
             self.send_header("X-Elapsed-Us", str(elapsed_us))
             self.end_headers()
             self.wfile.write(data)
@@ -86,22 +100,39 @@ def make_handler(engine: Engine):
 
 def serve(
     spark: SparkSession | None = None,
-    host: str = DEFAULT_HOST,
-    port: int = DEFAULT_PORT,
+    host: str | None = None,
+    port: int | None = None,
+    data_directory: str | None = None,
 ) -> ThreadingHTTPServer:
     """Start the endpoint (non-blocking; call ``.serve_forever()`` or
-    drive it from a thread — tests do the latter)."""
+    drive it from a thread — tests do the latter).
+
+    Unset arguments come from ``EMDRIVE_TCP_LISTEN_HOST`` /
+    ``EMDRIVE_TCP_LISTEN_PORT`` / ``EMDRIVE_DATA_DIRECTORY`` with the
+    reference's defaults (config.rs:40-48) — booting from env vars
+    alone is the reference's whole launch story. If the data directory
+    holds a saved catalog, it is restored before serving."""
+    import os
+
+    cfg = Config.from_env()
+    host = host if host is not None else cfg.tcp_listen_host
+    port = port if port is not None else cfg.tcp_listen_port
+    data_directory = data_directory if data_directory is not None else cfg.data_directory
     if spark is None:
         from emdrive_spark.session import get_spark
 
         spark = get_spark("emdrive-server")
     engine = Engine(spark)
+    if os.path.exists(os.path.join(data_directory, "_catalog.json")):
+        engine.catalog.restore(data_directory)
     httpd = ThreadingHTTPServer((host, port), make_handler(engine))
     httpd.engine = engine  # type: ignore[attr-defined]
+    httpd.data_directory = data_directory  # type: ignore[attr-defined]
     return httpd
 
 
 if __name__ == "__main__":
     server = serve()
-    print(f"emdrive-spark listening on http://{DEFAULT_HOST}:{DEFAULT_PORT}")
+    _host, _port = server.server_address[:2]
+    print(f"emdrive-spark listening on http://{_host}:{_port}")
     server.serve_forever()

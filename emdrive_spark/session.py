@@ -47,8 +47,10 @@ def get_spark(app_name: str = _DEFAULT_APP, extra_conf: dict | None = None) -> S
         # Arrow for all Python<->JVM batch transfer (pandas_udf, toPandas).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # events.parquet stores TIMESTAMP(NANOS); Spark has no ns type —
-        # read as long, converted to µs timestamp in sources.tables.
+        # Older events fixtures stored TIMESTAMP(NANOS); under this conf
+        # those read as ns-since-epoch longs that sources.tables converts
+        # to µs. Current fixtures store µs natively → conf is a no-op,
+        # and load() branches on the landed dtype either way.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Managed tables (bucketed sinks) land in tmp, not the repo.
         .config(

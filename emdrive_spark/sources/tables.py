@@ -41,12 +41,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) on disk, surfaced as nanos-since-epoch
-        # long (spark.sql.legacy.parquet.nanosAsLong). Truncate to µs —
-        # the same truncation DuckDB applies (its TIMESTAMP is µs).
-        from pyspark.sql import functions as F
+        # Fixture generations have stored ts two ways: TIMESTAMP(MICROS)
+        # (reads as timestamp/timestamp_ntz — leave as-is; NTZ naive µs
+        # matches DuckDB's TIMESTAMP exactly, independent of session TZ)
+        # and TIMESTAMP(NANOS) surfaced as nanos-since-epoch long under
+        # spark.sql.legacy.parquet.nanosAsLong (truncate to µs, the same
+        # truncation DuckDB applies). Branch on the landed dtype so any
+        # session — ours or the correctness driver's — gets µs timestamps.
+        if df.schema["ts"].dataType.typeName() in ("long", "bigint"):
+            from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

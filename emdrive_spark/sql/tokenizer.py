@@ -85,6 +85,22 @@ def tokenize(sql: str) -> list[Token]:
             tokens.append(Token("op", ch, line))
             i += 1
             continue
+        if ch == "-":
+            # Unary minus: the dialect has no arithmetic binary ops, so
+            # '-' only ever signs a numeric literal ('WHERE x > -1',
+            # DEFAULT -1). Unsigned-column range checks happen at
+            # coercion, with a clear validation error.
+            j = i + 1
+            while j < n and (sql[j].isalnum() or sql[j] in "_."):
+                j += 1
+            word = sql[i + 1 : j]
+            if not word or not word[0].isdigit():
+                raise EmdriveSyntaxError(
+                    f"Expected a numeric literal after '-' at line {line}."
+                )
+            tokens.append(Token("number", "-" + word, line))
+            i = j
+            continue
         # word: identifier / keyword / number (incl. 0b/0x literals)
         j = i
         while j < n and (sql[j].isalnum() or sql[j] in "_."):
@@ -104,19 +120,59 @@ def tokenize(sql: str) -> list[Token]:
 
 
 def parse_number(tok: Token) -> int | float:
-    """Numeric literal: decimal, 0b binary, 0x hex, or float.
-    Binary literals are the README's idiom for hashes (README.md:58)."""
+    """Numeric literal: decimal, 0b binary, 0x hex, or float, with an
+    optional leading '-'. Binary literals are the README's idiom for
+    hashes (README.md:58)."""
     w = tok.value
+    sign = -1 if w.startswith("-") else 1
+    mag = w[1:] if w.startswith("-") else w
     try:
-        lw = w.lower()
+        lw = mag.lower()
         if lw.startswith("0b"):
-            return int(w[2:], 2)
+            return sign * int(mag[2:], 2)
         if lw.startswith("0x"):
-            return int(w[2:], 16)
-        if "." in w:
-            return float(w)
-        return int(w)
+            return sign * int(mag[2:], 16)
+        if "." in mag:
+            return sign * float(mag)
+        return sign * int(mag)
     except ValueError:
         raise EmdriveSyntaxError(
             f"Invalid numeric literal {w!r} at line {tok.line}."
         ) from None
+
+
+def split_statements(sql: str) -> list[str]:
+    """Split a script into statements on TOP-LEVEL ';' only — a ';'
+    inside a single-quoted string (with backslash escapes) is content,
+    not a terminator. Raw-text scan so each piece can be re-tokenized
+    (or handed to Spark's ANSI parser) verbatim."""
+    parts: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(sql)
+    in_str = False
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            if ch == "\\" and i + 1 < n:
+                buf.append(sql[i : i + 2])
+                i += 2
+                continue
+            if ch == "'":
+                in_str = False
+            buf.append(ch)
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+            buf.append(ch)
+            i += 1
+            continue
+        if ch == ";":
+            parts.append("".join(buf))
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return [p for p in parts if p.strip()]

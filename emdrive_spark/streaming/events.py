@@ -47,9 +47,23 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(_staged_dir(sf_dir))
     )
-    # same ns→µs conversion as sources.tables.load
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # same dtype-adaptive ns→µs conversion as sources.tables.load (the
+    # current fixture stores µs natively, so this is usually a no-op)
+    if stream.schema["ts"].dataType.typeName() in ("long", "bigint"):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Watermarks/event-time state require TIMESTAMP (LTZ), which NTZ
+    # parquet columns are not. Cast here; registered ops cast timestamp
+    # OUTPUTS back to NTZ (_ntz) so results keep the batch/oracle's
+    # naive-µs semantics — the two casts cancel exactly in any session
+    # timezone.
+    if stream.schema["ts"].dataType.typeName() == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream.select(*batch.columns)
+
+
+def _ntz(name: str):
+    """Cast a streaming timestamp output back to naive (NTZ) µs."""
+    return F.col(name).cast("timestamp_ntz").alias(name)
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
@@ -59,7 +73,7 @@ def tumbling_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFra
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+        .select(F.col("w.start").cast("timestamp_ntz").alias("window_start"), "event_type", "n", "sum_value")
     )
 
 
@@ -71,7 +85,7 @@ def session_aggregates(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"), F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))
         .select(
-            F.col("w.start").alias("session_start"),
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
             "user_id",
             "n_events",
             "sum_value",
@@ -253,7 +267,7 @@ def sliding_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFram
             F.count("*").alias("n"),
             (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("avg_value"),
         )
-        .select(F.col("w.start").alias("window_start"), "n", "avg_value")
+        .select(F.col("w.start").cast("timestamp_ntz").alias("window_start"), "n", "avg_value")
     )
 
 
@@ -401,6 +415,6 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_user") == F.col("v_user"))
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 24 HOURS"))
         & (F.col("view_ts") <= F.col("purchase_ts")),
-    ).select("purchase_id", "view_id", "purchase_ts", "view_ts")
+    ).select("purchase_id", "view_id", _ntz("purchase_ts"), _ntz("view_ts"))
     name = f"emdrive_stream_{next(_RUN_SEQ)}"
     return run_to_memory(spark, joined, name, "append")

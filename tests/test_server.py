@@ -76,3 +76,39 @@ def test_get_select(endpoint):
     with urllib.request.urlopen(f"{endpoint}/?query={q}") as resp:
         body = json.loads(resp.read())
     assert body["rows"] == [{"name": "one"}]
+
+
+def test_get_allows_with_query_form(endpoint):
+    # WITH is a read-only query form (engine.QUERY_HEADS) — must work on GET
+    q = urllib.parse.quote("WITH t AS (SELECT 2 AS x) SELECT x FROM t")
+    with urllib.request.urlopen(f"{endpoint}/?query={q}") as resp:
+        body = json.loads(resp.read())
+    assert body["rows"] == [{"x": 2}]
+
+
+def test_get_rejects_multi_statement_mutation(endpoint):
+    # per-statement enforcement: a SELECT prefix must not smuggle DML
+    q = urllib.parse.quote("SELECT name FROM ht; INSERT INTO ht (id, name) VALUES (99, 'evil')")
+    try:
+        with urllib.request.urlopen(f"{endpoint}/?query={q}") as resp:
+            status = resp.status
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 400
+    # and the table is unchanged
+    q2 = urllib.parse.quote("SELECT name FROM ht WHERE id = 99")
+    with urllib.request.urlopen(f"{endpoint}/?query={q2}") as resp:
+        assert json.loads(resp.read())["rows"] == []
+
+
+def test_request_log_stream(endpoint, caplog):
+    # reference logs a ULID at receipt and at completion with µs elapsed
+    # (server/mod.rs:97-99,132-136); the same id rides X-Request-Id
+    import logging
+
+    with caplog.at_level(logging.DEBUG, logger="emdrive_spark.server"):
+        _, _, headers = _post(endpoint, "SELECT name FROM ht WHERE id = 1")
+    rid = headers["X-Request-Id"]
+    msgs = [r.getMessage() for r in caplog.records if r.name == "emdrive_spark.server"]
+    assert any(m == f"received request ID {rid}" for m in msgs)
+    assert any(m.startswith(f"finished request ID {rid} in ") and m.endswith(" µs") for m in msgs)
