@@ -414,6 +414,118 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_lsh_verified",
+    oracle=rf"""
+    WITH corpus AS ({_DOUBLED_SQL}),
+    shl AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                              i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM corpus)
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {', '.join(f"list_min(list_transform(sh, s -> {minhash_lane_sql(j)})) AS sig{j}" for j in range(8))}
+      FROM shl
+    ),
+    bands AS (
+      {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, sig{2*b} || '|' || sig{2*b+1} AS key FROM sigs" for b in range(4))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sh AS (SELECT doc_id, unnest(sh) AS shingle FROM shl),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*) AS common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b,
+           round(common / (ca.n + cb.n - common), 4) AS jaccard
+    FROM common
+    JOIN counts ca ON ca.doc_id = id_a
+    JOIN counts cb ON cb.doc_id = id_b
+    WHERE common / (ca.n + cb.n - common) >= 0.8
+    """,
+)
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production near-dup composition at 100 TB: deterministic
+    MinHash band buckets generate candidates (linear in collisions),
+    exact n-gram Jaccard reranks ONLY those candidates (the expensive
+    verifier never sees the full corpus). dedup_ngram is the all-pairs
+    twin of the rerank; dedup_components shares the identical band
+    construction (4 bands × 2 md5-lane sigs), so both stages are
+    value-checked end-to-end against DuckDB — the whole pipeline is
+    engine-portable, no Spark-specific hashing anywhere.
+
+    Scale shape: shuffles are (band-key), then (doc_id) and
+    (doc_id, shingle) restricted to candidates — never an all-pairs
+    product. A hot band bucket (m members → m² candidate pairs) is the
+    known LSH skew risk; AQE skew-join splitting plus the 2-sig band
+    width (collision prob ≈ j² per band at Jaccard j) keep buckets
+    shallow on real corpora."""
+    from emdrive_spark.operators.text import minhash_sig_array
+
+    corpus = _doubled(spark, sf_dir).select(
+        "doc_id", F.array_distinct(shingles(F.col("text"))).alias("sh")
+    )
+    sigs = corpus.select(
+        "doc_id", "sh", minhash_sig_array(F.col("sh")).alias("sig_arr")
+    )
+    member = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}|"),
+                        F.col("sig_arr")[2 * b],
+                        F.lit("|"),
+                        F.col("sig_arr")[2 * b + 1],
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bkt"),
+    )
+    a = member.alias("a")
+    b = member.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sh_ex = corpus.select("doc_id", F.explode("sh").alias("shingle"))
+    counts = sh_ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
+        cand.join(sh_ex.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(
+            sh_ex.alias("sb"),
+            (F.col("id_b") == F.col("sb.doc_id"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    jac = F.col("common") / (F.col("ca.n") + F.col("cb.n") - F.col("common"))
+    return (
+        common.join(ca, F.col("id_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("id_b") == F.col("cb.doc_id"))
+        .filter(jac >= 0.8)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register(
     "dedup_minhash_det",
     oracle=rf"""
     WITH corpus AS ({_DOUBLED_SQL}),

@@ -416,7 +416,16 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
     model = PCA(k=4, inputCol="features", outputCol="pca").fit(emb)
+    # components ship as CSV micro-units: raw arrays are unhashable in
+    # the driver's pandas canonicalizer (same convention as
+    # embedding_normalize)
     return model.transform(emb).select(
         "vec_id",
-        vector_to_array("pca").alias("pca4"),
+        F.array_join(
+            F.transform(
+                vector_to_array("pca"),
+                lambda x: F.floor(x * F.lit(1000000.0) + 0.5).cast("long"),
+            ).cast("array<string>"),
+            ",",
+        ).alias("pca4"),
     )

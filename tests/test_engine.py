@@ -311,7 +311,8 @@ def test_pca_explained_variance_contract(spark):
     registry.load_all()
     out = registry.REGISTRY["embedding_pca"].fn(spark, SF_SMOKE)
     row = out.first()
-    assert len(row["pca4"]) == 4
+    # pca4 ships as CSV micro-units (driver canonicalizer convention)
+    assert len(row["pca4"].split(",")) == 4
     emb = load(spark, SF_SMOKE, "embeddings").select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
