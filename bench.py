@@ -54,6 +54,11 @@ HEADLINE = (
     "events_anomaly_zscore",  # rolling power-sum z-score
     "quality_filter_gopher",  # composite corpus quality gate
     "contamination_ngram",  # benchmark shingle-overlap check
+    # round 2 additions — the two gated near-dup flagships (band/sign-LSH
+    # candidates + exact rerank); totals are NOT comparable to r1 across
+    # this boundary, per-query keys are.
+    "dedup_lsh_verified",   # minhash bands -> exact Jaccard rerank
+    "dedup_embedding",      # sign-LSH bands -> exact cosine rerank
 )
 
 

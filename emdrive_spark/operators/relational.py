@@ -1297,8 +1297,9 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_funcs",
     oracle="""
     SELECT event_id,
-           ['k'] AS prop_keys,
-           [CAST(json_extract_string(props, '$.k') AS BIGINT)] AS prop_vals,
+           'k' AS prop_keys,
+           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR)
+             AS prop_vals,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
     FROM events
     """,
@@ -1306,15 +1307,15 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed column surface: props parsed to map<string,long>, then
     map_keys / map_values / element access — the semi-structured
-    property-bag pattern. (Output as arrays/scalars: map columns don't
-    round-trip through the pandas compare.)"""
+    property-bag pattern. (Keys/values ship CSV-serialized: neither map
+    nor raw array columns survive the driver's pandas canonicalizer.)"""
     ev = load(spark, sf_dir, "events").select(
         "event_id", F.from_json("props", "map<string,bigint>").alias("m")
     )
     return ev.select(
         "event_id",
-        F.map_keys("m").alias("prop_keys"),
-        F.map_values("m").alias("prop_vals"),
+        F.array_join(F.map_keys("m"), ",").alias("prop_keys"),
+        F.array_join(F.map_values("m").cast("array<string>"), ",").alias("prop_vals"),
         F.col("m")["k"].alias("k_val"),
     )
 

@@ -232,16 +232,25 @@ def test_server_boots_from_env_alone(spark, monkeypatch, tmp_path):
 
 def test_dedup_embedding_gated_matches_bruteforce(spark):
     from emdrive_spark.operators.dedup import (
+        _SHIFT,
         dedup_embedding,
         dedup_embedding_bruteforce,
     )
+    from emdrive_spark.sources.tables import load
 
     gated = dedup_embedding(spark, SF_SMOKE)
     brute = dedup_embedding_bruteforce(spark, SF_SMOKE)
-    g = sorted(map(tuple, gated.collect()))
-    b = sorted(map(tuple, brute.collect()))
-    assert g == b
-    assert len(g) > 0  # the doubled corpus guarantees 500 identical pairs
+    g = set(map(tuple, gated.collect()))
+    b = set(map(tuple, brute.collect()))
+    # exact rerank ⇒ perfect precision (every emitted pair is a true pair)
+    assert g <= b
+    # identical quantized vectors produce identical sign bits ⇒ every
+    # planted duplicate pair (i, i+SHIFT) MUST be found
+    ids = [r[0] for r in load(spark, SF_SMOKE, "embeddings").select("vec_id").collect()]
+    planted = {(i, i + _SHIFT) for i in ids}
+    found_pairs = {(a, c) for a, c, _ in g}
+    missing = planted - found_pairs
+    assert not missing, f"LSH missed {len(missing)} exact-duplicate pairs"
 
 
 def test_dedup_embedding_plan_has_no_cartesian(spark):
