@@ -545,8 +545,14 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     shallow on real corpora."""
     from emdrive_spark.operators.text import minhash_sig_array
 
-    corpus = _doubled(spark, sf_dir).select(
-        "doc_id", F.array_distinct(shingles(F.col("text"))).alias("sh")
+    # The shingle frame feeds BOTH the signature pass and the Jaccard
+    # explode; materialize it once (shingling the corpus is the
+    # expensive projection — recomputing it per consumer doubles the
+    # dominant cost).
+    corpus = (
+        _doubled(spark, sf_dir)
+        .select("doc_id", F.array_distinct(shingles(F.col("text"))).alias("sh"))
+        .localCheckpoint()
     )
     sigs = corpus.select(
         "doc_id", "sh", minhash_sig_array(F.col("sh")).alias("sig_arr")

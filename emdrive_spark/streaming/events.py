@@ -147,6 +147,73 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def has_transform_with_state(spark: SparkSession | None = None) -> bool:
+    """transformWithStateInPandas needs protobuf on the Python workers
+    (the state-server protocol is proto-encoded); absent in this
+    container. Gate, don't crash."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stateful_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (count, exact-cents sum) via Spark 4's
+    arbitrary-stateful API — transformWithStateInPandas with an
+    explicit ValueState, the successor to applyInPandasWithState
+    (stateful_user_totals is the same logic on the older API; both
+    must converge to the batch groupBy). State lives in the state
+    store keyed by user_id; Spark owns shuffling, checkpointing and
+    recovery; the processor owns only the merge arithmetic.
+
+    Requires protobuf (see has_transform_with_state) — the builder
+    itself is importable everywhere; only execution needs the dep."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("cents", LongType())]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            # integer cents: float accumulation would drift with batch order
+            n, cents = self.state.get() if self.state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            self.state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_to_memory(
     spark: SparkSession, stream_df: DataFrame, name: str, mode: str = "complete"
 ) -> DataFrame:

@@ -264,3 +264,16 @@ def test_dedup_embedding_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_lsh_verified_plan_has_no_cartesian(spark):
+    from emdrive_spark.operators.dedup import dedup_lsh_verified
+
+    plan = (
+        dedup_lsh_verified(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -37,3 +37,37 @@ def test_streaming_dedup(spark):
     out = S.run_to_memory(spark, S.streaming_dedup(stream), "t_dedup", mode="append")
     ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     assert out.count() == ev.count()  # no dupes in source; all rows pass once
+
+
+def test_stateful_totals_tws_converges_to_batch(spark):
+    """Spark 4 transformWithStateInPandas twin of stateful_user_totals —
+    must equal the batch groupBy. Skipped where protobuf (the state
+    protocol dependency) is absent."""
+    import pytest
+
+    if not S.has_transform_with_state():
+        pytest.skip("protobuf unavailable: transformWithStateInPandas cannot run")
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    stream = S.events_stream(spark, SF_SMOKE)
+    out = S.run_to_memory(spark, S.stateful_totals_tws(stream), "t_tws", mode="update")
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+    from emdrive_spark.sources.tables import load
+
+    batch = (
+        load(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("total_value"),
+        )
+    )
+    got = {tuple(r) for r in final.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
