@@ -295,6 +295,19 @@ def _coerce(cdef: ast.ColumnDef, value: object) -> object:
 
             return decimal.Decimal(value)
         return value
+    if et.base == "BINARY" and isinstance(value, int) and not isinstance(value, bool):
+        # integer hash literal (0x... / 0b...) → 16-byte big-endian, the
+        # storage form for hashes wider than DECIMAL(38,0) holds exactly
+        # (UINT128-max edge, types.py)
+        if value < 0:
+            raise EmdriveValidationError(
+                f"Column {cdef.name} is a binary hash; got negative {value}."
+            )
+        if value >= 1 << 128:
+            raise EmdriveValidationError(
+                f"Value {value} exceeds 128 bits for BINARY column {cdef.name}."
+            )
+        return value.to_bytes(16, "big")
     if et.base == "STRING" and isinstance(value, str):
         if et.length is not None and len(value) > et.length:
             raise EmdriveValidationError(

@@ -195,8 +195,19 @@ class Engine:
             )
         metric_fn = D.resolve(cdef.metric)
         left = F.col(cdef.name)
-        right = self._compile(entry, expr.right)
         if cdef.metric == "hamming":
+            if cdef.etype.base == "BINARY":
+                # binary-backed hashes (wider than DECIMAL(38,0) holds
+                # exactly — the UINT128-max edge, types.py): an integer
+                # literal operand becomes its 16-byte big-endian form.
+                if isinstance(expr.right, ast.Const) and isinstance(
+                    expr.right.value, int
+                ):
+                    right = F.lit(expr.right.value.to_bytes(16, "big"))
+                else:
+                    right = self._compile(entry, expr.right)
+                return D.hamming_binary(left, right)
+            right = self._compile(entry, expr.right)
             if cdef.etype.base in ("UINT64", "UINT128"):
                 # decimal-backed hashes: limb-split popcount — a plain
                 # cast("long") overflows for values ≥ 2⁶³.
@@ -204,6 +215,7 @@ class Engine:
                     left, right, nlimbs=4 if cdef.etype.base == "UINT128" else 2
                 )
             return metric_fn(left.cast("long"), right.cast("long")).cast("long")
+        right = self._compile(entry, expr.right)
         return metric_fn(left, right)
 
 

@@ -67,6 +67,29 @@ def hamming_wide(a: Column, b: Column, nlimbs: int = 2) -> Column:
     return total.cast("long")
 
 
+def hamming_binary(a: Column, b: Column, nbytes: int = 16) -> Column:
+    """Hamming distance between fixed-width BINARY hash columns — the
+    storage type for hashes wider than DECIMAL(38,0) can hold exactly
+    (UINT128 max has 39 digits; types.py documents BinaryType as the
+    edge's home). Spark has no bitwise ops on binary, so: hex-encode,
+    carve 8-hex-char (32-bit) chunks, conv to long, XOR, popcount, sum.
+    All codegen string/int ops, fused into the scan like every metric
+    here. Inputs shorter than nbytes compare as left-zero-padded (hex
+    lpad), matching big-endian integer semantics."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    nchunks = (nbytes + 3) // 4
+    ah = F.lpad(F.hex(a), nbytes * 2, "0")
+    bh = F.lpad(F.hex(b), nbytes * 2, "0")
+    total = None
+    for c in range(nchunks):
+        xa = F.conv(F.substring(ah, 1 + 8 * c, 8), 16, 10).cast("long")
+        xb = F.conv(F.substring(bh, 1 + 8 * c, 8), 16, 10).cast("long")
+        term = F.bit_count(xa.bitwiseXOR(xb))
+        total = term if total is None else total + term
+    return total.cast("long")
+
+
 def dot(a: Column, b: Column) -> Column:
     """Inner product of two array<float|double> columns.
 

@@ -277,3 +277,51 @@ def test_dedup_lsh_verified_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# -- BINARY hash columns (the >DECIMAL(38,0) edge) -------------------------
+
+
+def test_hamming_binary_full_128_bit(engine):
+    a = (1 << 127) | 0b1011
+    q = (1 << 127) | 0b0001
+    engine.execute_script(
+        "CREATE TABLE hashes_bin ("
+        " h BINARY METRIC KEY USING mtree(hamming),"
+        " id UINT32 PRIMARY KEY);"
+        f"INSERT INTO hashes_bin (h, id) VALUES ({a}, 1);"
+    )
+    rows = engine.execute(f"SELECT h @ {q} AS d FROM hashes_bin").collect()
+    assert rows[0]["d"] == 2  # bits 3 and 1 differ; bit 127 matches
+    rows = engine.execute("SELECT h @ 1 AS d FROM hashes_bin").collect()
+    assert rows[0]["d"] == 3  # XOR clears bit 0 → bits 127, 3, 1 remain
+
+
+def test_hamming_binary_matches_python_popcount(spark):
+    from pyspark.sql import functions as F
+
+    from emdrive_spark.functions.distance import hamming_binary
+
+    pairs = [
+        (0, 0),
+        ((1 << 128) - 1, 0),
+        ((1 << 127) | 12345, 54321),
+        ((1 << 100) | 3, (1 << 100) | 1),
+    ]
+    df = spark.createDataFrame(
+        [(a.to_bytes(16, "big"), b.to_bytes(16, "big")) for a, b in pairs],
+        "a binary, b binary",
+    )
+    got = [r["d"] for r in df.select(hamming_binary("a", "b").alias("d")).collect()]
+    want = [bin(a ^ b).count("1") for a, b in pairs]
+    assert got == want
+
+
+def test_binary_hash_roundtrip(engine):
+    v = (1 << 127) | 0xDEADBEEF
+    engine.execute_script(
+        "CREATE TABLE bin_rt (id UINT32 PRIMARY KEY, h BINARY);"
+        f"INSERT INTO bin_rt (id, h) VALUES (1, {v});"
+    )
+    rows = engine.execute("SELECT h FROM bin_rt WHERE id = 1").collect()
+    assert int.from_bytes(bytes(rows[0]["h"]), "big") == v
