@@ -37,10 +37,77 @@ def _head(sql: str) -> str:
     return s.split(None, 1)[0].upper() if s else ""
 
 
+# --- `@` in raw ANSI SQL (SURVEY hard-parts: the rewrite shim) -----------
+#
+# The dialect layer compiles `@` itself; raw ANSI queries get a textual
+# rewrite `X @ Y` → `emdrive_hamming(X, Y)` (a Spark SQL scalar UDF
+# registered per session, exact decimal limb-split popcount — same
+# arithmetic as functions.distance.hamming_wide). Operands are
+# identifiers or numeric literals; 0b/0x literals (the README's hash
+# idiom, not ANSI) are converted to decimal. String literals are never
+# touched (the rewrite splits on quotes first).
+
+import re as _re
+
+_AT_OPERAND = r"(?:[A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_][A-Za-z_0-9]*)?|0[bB][01]+|0[xX][0-9A-Fa-f]+|\d+)"
+_AT_RE = _re.compile(rf"({_AT_OPERAND})\s*@\s*({_AT_OPERAND})")
+
+
+def _conv_literal(tok: str) -> str:
+    if _re.fullmatch(r"0[bB][01]+", tok):
+        return str(int(tok[2:], 2))
+    if _re.fullmatch(r"0[xX][0-9A-Fa-f]+", tok):
+        return str(int(tok[2:], 16))
+    return tok
+
+
+def rewrite_at_distance(sql: str) -> str:
+    """Rewrite `a @ b` to `emdrive_hamming(a, b)` outside string
+    literals. Identity for SQL without `@`."""
+    if "@" not in sql:
+        return sql
+    parts = _re.split(r"('(?:\\.|[^'])*')", sql)
+    for i in range(0, len(parts), 2):  # even indexes = outside strings
+        parts[i] = _AT_RE.sub(
+            lambda m: (
+                f"emdrive_hamming(CAST({_conv_literal(m.group(1))} AS DECIMAL(38,0)), "
+                f"CAST({_conv_literal(m.group(2))} AS DECIMAL(38,0)))"
+            ),
+            parts[i],
+        )
+    return "".join(parts)
+
+
+def _hamming_sql_udf_ddl() -> str:
+    """4-limb exact decimal popcount as a SQL scalar UDF (covers the
+    full ≤128-bit-in-38-digits range; pmod/exact-division identical to
+    hamming_wide — floor(x/2³²) alone could round across an integer
+    boundary)."""
+
+    def limbs(var: str) -> list[str]:
+        d = f"CAST({var} AS DECIMAL(38,0))"
+        out = []
+        for _ in range(4):
+            lo = f"pmod({d}, 4294967296)"
+            out.append(f"CAST({lo} AS BIGINT)")
+            d = f"CAST(({d} - {lo}) / 4294967296 AS DECIMAL(38,0))"
+        return out
+
+    body = " + ".join(
+        f"bit_count({xa} ^ {xb})" for xa, xb in zip(limbs("a"), limbs("b"))
+    )
+    return (
+        "CREATE OR REPLACE TEMPORARY FUNCTION emdrive_hamming("
+        "a DECIMAL(38,0), b DECIMAL(38,0)) RETURNS BIGINT RETURN " + body
+    )
+
+
 class Engine:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self.catalog = Catalog(spark)
+        # `@` support in raw ANSI SQL (see rewrite_at_distance)
+        spark.sql(_hamming_sql_udf_ddl())
 
     def execute(self, sql: str) -> DataFrame | None:
         """Run one statement. DDL/DML return None; SELECT returns the
@@ -75,7 +142,7 @@ class Engine:
             parse_statement(sql)  # re-raises EmdriveSyntaxError
             raise AssertionError("unreachable")
         try:
-            return self.spark.sql(sql)
+            return self.spark.sql(rewrite_at_distance(sql))
         except Exception as exc:
             raise EmdriveValidationError(str(exc).split("\n")[0]) from exc
 

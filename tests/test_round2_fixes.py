@@ -325,3 +325,37 @@ def test_binary_hash_roundtrip(engine):
     )
     rows = engine.execute("SELECT h FROM bin_rt WHERE id = 1").collect()
     assert int.from_bytes(bytes(rows[0]["h"]), "big") == v
+
+
+# -- `@` distance in raw ANSI SQL (rewrite shim) ---------------------------
+
+
+def test_at_distance_in_ansi_passthrough(engine):
+    engine.execute_script(
+        "CREATE TABLE ansi_hashes ("
+        " h UINT64 METRIC KEY USING mtree(hamming),"
+        " id UINT32 PRIMARY KEY);"
+        "INSERT INTO ansi_hashes (h, id) VALUES (0b11001111, 1), (0b00001011, 2);"
+    )
+    # this is NOT dialect SQL (expression in WHERE without alias, JOIN-free
+    # ANSI shape) — it falls through to spark.sql with the @ rewritten
+    rows = engine.execute(
+        "SELECT id, h @ 0b00001011 AS d FROM ansi_hashes WHERE h @ 0b00001011 <= 3 ORDER BY id"
+    ).collect()
+    assert [(r["id"], r["d"]) for r in rows] == [(1, 3), (2, 0)]
+
+
+def test_at_rewrite_leaves_strings_alone():
+    from emdrive_spark.engine import rewrite_at_distance
+
+    sql = "SELECT 'a @ b' AS s, h @ 5 AS d FROM t"
+    out = rewrite_at_distance(sql)
+    assert "'a @ b'" in out
+    assert "emdrive_hamming(CAST(h AS DECIMAL(38,0)), CAST(5 AS DECIMAL(38,0)))" in out
+
+
+def test_at_rewrite_qualified_and_hex():
+    from emdrive_spark.engine import rewrite_at_distance
+
+    out = rewrite_at_distance("SELECT a.h @ 0xFF FROM t a")
+    assert "emdrive_hamming(CAST(a.h AS DECIMAL(38,0)), CAST(255 AS DECIMAL(38,0)))" in out
