@@ -486,6 +486,84 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_components",
+    oracle=f"""
+    WITH RECURSIVE
+    corpus AS (
+      SELECT vec_id FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_SHIFT} AS vec_id FROM embeddings
+    ),
+    pairs AS (SELECT id_a, id_b FROM ({_EMB_COSINE_ORACLE}) q),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT vec_id, vec_id FROM corpus
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+    )
+    SELECT node AS vec_id, min(label) AS component FROM reach GROUP BY node
+    """,
+)
+def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment over the embedding near-dup graph:
+    connected components across dedup_embedding's verified pairs
+    (cos ≥ 0.95 after sign-LSH gating), by iterative min-label
+    propagation — the embedding twin of dedup_components, turning
+    pairwise hits into canonical keep-groups (A~B, B~C ⇒ one cluster).
+
+    Unlike the text version (which propagates through BUCKET nodes —
+    its 64-bit minhash band keys are selective enough to treat a bucket
+    as a clique), embedding clusters propagate over the RERANKED edge
+    list: 8-bit sign bands collide freely on near-orthogonal vectors,
+    so bucket-cliques would merge unrelated clusters; after the exact
+    cosine rerank the edge list is sparse (~true duplicates), making
+    edge propagation linear. Per round: one join + two key-shuffled
+    min-aggs; localCheckpoint keeps lineage flat. Oracle = recursive
+    transitive closure over the identical (deterministically
+    reproducible) edge set."""
+    edges_fwd = dedup_embedding(spark, sf_dir).select("id_a", "id_b")
+    edges = (
+        edges_fwd.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            edges_fwd.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    labels = (
+        _embedding_corpus(spark, sf_dir)
+        .select("vec_id", F.col("vec_id").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(12):  # dup clusters are shallow; fixpoint long before
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["vec_id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_component = F.least(
+            F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+        )
+        stepped = (
+            labels.join(nbr, labels["vec_id"] == nbr["src"], "left")
+            .select(
+                "vec_id",
+                new_component.alias("component"),
+                (new_component < F.col("component")).alias("chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = stepped.filter("chg").count()
+        labels = stepped.select("vec_id", "component")
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
     "dedup_lsh_verified",
     oracle=rf"""
     WITH corpus AS ({_DOUBLED_SQL}),
