@@ -163,3 +163,98 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pack(spark, sf_dir).mapInPandas(
         resize_meta, schema="doc_id long, orig_w long, orig_h long, new_w long, new_h long"
     )
+
+
+_PH_SHIFT = 1_000_000  # id offset for the duplicated copy (known answer)
+_PH_BANDS = 4  # 16-bit bands over the 64-bit hash: hamming ≤ 3 always caught
+
+
+@register(
+    "mm_phash_dedup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, encode(text) AS payload FROM documents
+      UNION ALL
+      SELECT doc_id + {_PH_SHIFT} AS doc_id, encode(text) AS payload FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(payload::VARCHAR), 1, 8)) AS BIGINT) AS hi,
+             CAST(('0x' || substr(md5(payload::VARCHAR), 9, 8)) AS BIGINT) AS lo
+      FROM corpus
+    ),
+    bands AS (
+      SELECT doc_id, hi, lo, 0 AS band, (hi >> 16) & 65535 AS key FROM hashed
+      UNION ALL
+      SELECT doc_id, hi, lo, 1 AS band, hi & 65535 AS key FROM hashed
+      UNION ALL
+      SELECT doc_id, hi, lo, 2 AS band, (lo >> 16) & 65535 AS key FROM hashed
+      UNION ALL
+      SELECT doc_id, hi, lo, 3 AS band, lo & 65535 AS key FROM hashed
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT)
+             AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+    """,
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over binary payloads — the multimodal
+    endpoint of the metric core: hash the payload to 64 bits, band the
+    hash (4×16-bit → hamming ≤ 3 guaranteed caught), verify candidates
+    with exact hamming. At 100 TB this is image dedup: only (doc_id,
+    64-bit hash) ever shuffles; payload bytes never leave their scan.
+
+    The hash here is the md5 low-64 of the raw payload — the
+    deterministic stand-in at the stubbed decode step (decode_image):
+    byte-identical payloads collide at hamming 0, which the doubled
+    corpus pins as the known answer. A real deployment swaps in an
+    actual pHash/dHash after decode and the banding, candidate join,
+    and verify stages run UNCHANGED — near-dup images then surface at
+    hamming 1-3 exactly like dedup_simhash does for text."""
+    base = _pack(spark, sf_dir).select("doc_id", "payload")
+    corpus = base.unionByName(
+        base.select((F.col("doc_id") + _PH_SHIFT).alias("doc_id"), "payload")
+    )
+    md5 = F.md5("payload")
+    hashed = corpus.select(
+        "doc_id",
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    bands = hashed.select(
+        "doc_id",
+        "hi",
+        "lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.shiftright("hi", 16).bitwiseAND(F.lit(65535)).alias("key")),
+                F.struct(F.lit(1).alias("band"), F.col("hi").bitwiseAND(F.lit(65535)).alias("key")),
+                F.struct(F.lit(2).alias("band"), F.shiftright("lo", 16).bitwiseAND(F.lit(65535)).alias("key")),
+                F.struct(F.lit(3).alias("band"), F.col("lo").bitwiseAND(F.lit(65535)).alias("key")),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "hi", "lo", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = (
+        F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+        + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
