@@ -103,9 +103,13 @@ def _hamming_sql_udf_ddl() -> str:
 
 
 class Engine:
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, data_directory: str | None = None):
         self.spark = spark
         self.catalog = Catalog(spark)
+        # When set, every successful mutation persists the catalog there
+        # (the reference's durability contract: inserts survive restart,
+        # write.rs; restore happens in server.serve at boot).
+        self.data_directory = data_directory
         # `@` support in raw ANSI SQL (see rewrite_at_distance)
         spark.sql(_hamming_sql_udf_ddl())
 
@@ -125,13 +129,23 @@ class Engine:
             return self._ansi_passthrough(sql)
         if isinstance(stmt, ast.CreateTable):
             self.catalog.create_table(stmt)
+            self._persist()
             return None
         if isinstance(stmt, ast.Insert):
             self.catalog.insert(stmt)
+            self._persist()
             return None
         if isinstance(stmt, ast.Select):
             return self._execute_select(stmt)
         raise EmdriveValidationError(f"Unsupported statement {type(stmt).__name__}.")
+
+    def _persist(self) -> None:
+        """Durability hook: with a configured data directory, every
+        successful mutation rewrites the saved catalog (small per-table
+        PK-sorted parquet + metadata json — the moral equivalent of the
+        reference flushing pages on write)."""
+        if self.data_directory:
+            self.catalog.save(self.data_directory)
 
     def _ansi_passthrough(self, sql: str) -> DataFrame:
         """Read-only ANSI fallback via spark.sql. Only query forms are

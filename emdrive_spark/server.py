@@ -117,12 +117,17 @@ def serve(
     cfg = Config.from_env()
     host = host if host is not None else cfg.tcp_listen_host
     port = port if port is not None else cfg.tcp_listen_port
+    # durability engages only when the data directory is EXPLICITLY
+    # configured (argument or env var) — the built-in default
+    # /var/lib/emdrive/data is an ops-provisioned path (config.rs:17)
+    # that a dev/test environment typically cannot write.
+    explicit = data_directory is not None or "EMDRIVE_DATA_DIRECTORY" in os.environ
     data_directory = data_directory if data_directory is not None else cfg.data_directory
     if spark is None:
         from emdrive_spark.session import get_spark
 
         spark = get_spark("emdrive-server")
-    engine = Engine(spark)
+    engine = Engine(spark, data_directory=data_directory if explicit else None)
     if os.path.exists(os.path.join(data_directory, "_catalog.json")):
         engine.catalog.restore(data_directory)
     httpd = ThreadingHTTPServer((host, port), make_handler(engine))

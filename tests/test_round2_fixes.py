@@ -359,3 +359,51 @@ def test_at_rewrite_qualified_and_hex():
 
     out = rewrite_at_distance("SELECT a.h @ 0xFF FROM t a")
     assert "emdrive_hamming(CAST(a.h AS DECIMAL(38,0)), CAST(255 AS DECIMAL(38,0)))" in out
+
+
+# -- durability: mutations survive a server restart ------------------------
+
+
+def test_server_persists_mutations_across_restart(spark, monkeypatch, tmp_path):
+    import json
+    import threading
+    import urllib.parse
+    import urllib.request
+
+    from emdrive_spark.server import serve
+
+    data_dir = str(tmp_path / "emdata")
+    monkeypatch.setenv("EMDRIVE_DATA_DIRECTORY", data_dir)
+
+    def run(port):
+        httpd = serve(spark, host="127.0.0.1", port=port)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        return httpd
+
+    def post(port, sql):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}", data=sql.encode(), method="POST"
+        )
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read())
+
+    a = run(18826)
+    try:
+        post(
+            18826,
+            "CREATE TABLE durable_t (id UINT32 PRIMARY KEY, name STRING);"
+            "INSERT INTO durable_t (id, name) VALUES (1, 'survives'), (2, 'restart')",
+        )
+    finally:
+        a.shutdown()
+
+    # fresh server process-equivalent: same env, new engine + catalog
+    b = run(18827)
+    try:
+        q = urllib.parse.quote("SELECT name FROM durable_t WHERE id = 2")
+        with urllib.request.urlopen(f"http://127.0.0.1:18827/?query={q}") as resp:
+            body = json.loads(resp.read())
+        assert body["rows"] == [{"name": "restart"}]
+    finally:
+        b.shutdown()
