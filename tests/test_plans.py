@@ -164,3 +164,42 @@ def test_funnel_stages_are_user_cardinality(spark):
     # nested loop anywhere
     plan = _plan(spark, "events_funnel")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_semijoin_pushdown(spark):
+    """At 100 TB the defaults govern (10 GB application-side threshold —
+    exactly the regime where a shuffle join over a selectively-filtered
+    dim benefits); here the thresholds are forced down to pin that the
+    engine's join shapes are bloom-eligible: Catalyst injects a
+    BloomFilter semi-join filter on the fact side ahead of the shuffle."""
+    from pyspark.sql import functions as F
+
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in keys.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load(spark, SF_SMOKE, "lineitem")
+        dim = (
+            load(spark, SF_SMOKE, "orders")
+            .filter(F.col("o_totalprice") > 400000)
+            .select("o_orderkey")
+        )
+        j = li.join(dim, li["l_orderkey"] == dim["o_orderkey"])
+        plan = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloom" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
