@@ -54,6 +54,18 @@ def main() -> None:
     n_dupes = clusters.filter("dup_count > 1").count()
     print(f"near-dup clusters with >1 member: {n_dupes}")
 
+    # 4b. The verified pipeline: band candidates → exact Jaccard rerank
+    verified = q["dedup_lsh_verified"].fn(spark, sf_dir)
+    print(f"verified near-dup pairs (jaccard ≥ 0.8 on LSH candidates): {verified.count()}")
+
+    # 4c. Embedding-space near-dup: sign-LSH candidates → exact cosine
+    emb_pairs = q["dedup_embedding"].fn(spark, sf_dir)
+    print(f"embedding near-dup pairs (cos ≥ 0.95): {emb_pairs.count()}")
+
+    # 4d. Multimodal: payload-hash banding (real pHash plugs in at decode)
+    phash = q["mm_phash_dedup"].fn(spark, sf_dir)
+    print(f"payload-hash dup pairs (hamming ≤ 3): {phash.count()}")
+
     # 5. Benchmark contamination: training docs overlapping the eval slice
     contam = q["contamination_ngram"].fn(spark, sf_dir)
     worst = contam.orderBy(F.desc("contamination")).limit(5)
