@@ -314,6 +314,119 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_merged(spark: SparkSession, sf_dir: str):
+    """Shared union frame for the as-of family: purchases as left rows,
+    views as right rows, one (user_id)-keyed stream."""
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast(ev.schema["ts"].dataType).alias("r_ts"),
+        F.lit(None).cast("double").alias("r_value"), F.lit(1).alias("is_left"),
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+        F.col("ts").alias("r_ts"), F.col("value").alias("r_value"),
+        F.lit(0).alias("is_left"),
+    )
+    return left.unionByName(right)
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts,
+           r.ts AS matched_ts, r.value AS matched_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each purchase, the EARLIEST view by the
+    same user at-or-after it (pandas merge_asof direction='forward').
+    Same single-shuffle union + ordered-window shape as join_asof, with
+    the stream ordered descending so last(ignorenulls) carries the
+    nearest future right row backwards."""
+    merged = _asof_merged(spark, sf_dir)
+    # Right rows sort before left at identical ts (<= matches ties).
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("is_left"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        merged.withColumn("matched_ts", F.last("r_ts", ignorenulls=True).over(w))
+        .withColumn("matched_value", F.last("r_value", ignorenulls=True).over(w))
+        .filter(F.col("is_left") == 1)
+        .select("event_id", "user_id", "ts", "matched_ts", "matched_value")
+    )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    bwd AS (
+      SELECT l.event_id, r.ts AS b_ts, r.value AS b_value
+      FROM l ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    ),
+    fwd AS (
+      SELECT l.event_id, r.ts AS f_ts, r.value AS f_value
+      FROM l ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        ON l.user_id = r.user_id AND l.ts <= r.ts
+    )
+    SELECT l.event_id, l.user_id, l.ts,
+           CASE WHEN f_ts IS NULL THEN b_ts
+                WHEN b_ts IS NULL THEN f_ts
+                WHEN (l.ts - b_ts) <= (f_ts - l.ts) THEN b_ts
+                ELSE f_ts END AS matched_ts,
+           CASE WHEN f_ts IS NULL THEN b_value
+                WHEN b_ts IS NULL THEN f_value
+                WHEN (l.ts - b_ts) <= (f_ts - l.ts) THEN b_value
+                ELSE f_value END AS matched_value
+    FROM l JOIN bwd ON l.event_id = bwd.event_id
+           JOIN fwd ON l.event_id = fwd.event_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (pandas merge_asof direction='nearest'): the
+    view closest in time on EITHER side, ties to the earlier one. Two
+    ordered-window passes over the SAME (user_id)-partitioned union —
+    Catalyst evaluates both window specs in one shuffle's worth of
+    partitioning — then an interval comparison picks the winner."""
+    merged = _asof_merged(spark, sf_dir)
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_left"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("is_left"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    both = (
+        merged.withColumn("b_ts", F.last("r_ts", ignorenulls=True).over(wb))
+        .withColumn("b_value", F.last("r_value", ignorenulls=True).over(wb))
+        .withColumn("f_ts", F.last("r_ts", ignorenulls=True).over(wf))
+        .withColumn("f_value", F.last("r_value", ignorenulls=True).over(wf))
+        .filter(F.col("is_left") == 1)
+    )
+    take_b = (
+        F.col("f_ts").isNull()
+        | (~F.col("b_ts").isNull())
+        & ((F.col("ts") - F.col("b_ts")) <= (F.col("f_ts") - F.col("ts")))
+    )
+    return both.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(take_b, F.col("b_ts")).otherwise(F.col("f_ts")).alias("matched_ts"),
+        F.when(take_b, F.col("b_value")).otherwise(F.col("f_value")).alias("matched_value"),
+    )
+
+
 @register(
     "join_right",
     oracle="""
