@@ -75,6 +75,10 @@ class Catalog:
         self.spark = spark
         self.schema_name = schema_name
         self.tables: dict[str, TableEntry] = {}
+        # SQL-queryable from session start, like the reference's
+        # bootstrap (system.rs:5-91): the system relations exist (empty)
+        # before the first CREATE TABLE.
+        self.refresh_system_views()
 
     # -- DDL ------------------------------------------------------------
 
@@ -90,6 +94,7 @@ class Catalog:
         )
         self.tables[stmt.name] = entry
         df.createOrReplaceTempView(stmt.name)
+        self.refresh_system_views()
 
     def get(self, name: str) -> TableEntry:
         try:
@@ -128,6 +133,7 @@ class Catalog:
 
         entry.df = entry.df.unionByName(batch)
         entry.df.createOrReplaceTempView(entry.name)
+        self.refresh_system_views()
         return len(py_rows)
 
     def _materialize_row(
@@ -217,7 +223,20 @@ class Catalog:
             )
             self.tables[name] = entry
             df.createOrReplaceTempView(name)
+        self.refresh_system_views()
         return len(meta)
+
+    def refresh_system_views(self) -> None:
+        """Register ``system_tables`` / ``system_columns`` as SQL temp
+        views so any SQL client (HTTP GET included) can introspect the
+        catalog — the reference bootstraps these as REAL tables an SQL
+        client reads (/root/reference/src/storage/system.rs:5-91,
+        /root/reference/src/executor/mod.rs:64-71). Refreshed on every
+        CREATE/INSERT/restore so the views always reflect the live
+        catalog. (Temp-view names can't be dotted, so ``system.tables``
+        surfaces as ``system_tables``.)"""
+        self.system_tables().createOrReplaceTempView("system_tables")
+        self.system_columns().createOrReplaceTempView("system_columns")
 
     def system_tables(self) -> DataFrame:
         rows = [

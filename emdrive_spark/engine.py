@@ -37,6 +37,44 @@ def _head(sql: str) -> str:
     return s.split(None, 1)[0].upper() if s else ""
 
 
+import re as _re
+
+# Masks every span the keyword scan must not look inside: single/double
+# quoted string literals (Spark accepts both, with backslash escapes AND
+# '' / "" doubling), backquoted identifiers, and -- / /* */ comments.
+_MASK_RE = _re.compile(
+    r"'(?:\\.|''|[^'\\])*'"
+    r'|"(?:\\.|""|[^"\\])*"'
+    r"|`(?:``|[^`])*`"
+    r"|--[^\n]*"
+    r"|/\*.*?\*/",
+    _re.S,
+)
+
+# Spark's grammar allows DML after a CTE prefix (`WITH q AS (...) INSERT
+# INTO ...`, `WITH ... INSERT OVERWRITE DIRECTORY '/path' ...`), so a
+# WITH head alone does not make a statement read-only. Any of these
+# appearing OUTSIDE strings/comments in a WITH statement marks it a
+# mutation. Word-boundary match: identifiers like `insert_count` don't
+# trip it; a bare unquoted column literally named `insert` would — an
+# acceptable false positive for a read-only gate (quote it to use it).
+_MUTATION_KEYWORD_RE = _re.compile(
+    r"\b(INSERT|OVERWRITE|DIRECTORY|UPDATE|DELETE|MERGE|REPLACE)\b", _re.I
+)
+
+
+def is_query(sql: str) -> bool:
+    """True iff the statement is a pure query form. Comments are
+    stripped before the head check (so `-- note\\nSELECT 1` passes) and
+    WITH statements are scanned for CTE-prefixed mutations (advisor r2,
+    high): the head keyword alone cannot be trusted for WITH."""
+    masked = _MASK_RE.sub(" ", sql)
+    head = _head(masked)
+    if head not in QUERY_HEADS:
+        return False
+    return not (head == "WITH" and _MUTATION_KEYWORD_RE.search(masked))
+
+
 # --- `@` in raw ANSI SQL (SURVEY hard-parts: the rewrite shim) -----------
 #
 # The dialect layer compiles `@` itself; raw ANSI queries get a textual
@@ -46,8 +84,6 @@ def _head(sql: str) -> str:
 # identifiers or numeric literals; 0b/0x literals (the README's hash
 # idiom, not ANSI) are converted to decimal. String literals are never
 # touched (the rewrite splits on quotes first).
-
-import re as _re
 
 _AT_OPERAND = r"(?:[A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_][A-Za-z_0-9]*)?|0[bB][01]+|0[xX][0-9A-Fa-f]+|\d+)"
 _AT_RE = _re.compile(rf"({_AT_OPERAND})\s*@\s*({_AT_OPERAND})")
@@ -61,13 +97,19 @@ def _conv_literal(tok: str) -> str:
     return tok
 
 
+_MASK_SPLIT_RE = _re.compile(f"({_MASK_RE.pattern})", _re.S)
+
+
 def rewrite_at_distance(sql: str) -> str:
     """Rewrite `a @ b` to `emdrive_hamming(a, b)` outside string
-    literals. Identity for SQL without `@`."""
+    literals (single- AND double-quoted — Spark treats both as strings),
+    backquoted identifiers, and comments (advisor r2: `SELECT "a @ b"`
+    or a commented `x @ y` must not be rewritten). Identity for SQL
+    without `@`."""
     if "@" not in sql:
         return sql
-    parts = _re.split(r"('(?:\\.|[^'])*')", sql)
-    for i in range(0, len(parts), 2):  # even indexes = outside strings
+    parts = _MASK_SPLIT_RE.split(sql)
+    for i in range(0, len(parts), 2):  # even indexes = outside masked spans
         parts[i] = _AT_RE.sub(
             lambda m: (
                 f"emdrive_hamming(CAST({_conv_literal(m.group(1))} AS DECIMAL(38,0)), "
@@ -136,6 +178,14 @@ class Engine:
             self._persist()
             return None
         if isinstance(stmt, ast.Select):
+            if stmt.table not in self.catalog.tables and self.spark.catalog.tableExists(
+                stmt.table
+            ):
+                # not a managed table but a live temp view — notably the
+                # system_tables/system_columns introspection relations
+                # (reference system.rs:5-91). No emdrive column metadata
+                # exists for it, so ANSI semantics apply directly.
+                return self._ansi_passthrough(sql)
             return self._execute_select(stmt)
         raise EmdriveValidationError(f"Unsupported statement {type(stmt).__name__}.")
 
@@ -151,10 +201,13 @@ class Engine:
         """Read-only ANSI fallback via spark.sql. Only query forms are
         eligible — mutations must go through the dialect layer so the
         catalog's PK/nullability/default contracts hold."""
-        if _head(sql) not in QUERY_HEADS:
+        if not is_query(sql):
             # surface the dialect's own syntax error for non-queries
             parse_statement(sql)  # re-raises EmdriveSyntaxError
-            raise AssertionError("unreachable")
+            raise EmdriveValidationError(
+                "Only query statements may use the ANSI passthrough; "
+                "mutations must go through the emdrive dialect."
+            )
         try:
             return self.spark.sql(rewrite_at_distance(sql))
         except Exception as exc:
@@ -171,10 +224,11 @@ class Engine:
         parts = split_statements(sql)
         if read_only:
             for part in parts:
-                if _head(part) not in QUERY_HEADS:
+                if not is_query(part):
                     raise EmdriveValidationError(
                         "This endpoint is read-only: every statement must "
-                        f"be a query ({'/'.join(QUERY_HEADS)}); got "
+                        f"be a query ({'/'.join(QUERY_HEADS)}, with no "
+                        "CTE-prefixed DML); got "
                         f"{_head(part) or 'empty statement'!r}."
                     )
         result = None

@@ -969,7 +969,7 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(arr) AS INT) AS n,
            array_to_string(
              list_transform(list_zip(arr, arr), p -> p[1] + p[2]), ',') AS doubled,
-           list_sum(arr) AS total
+           CAST(list_sum(arr) AS BIGINT) AS total
     FROM t
     """,
 )

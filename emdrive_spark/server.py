@@ -136,8 +136,30 @@ def serve(
     return httpd
 
 
+def install_shutdown_handlers(server: ThreadingHTTPServer) -> None:
+    """Trap SIGINT/SIGTERM and stop the accept loop cleanly — the
+    reference's ctrl-c story (src/server/mod.rs:140-145: trap, then
+    join server + executor). ``serve_forever`` returns once
+    ``shutdown()`` is called; the caller then closes the socket and
+    stops Spark. ``shutdown()`` must not run on the serve_forever
+    thread (it joins it), hence the helper thread."""
+    import signal
+    import threading
+
+    def _on_signal(signum, frame):  # noqa: ARG001
+        log.info("signal %d received — shutting down", signum)
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGINT, _on_signal)
+    signal.signal(signal.SIGTERM, _on_signal)
+
+
 if __name__ == "__main__":
     server = serve()
+    install_shutdown_handlers(server)
     _host, _port = server.server_address[:2]
-    print(f"emdrive-spark listening on http://{_host}:{_port}")
-    server.serve_forever()
+    print(f"emdrive-spark listening on http://{_host}:{_port}", flush=True)
+    server.serve_forever()  # returns after shutdown() (signal handler)
+    server.server_close()
+    server.engine.spark.stop()  # type: ignore[attr-defined]
+    print("emdrive-spark stopped cleanly", flush=True)

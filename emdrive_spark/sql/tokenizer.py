@@ -142,37 +142,68 @@ def parse_number(tok: Token) -> int | float:
 
 
 def split_statements(sql: str) -> list[str]:
-    """Split a script into statements on TOP-LEVEL ';' only — a ';'
-    inside a single-quoted string (with backslash escapes) is content,
-    not a terminator. Raw-text scan so each piece can be re-tokenized
-    (or handed to Spark's ANSI parser) verbatim."""
+    """Split a script into statements on TOP-LEVEL ';' only.
+
+    A ';' is content, not a terminator, inside: single- or double-quoted
+    string literals (Spark treats both as strings; both backslash
+    escapes and ''/"" doubling are honored — matching the engine the
+    pieces are handed to), backquoted identifiers, `--` line comments,
+    and `/* */` block comments (advisor r2). Raw-text scan so each
+    piece can be re-tokenized (or handed to Spark's ANSI parser)
+    verbatim — comments stay attached to their statement."""
     parts: list[str] = []
     buf: list[str] = []
     i, n = 0, len(sql)
-    in_str = False
+
+    def take(k: int) -> None:
+        nonlocal i
+        buf.append(sql[i : i + k])
+        i += k
+
     while i < n:
         ch = sql[i]
-        if in_str:
-            if ch == "\\" and i + 1 < n:
-                buf.append(sql[i : i + 2])
-                i += 2
-                continue
-            if ch == "'":
-                in_str = False
-            buf.append(ch)
-            i += 1
+        two = sql[i : i + 2]
+        if ch in ("'", '"'):
+            q = ch
+            take(1)
+            while i < n:
+                if sql[i] == "\\" and i + 1 < n:
+                    take(2)
+                elif sql[i] == q:
+                    if sql[i : i + 2] == q + q:  # '' / "" doubling
+                        take(2)
+                    else:
+                        take(1)
+                        break
+                else:
+                    take(1)
             continue
-        if ch == "'":
-            in_str = True
-            buf.append(ch)
-            i += 1
+        if ch == "`":
+            take(1)
+            while i < n:
+                if sql[i : i + 2] == "``":
+                    take(2)
+                elif sql[i] == "`":
+                    take(1)
+                    break
+                else:
+                    take(1)
+            continue
+        if two == "--":
+            while i < n and sql[i] != "\n":
+                take(1)
+            continue
+        if two == "/*":
+            take(2)
+            while i < n and sql[i : i + 2] != "*/":
+                take(1)
+            take(2)
             continue
         if ch == ";":
             parts.append("".join(buf))
             buf = []
             i += 1
             continue
-        buf.append(ch)
-        i += 1
+        take(1)
     parts.append("".join(buf))
     return [p for p in parts if p.strip()]

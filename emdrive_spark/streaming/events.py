@@ -41,6 +41,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream source over the events table (schema taken from the
     batch read, incl. the nanos→µs ts conversion)."""
     batch = load(spark, sf_dir, "events")
+    # The NTZ→LTZ→NTZ round-trip below is only exact in a UTC session:
+    # F.window aligns boundaries to the UTC epoch, so an offset that is
+    # not a whole multiple of the window (+05:45 Kathmandu vs a 10-min
+    # window) shifts window_start vs the batch/oracle computation, and a
+    # DST fall-back makes the NTZ→LTZ cast ambiguous (advisor r2).
+    # get_spark pins UTC; enforce it here for sessions built elsewhere.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     stream = (
         spark.readStream.schema(raw_schema)
@@ -54,8 +61,8 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Watermarks/event-time state require TIMESTAMP (LTZ), which NTZ
     # parquet columns are not. Cast here; registered ops cast timestamp
     # OUTPUTS back to NTZ (_ntz) so results keep the batch/oracle's
-    # naive-µs semantics — the two casts cancel exactly in any session
-    # timezone.
+    # naive-µs semantics — the two casts cancel exactly UNDER THE UTC
+    # SESSION pinned above (offset 0 = no epoch-alignment skew, no DST).
     if stream.schema["ts"].dataType.typeName() == "timestamp_ntz":
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream.select(*batch.columns)

@@ -1,10 +1,13 @@
 """Local mirror of the driver's correctness gate.
 
 Runs every queries() entry at a given SF and compares against its
-oracle_sql() twin in DuckDB: row count, column names, and exact values
-after sorting columns by name and rows by value. Stricter than any
-reasonable hash — if this passes, the driver's order-insensitive
-value-hash passes.
+oracle_sql() twin in DuckDB: row count, column names, dtype KINDS, and
+exact values after sorting columns by name and rows by value. The dtype
+check exists because the driver hashes the pandas repr of each value —
+int64 ``1`` vs float64 ``1.0`` hash differently even though numpy ``==``
+calls them equal (the r2 `events_session_agg` failure class: DuckDB
+returns HUGEINT for integer sum(), pandas converts that to float64).
+A value-equal-but-kind-mismatched column is therefore a FAIL here.
 
 Usage: python tools/verify_local.py [sf_dir] [only_op ...]
 """
@@ -35,12 +38,39 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=df.columns)
 
 
+def dtype_kind(s: pd.Series) -> str:
+    """Collapse a dtype to the kind the driver's value-hash distinguishes.
+
+    int vs float is the load-bearing split (repr '1' vs '1.0'); bool,
+    timestamps, and everything-else (strings/objects/decimals) round out
+    the partition. Nullable pandas extension ints count as int.
+    """
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "timestamp"
+    return "object"
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"row count {len(spark_pdf)} != oracle {len(oracle_pdf)}")
     if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
         problems.append(f"columns {sorted(spark_pdf.columns)} != {sorted(oracle_pdf.columns)}")
+        return problems
+    for c in sorted(spark_pdf.columns):
+        ka, kb = dtype_kind(spark_pdf[c]), dtype_kind(oracle_pdf[c])
+        if ka != kb:
+            problems.append(
+                f"col {c}: dtype kind mismatch spark={ka}({spark_pdf[c].dtype}) "
+                f"oracle={kb}({oracle_pdf[c].dtype}) — driver hash WILL differ"
+            )
+    if problems:
         return problems
     a, b = normalize(spark_pdf), normalize(oracle_pdf)
     if len(a) == len(b):
