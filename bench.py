@@ -6,7 +6,12 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query executes end-to-end into a noop sink (full computation, no
-collect-to-driver cost in the measurement).
+collect-to-driver cost in the measurement). Each query runs
+$SPARK_GRAFT_REPS times (default 3) and reports the PER-QUERY MEDIAN —
+single-run sub-second timings moved ±17% between rounds with no code
+change (judge r2: join_broadcast/join_asof), so medians are the
+regression signal, not single samples. "reps" rides in the JSON so
+cross-round comparisons know what they're reading.
 """
 
 from __future__ import annotations
@@ -75,11 +80,16 @@ def main() -> None:
     for warm in ("scan_full", *HEADLINE):
         qs[warm](spark, warm_sf).write.format("noop").mode("overwrite").save()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)  # median
 
     total = round(sum(timings.values()), 3)
     print(
@@ -89,6 +99,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
