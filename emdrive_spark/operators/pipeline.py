@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from emdrive_spark.operators.text import shingles, tokens
 from emdrive_spark.registry import register
@@ -243,4 +244,231 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.first("n_shingles"), F.lit(0)),
             4,
         ).alias("contamination"),
+    )
+
+
+# -- CCNet-style global chunk dedup ---------------------------------------
+
+_CHUNK = 12  # tokens per "line" (the fixture corpus has no newlines)
+
+
+@register(
+    "dedup_lines_global",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, c AS pos,
+             array_to_string(
+               toks[c*{_CHUNK}+1 : least((c+1)*{_CHUNK}, len(toks))], ' ') AS chunk
+      FROM t, unnest(range(0, CAST(ceil(len(toks) / {_CHUNK}.0) AS INT))) AS u(c)
+    ),
+    flagged AS (
+      SELECT doc_id, pos, chunk,
+             count(*) OVER (PARTITION BY chunk) AS cnt
+      FROM ch
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           coalesce(string_agg(CASE WHEN cnt <= 1 THEN chunk END, ' ' ORDER BY pos),
+                    '') AS clean_text
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style duplicate-line removal: every document is cut into
+    fixed 12-token chunks (the fixture has no newlines; on real corpora
+    the splitter is '\\n'), chunks are counted CORPUS-WIDE, and any
+    chunk occurring more than once anywhere is dropped from every
+    document — boilerplate (headers, navbars, license blocks) vanishes
+    even when the documents containing it are otherwise unique.
+
+    Scale shape: one shuffle on the chunk text for the global count
+    (at 100 TB, count on xxhash64(chunk) so only 8-byte keys shuffle),
+    one shuffle on doc_id to reassemble. The rebuild keeps original
+    chunk order via a pos-sorted array fold — no Python, no collect."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    nchunks = F.ceil(n / F.lit(float(_CHUNK))).cast("int")
+    # sequence(0, k-1) DESCENDS for k < 1 — guard the empty-doc edge.
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), nchunks - 1),
+            lambda c: F.array_join(F.slice(toks, c * _CHUNK + 1, _CHUNK), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ch = d.select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+    flagged = ch.withColumn("cnt", F.count("*").over(W.partitionBy("chunk")))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("cnt") <= 1, F.struct("pos", "chunk")))
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+# -- token-budget sequence packing ----------------------------------------
+
+_SEQ_BUDGET = 2048  # tokens per packed training sequence
+
+
+@register(
+    "pack_sequences",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  - n_tokens AS BIGINT) AS start_tok
+      FROM t
+    )
+    SELECT doc_id, n_tokens, start_tok,
+           start_tok // {_SEQ_BUDGET} AS seq_id
+    FROM c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: documents are laid out in doc_id
+    order into a contiguous token stream and assigned to the
+    2048-token sequence their first token lands in (pack-and-spill: a
+    document straddling a boundary belongs to the sequence it starts
+    in; the trainer's collator handles the tail).
+
+    The global prefix sum is the scale hazard — a naive
+    `Window.orderBy(doc_id)` with no partitionBy drags the whole corpus
+    through ONE task. This computes it in two phases instead:
+    per-range-partition token subtotals (one tiny row per partition)
+    come to the driver, become prefix offsets, broadcast back, and the
+    running sum runs per-partition — every task windows only its own
+    range. The collect is #partitions rows, not data."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    part = (
+        d.repartitionByRange(32, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    # Pin the partition assignment: the plan below runs two actions
+    # (subtotals, final) and both must see identical pids.
+    part = part.localCheckpoint(eager=True)
+    subtotals = part.groupBy("pid").agg(F.sum("n_tokens").alias("sub")).collect()
+    offsets, run = [], 0
+    for r in sorted(subtotals, key=lambda r: r["pid"]):  # range parts are ordered
+        offsets.append((r["pid"], run))
+        run += r["sub"]
+    off = spark.createDataFrame(offsets, "pid int, offset long")
+    w = W.partitionBy("pid").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        part.join(F.broadcast(off), "pid")
+        .withColumn(
+            "start_tok",
+            (F.sum("n_tokens").over(w) - F.col("n_tokens") + F.col("offset")).cast("long"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start_tok",
+            F.expr(f"start_tok div {_SEQ_BUDGET}").alias("seq_id"),
+        )
+    )
+
+
+# -- Gopher repetition signals --------------------------------------------
+
+
+@register(
+    "text_repetition",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    bge AS (
+      SELECT doc_id, unnest(
+        list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                       i -> array_to_string(toks[i:i+1], ' '))) AS b
+      FROM t
+    ),
+    cnt AS (SELECT doc_id, b, count(*) AS c FROM bge GROUP BY doc_id, b),
+    agg AS (
+      SELECT doc_id, sum(c) AS total_bg, count(*) AS distinct_bg, max(c) AS top_bg
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           floor((1 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                      / CAST(nullif(len(toks), 0) AS DOUBLE)) * 10000 + 0.5)
+             / 10000 AS dup_token_frac,
+           floor((1 - CAST(distinct_bg AS DOUBLE)
+                      / CAST(nullif(total_bg, 0) AS DOUBLE)) * 10000 + 0.5)
+             / 10000 AS dup_bigram_frac,
+           floor(CAST(top_bg AS DOUBLE)
+                 / CAST(nullif(total_bg, 0) AS DOUBLE) * 10000 + 0.5)
+             / 10000 AS top_bigram_frac
+    FROM t JOIN agg USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-token fraction,
+    duplicate-bigram fraction, and the share of the single most
+    frequent bigram — the standard gates for looped/spammy text. Token
+    stats are in-array higher-order folds (no shuffle); the bigram
+    frequency table needs a per-(doc, bigram) count — two doc_id-keyed
+    shuffles that AQE coalesces. Rendering uses floor(x*1e4 + 0.5)/1e4
+    rather than round(): identical doubles floor identically in every
+    engine, while round() half-up/half-even policies diverge on exact
+    decimal midpoints (e.g. a ratio of 1/128)."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    t = d.select("doc_id", toks.alias("toks"), F.size(toks).cast("long").alias("n_tokens"))
+
+    def fixed4(col):
+        return F.floor(col * 10000 + F.lit(0.5)) / 10000
+
+    # sequence(1, k) DESCENDS for k < 1 — emit no bigrams for 0/1-token docs
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.array_join(F.slice("toks", i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bge = t.select("doc_id", F.explode(bigrams).alias("b"))
+    cnt = bge.groupBy("doc_id", "b").count()
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("count").cast("long").alias("total_bg"),
+        F.count("*").cast("long").alias("distinct_bg"),
+        F.max("count").cast("long").alias("top_bg"),
+    )
+    return t.join(agg, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        fixed4(
+            1
+            - F.size(F.array_distinct("toks")).cast("double")
+            / F.nullif(F.col("n_tokens"), F.lit(0)).cast("double")
+        ).alias("dup_token_frac"),
+        fixed4(
+            1 - F.col("distinct_bg").cast("double") / F.nullif(F.col("total_bg"), F.lit(0)).cast("double")
+        ).alias("dup_bigram_frac"),
+        fixed4(
+            F.col("top_bg").cast("double") / F.nullif(F.col("total_bg"), F.lit(0)).cast("double")
+        ).alias("top_bigram_frac"),
     )

@@ -203,3 +203,28 @@ def test_runtime_bloom_filter_semijoin_pushdown(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# -- round-3 pipeline additions ------------------------------------------
+
+
+def test_pack_sequences_has_no_single_partition_window(spark):
+    # the global prefix sum is two-phase (per-partition subtotals +
+    # broadcast offsets) — a naive Window.orderBy with no partitionBy
+    # would show as Exchange SinglePartition and serialize the corpus
+    # through one task
+    plan = _plan(spark, "pack_sequences")
+    assert "SinglePartition" not in plan
+    assert "Broadcast" in plan  # offsets join is a broadcast
+
+
+def test_dedup_lines_global_no_python_no_single_partition(spark):
+    plan = _plan(spark, "dedup_lines_global")
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_text_repetition_no_python_no_single_partition(spark):
+    plan = _plan(spark, "text_repetition")
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

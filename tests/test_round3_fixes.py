@@ -230,3 +230,56 @@ def test_verify_local_compare_is_dtype_strict():
     problems = verify_local.compare("x", a, b)
     assert problems and "dtype kind" in problems[0]
     assert not verify_local.compare("x", a, a.copy())
+
+
+# -- round-3 pipeline operators: semantic invariants ----------------------
+
+
+def test_pack_sequences_token_stream_is_contiguous(spark):
+    from emdrive_spark import registry
+
+    from .conftest import SF_SMOKE
+
+    rows = (
+        registry.queries()["pack_sequences"](spark, SF_SMOKE)
+        .orderBy("doc_id")
+        .collect()
+    )
+    # offsets tile the stream exactly: each doc starts where the
+    # previous ended, and seq_id is the 2048-token bucket of start_tok
+    run = 0
+    for r in rows:
+        assert r["start_tok"] == run
+        assert r["seq_id"] == r["start_tok"] // 2048
+        run += r["n_tokens"]
+
+
+def test_dedup_lines_global_removes_shared_chunks(spark):
+    from emdrive_spark import registry
+
+    from .conftest import SF_SMOKE
+
+    df = registry.queries()["dedup_lines_global"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert all(0 <= r["n_removed"] <= r["n_chunks"] for r in rows)
+    # the fixture corpus contains duplicate documents (dedup_exact
+    # finds them), so their chunks repeat corpus-wide and must go
+    assert any(r["n_removed"] > 0 for r in rows)
+    # a clean doc round-trips: kept chunks joined = original token run
+    kept = {r["doc_id"]: r for r in rows}
+    assert all(
+        (r["clean_text"] == "") == (r["n_removed"] == r["n_chunks"]) for r in rows
+    )
+    assert kept  # non-empty result
+
+
+def test_text_repetition_fractions_bounded(spark):
+    from emdrive_spark import registry
+
+    from .conftest import SF_SMOKE
+
+    rows = registry.queries()["text_repetition"](spark, SF_SMOKE).collect()
+    for r in rows:
+        assert 0.0 <= r["dup_token_frac"] <= 1.0
+        assert 0.0 <= r["dup_bigram_frac"] <= 1.0
+        assert 0.0 < r["top_bigram_frac"] <= 1.0
