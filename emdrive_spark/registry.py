@@ -135,6 +135,9 @@ _ROUND_WINDOW = (
     "agg_conditional",
     "pivot_sum",
     "gen_now",
+    # r2 changed this op's output (array→CSV serialization) after its
+    # r1 green row — re-verify under the new shape (r2 advisor note)
+    "agg_collect_sorted",
 )
 
 _loaded = False

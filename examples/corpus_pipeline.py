@@ -66,11 +66,36 @@ def main() -> None:
     phash = q["mm_phash_dedup"].fn(spark, sf_dir)
     print(f"payload-hash dup pairs (hamming ≤ 3): {phash.count()}")
 
+    # 4e. Boilerplate removal: corpus-wide duplicate-chunk dedup
+    lines = q["dedup_lines_global"].fn(spark, sf_dir)
+    removed = lines.agg(
+        F.sum("n_removed").alias("chunks_removed"), F.sum("n_chunks").alias("chunks_total")
+    ).collect()[0]
+    print(
+        f"boilerplate chunks removed: {removed['chunks_removed']} "
+        f"of {removed['chunks_total']}"
+    )
+
     # 5. Benchmark contamination: training docs overlapping the eval slice
     contam = q["contamination_ngram"].fn(spark, sf_dir)
     worst = contam.orderBy(F.desc("contamination")).limit(5)
     print("== most contaminated training docs ==")
     worst.show()
+
+    # 6. Repetition gate: drop looped/spammy docs before packing
+    rep = q["text_repetition"].fn(spark, sf_dir)
+    spammy = rep.filter("dup_bigram_frac > 0.9 OR top_bigram_frac > 0.3").count()
+    print(f"docs failing the repetition gate: {spammy}")
+
+    # 7. Sequence packing: lay the surviving stream into 2048-token bins
+    packed = q["pack_sequences"].fn(spark, sf_dir)
+    stats = packed.groupBy("seq_id").agg(F.sum("n_tokens").alias("seq_tokens"))
+    print("== packed-sequence fill (tokens per 2048 budget) ==")
+    stats.agg(
+        F.count("*").alias("n_seqs"),
+        F.min("seq_tokens").alias("min"),
+        F.max("seq_tokens").alias("max"),
+    ).show()
 
     spark.stop()
 
