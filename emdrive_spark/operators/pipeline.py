@@ -360,13 +360,16 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
     )
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     part = (
-        d.repartitionByRange(32, "doc_id")
+        d.repartitionByRange(nparts, "doc_id")
         .sortWithinPartitions("doc_id")
         .withColumn("pid", F.spark_partition_id())
     )
     # Pin the partition assignment: the plan below runs two actions
-    # (subtotals, final) and both must see identical pids.
+    # (subtotals, final) and both must see identical pids. Only the
+    # 2-column projection (doc_id, n_tokens) is checkpointed — tiny
+    # relative to the corpus, even at 100 TB of text.
     part = part.localCheckpoint(eager=True)
     subtotals = part.groupBy("pid").agg(F.sum("n_tokens").alias("sub")).collect()
     offsets, run = [], 0
