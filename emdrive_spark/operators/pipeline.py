@@ -393,6 +393,77 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- domain mixing --------------------------------------------------------
+
+# Head sources get explicit down-weights; every other source shares the
+# remaining probability mass equally. min(1, target·N/count) caps at
+# keep-everything — filtering can only downsample.
+_MIX_HEAD = {"src0": 0.01, "src1": 0.02}
+_MIX_REST = 1.0 - sum(_MIX_HEAD.values())
+
+
+@register(
+    "sample_domain_mix",
+    oracle=f"""
+    WITH counts AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total, count(*) AS n_sources
+            FROM counts),
+    rates AS (
+      SELECT source,
+             least(1.0,
+                   (CASE WHEN source = 'src0' THEN {_MIX_HEAD["src0"]}
+                         WHEN source = 'src1' THEN {_MIX_HEAD["src1"]}
+                         ELSE {_MIX_REST} / (n_sources - 2) END)
+                   * n_total / cnt) AS rate
+      FROM counts, tot
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r USING (source)
+    WHERE r.rate >= 1.0
+       OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+          < lpad(lower(hex(CAST(floor(r.rate * 4294967296) AS BIGINT))), 8, '0')
+    """,
+)
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: resample the corpus toward target per-source
+    proportions (down-weight over-represented head domains, keep the
+    tail whole). Acceptance rate per source is min(1, target_share ·
+    N_total / N_source), applied as a deterministic md5-prefix
+    threshold — the same rows survive on any engine, partitioning, or
+    run, so the mix is reproducible and joins stay aligned.
+
+    Scale shape: the per-source rate table is |sources| rows — computed
+    with one tiny aggregation and BROADCAST back; the corpus side is a
+    pure filter (pushdown-friendly, no shuffle of documents). The rate
+    arithmetic keeps one association order (share · N) / count so the
+    float threshold is bit-identical across engines."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").cast("double").alias("n_total"), F.count("*").alias("n_sources")
+    )
+    share = (
+        F.when(F.col("source") == "src0", F.lit(_MIX_HEAD["src0"]))
+        .when(F.col("source") == "src1", F.lit(_MIX_HEAD["src1"]))
+        .otherwise(F.lit(_MIX_REST) / (F.col("n_sources") - 2))
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(F.lit(1.0), share * F.col("n_total") / F.col("cnt")).alias("rate"),
+    )
+    thr = F.lpad(
+        F.lower(F.hex(F.floor(F.col("rate") * 4294967296).cast("bigint"))), 8, "0"
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(
+            (F.col("rate") >= 1.0)
+            | (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < thr)
+        )
+        .select("doc_id", "source")
+    )
+
+
 # -- Gopher repetition signals --------------------------------------------
 
 

@@ -228,3 +228,14 @@ def test_text_repetition_no_python_no_single_partition(spark):
     plan = _plan(spark, "text_repetition")
     assert "SinglePartition" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sample_domain_mix_broadcasts_rates(spark):
+    # the per-source rate table broadcasts onto the corpus scan; the
+    # single-partition exchanges in the plan belong to the |sources|-row
+    # rate computation, never to the documents side (which is a pure
+    # scan + broadcast-probe + filter)
+    plan = _plan(spark, "sample_domain_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
