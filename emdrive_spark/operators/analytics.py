@@ -340,6 +340,39 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_parquet_evolve",
+    oracle="""
+    SELECT n_nationkey, n_name, CAST(NULL AS INT) AS n_regionkey
+    FROM nation WHERE n_nationkey < 10
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_nationkey >= 10
+    """,
+)
+def source_parquet_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a parquet directory (§2.1 external formats;
+    ABSENT in reference): an old batch written without a column and a
+    new batch written with it, read back as ONE table via
+    ``mergeSchema`` — the lake-format pattern where columns appear over
+    time and old files surface NULLs. At 100 TB, schema merge is a
+    footer-only operation (no data rewrite); per-file projection
+    happens at scan time."""
+    path = _roundtrip_dir("evolve")
+    nation = load(spark, sf_dir, "nation")
+    old = nation.filter(F.col("n_nationkey") < 10).select("n_nationkey", "n_name")
+    new = nation.filter(F.col("n_nationkey") >= 10).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    old.write.mode("overwrite").parquet(os.path.join(path, "batch=old"))
+    new.write.mode("overwrite").parquet(os.path.join(path, "batch=new"))
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(os.path.join(path, "batch=old"), os.path.join(path, "batch=new"))
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@register(
     "source_range",
     oracle="SELECT CAST(range AS BIGINT) AS id, range * 2 AS doubled FROM range(0, 1000)",
 )
