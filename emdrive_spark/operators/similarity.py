@@ -429,3 +429,78 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("pca4"),
     )
+
+
+@register("ann_recall", oracle=None)  # evaluates MLlib KMeans cells → engine-specific
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 evaluation of the IVF probe path against exact
+    brute-force, per query — the honesty meter for every approximate
+    similarity op in this module (rows-only ops claim "recall tunes
+    via nProbe"; this measures it).
+
+    Fully distributed: queries (every 100th vector) broadcast against
+    the corpus for the exact top-k (window rank, no global sort);
+    probed cells come from ranking the 16-row centroid table per query;
+    the approximate top-k reranks only vectors in probed cells. Recall
+    = |approx ∩ exact| / k via an equi-join on (q_id, vec_id). The only
+    driver-side data is the centroid matrix (k_cells rows — the same
+    broadcast an IVF index ships to executors at 100 TB)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.window import Window as W
+
+    k_cells, n_probe, k = 16, 4, 10
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(k=k_cells, seed=42, featuresCol="features", predictionCol="cell").fit(emb)
+    assigned = model.transform(emb).select(
+        "vec_id", "cell", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    queries = assigned.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+
+    # exact top-k per query: distance fused into the scan, one window
+    wq = W.partitionBy("q_id").orderBy("dist", "vec_id")
+    exact = (
+        assigned.crossJoin(F.broadcast(queries))
+        .withColumn("dist", F.round(l2(F.col("emb"), F.col("q_emb")), 6))
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id")
+    )
+
+    # nProbe nearest cells per query (centroid table is tiny)
+    probed = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("cdist", F.round(l2(F.col("q_emb"), F.col("centroid")), 6))
+        .withColumn("rk", F.row_number().over(W.partitionBy("q_id").orderBy("cdist", "cell")))
+        .filter(F.col("rk") <= n_probe)
+        .select("q_id", "q_emb", "cell")
+    )
+
+    # approximate top-k: rerank only vectors in probed cells
+    approx = (
+        assigned.join(F.broadcast(probed), "cell")
+        .withColumn("dist", F.round(l2(F.col("emb"), F.col("q_emb")), 6))
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id")
+    )
+
+    hits = exact.join(approx, ["q_id", "vec_id"]).groupBy("q_id").count()
+    return (
+        queries.select("q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("count"), F.lit(0)).cast("long").alias("n_found"),
+            (F.coalesce(F.col("count"), F.lit(0)) / F.lit(float(k))).alias("recall_at_10"),
+        )
+    )

@@ -283,3 +283,19 @@ def test_text_repetition_fractions_bounded(spark):
         assert 0.0 <= r["dup_token_frac"] <= 1.0
         assert 0.0 <= r["dup_bigram_frac"] <= 1.0
         assert 0.0 < r["top_bigram_frac"] <= 1.0
+
+
+def test_ann_recall_bounds(spark):
+    """IVF probe recall@10 vs exact brute force: the query's own vector
+    is always in its own cell (recall ≥ 0.1 per query); with 4/16 cells
+    probed the measured mean stays well above coin-flip."""
+    from emdrive_spark import registry
+
+    from .conftest import SF_ORACLE
+
+    rows = registry.queries()["ann_recall"](spark, SF_ORACLE).collect()
+    assert rows, "no query rows"
+    assert all(r["n_found"] >= 1 for r in rows)
+    assert all(0.0 <= r["recall_at_10"] <= 1.0 for r in rows)
+    mean = sum(r["recall_at_10"] for r in rows) / len(rows)
+    assert mean >= 0.5
