@@ -258,3 +258,66 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .distinct()
     )
+
+
+_SHARD_BYTES = 16_384  # bytes per output shard (WebDataset-style)
+
+
+@register(
+    "mm_shard_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_bytes,
+             CAST(sum(n_bytes) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  - n_bytes AS BIGINT) AS start_byte
+      FROM t
+    )
+    SELECT doc_id, n_bytes, start_byte,
+           start_byte // {_SHARD_BYTES} AS shard_id
+    FROM c
+    """,
+)
+def mm_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard assignment: payloads laid out in doc_id
+    order into size-bounded shards (a media corpus ships as ~equal tar
+    shards so training can stream them sequentially). Same two-phase
+    prefix sum as pipeline.pack_sequences — per-range-partition byte
+    subtotals to the driver, offsets broadcast back, per-partition
+    window — so no single-partition exchange at any scale; only
+    (doc_id, n_bytes) move, never payloads."""
+    from pyspark.sql.window import Window as W
+
+    d = _pack(spark, sf_dir).select(
+        "doc_id", F.octet_length("payload").cast("long").alias("n_bytes")
+    )
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    part = (
+        d.repartitionByRange(nparts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin pids across the two actions
+    )
+    subtotals = part.groupBy("pid").agg(F.sum("n_bytes").alias("sub")).collect()
+    offsets, run = [], 0
+    for r in sorted(subtotals, key=lambda r: r["pid"]):
+        offsets.append((r["pid"], run))
+        run += r["sub"]
+    off = spark.createDataFrame(offsets, "pid int, offset long")
+    w = W.partitionBy("pid").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        part.join(F.broadcast(off), "pid")
+        .withColumn(
+            "start_byte",
+            (F.sum("n_bytes").over(w) - F.col("n_bytes") + F.col("offset")).cast("long"),
+        )
+        .select(
+            "doc_id",
+            "n_bytes",
+            "start_byte",
+            F.expr(f"start_byte div {_SHARD_BYTES}").alias("shard_id"),
+        )
+    )
