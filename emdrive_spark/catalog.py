@@ -28,6 +28,11 @@ from emdrive_spark.types import EmdriveType
 
 DEFAULT_SCHEMA = "main"
 
+# INSERTs between lineage truncations (Catalog.insert) — high enough to
+# keep checkpoint cost off the common path, low enough that plan depth
+# stays bounded for ingest loops.
+_CHECKPOINT_EVERY_INSERTS = 32
+
 
 @dataclass
 class TableEntry:
@@ -35,6 +40,7 @@ class TableEntry:
     schema_name: str
     columns: tuple[ast.ColumnDef, ...]
     df: DataFrame
+    inserts: int = 0  # since last lineage truncation (see Catalog.insert)
 
     @property
     def pk(self) -> ast.ColumnDef:
@@ -132,6 +138,15 @@ class Catalog:
             )
 
         entry.df = entry.df.unionByName(batch)
+        # Lineage hygiene: every INSERT stacks a Union node, so a
+        # long-lived table would accrete an unbounded plan (analyzer
+        # time grows per statement, eventually StackOverflow). Truncate
+        # the chain periodically — the checkpoint materializes only
+        # this table's rows, and the PK anti-join above already reads
+        # the data each INSERT anyway.
+        entry.inserts += 1
+        if entry.inserts % _CHECKPOINT_EVERY_INSERTS == 0:
+            entry.df = entry.df.localCheckpoint(eager=True)
         entry.df.createOrReplaceTempView(entry.name)
         self.refresh_system_views()
         return len(py_rows)

@@ -299,3 +299,18 @@ def test_ann_recall_bounds(spark):
     assert all(0.0 <= r["recall_at_10"] <= 1.0 for r in rows)
     mean = sum(r["recall_at_10"] for r in rows) / len(rows)
     assert mean >= 0.5
+
+
+def test_insert_lineage_truncates(engine):
+    """Ingest loops must not accrete an unbounded Union plan: after the
+    checkpoint threshold the table's plan is a materialized scan, and
+    every row is still present with PK enforcement intact."""
+    engine.execute("CREATE TABLE ingest_loop (id UINT32 PRIMARY KEY, v UINT32)")
+    for i in range(34):
+        engine.execute(f"INSERT INTO ingest_loop (id, v) VALUES ({i}, {i * 2})")
+    df = engine.catalog.get("ingest_loop").df
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in analyzed or "Union" not in analyzed
+    assert engine.execute("SELECT id FROM ingest_loop").count() == 34
+    with pytest.raises(EmdriveValidationError, match="PRIMARY KEY"):
+        engine.execute("INSERT INTO ingest_loop (id, v) VALUES (5, 0)")
