@@ -105,3 +105,45 @@ def test_tokenizer_never_crashes_unexpectedly(s):
         tokenize(s)
     except EmdriveSyntaxError:
         pass
+
+
+# -- round-3 guard/splitter properties ------------------------------------
+
+from emdrive_spark.engine import is_query, rewrite_at_distance  # noqa: E402
+from emdrive_spark.sql.tokenizer import split_statements  # noqa: E402
+
+literal_body = st.text(
+    st.characters(codec="ascii", exclude_characters="'\"`\\\n"), max_size=20
+)
+
+
+@given(st.lists(literal_body, min_size=1, max_size=5))
+@settings(max_examples=200)
+def test_split_statements_semicolons_in_literals_never_split(bodies):
+    """A ';' inside a string literal is content for ANY literal body —
+    the splitter returns exactly one piece per top-level statement."""
+    stmts = [f"SELECT '{b};tail' AS s" for b in bodies]
+    out = split_statements("; ".join(stmts))
+    assert len(out) == len(stmts)
+    for piece, b in zip(out, bodies):
+        assert f"'{b};tail'" in piece
+
+
+@given(literal_body)
+@settings(max_examples=200)
+def test_is_query_ignores_mutation_keywords_inside_literals(body):
+    """Mutation keywords are only mutations OUTSIDE strings/comments."""
+    assert is_query(f"WITH t AS (SELECT 'INSERT {body}' AS s) SELECT s FROM t")
+    assert is_query(f"WITH t AS (SELECT 1) /* DELETE {body} */ SELECT 1")
+    assert not is_query(
+        f"WITH t AS (SELECT '{body}' AS s) INSERT INTO x SELECT s FROM t"
+    )
+
+
+@given(literal_body)
+@settings(max_examples=200)
+def test_at_rewrite_never_touches_masked_spans(body):
+    """`@` inside double-quoted strings, single-quoted strings, or
+    comments survives the rewrite verbatim."""
+    sql = f"SELECT \"a @ b\" AS x, '{body} @ y' AS s FROM t -- z @ w"
+    assert rewrite_at_distance(sql) == sql
