@@ -49,6 +49,11 @@ def main() -> None:
     print("== post-rebalance language mix ==")
     sample.groupBy("lang").count().orderBy("lang").show()
 
+    # 3b. Domain mixing: down-weight over-represented head sources
+    mix = q["sample_domain_mix"].fn(spark, sf_dir)
+    print("== post-mix head sources (src0/src1 down-weighted) ==")
+    mix.groupBy("source").count().orderBy("source").show(5)
+
     # 4. Near-dedup: minhash signature clusters (keep the min doc_id)
     clusters = q["dedup_minhash_det"].fn(spark, sf_dir)
     n_dupes = clusters.filter("dup_count > 1").count()
