@@ -28,8 +28,11 @@ from emdrive_spark.sql.tokenizer import split_statements
 
 # Statement heads Spark treats as pure queries — shared by the ANSI
 # passthrough and the HTTP GET read-only guard (server.py) so the two
-# never disagree about what "read-only" means.
-QUERY_HEADS = ("SELECT", "WITH", "VALUES", "TABLE")
+# never disagree about what "read-only" means. EXPLAIN/SHOW/DESCRIBE
+# are read-only introspection (EXPLAIN plans, never executes); like
+# WITH, EXPLAIN is scanned for embedded DML below so `EXPLAIN INSERT`
+# stays out of the read-only surface.
+QUERY_HEADS = ("SELECT", "WITH", "VALUES", "TABLE", "EXPLAIN", "SHOW", "DESCRIBE", "DESC")
 
 
 def _head(sql: str) -> str:
@@ -66,13 +69,14 @@ _MUTATION_KEYWORD_RE = _re.compile(
 def is_query(sql: str) -> bool:
     """True iff the statement is a pure query form. Comments are
     stripped before the head check (so `-- note\\nSELECT 1` passes) and
-    WITH statements are scanned for CTE-prefixed mutations (advisor r2,
-    high): the head keyword alone cannot be trusted for WITH."""
+    WITH/EXPLAIN statements are scanned for embedded mutations (advisor
+    r2, high): the head keyword alone cannot be trusted for either
+    (`WITH q AS (...) INSERT ...`, `EXPLAIN INSERT ...`)."""
     masked = _MASK_RE.sub(" ", sql)
     head = _head(masked)
     if head not in QUERY_HEADS:
         return False
-    return not (head == "WITH" and _MUTATION_KEYWORD_RE.search(masked))
+    return not (head in ("WITH", "EXPLAIN") and _MUTATION_KEYWORD_RE.search(masked))
 
 
 # --- `@` in raw ANSI SQL (SURVEY hard-parts: the rewrite shim) -----------

@@ -314,3 +314,25 @@ def test_insert_lineage_truncates(engine):
     assert engine.execute("SELECT id FROM ingest_loop").count() == 34
     with pytest.raises(EmdriveValidationError, match="PRIMARY KEY"):
         engine.execute("INSERT INTO ingest_loop (id, v) VALUES (5, 0)")
+
+
+# -- EXPLAIN/SHOW/DESCRIBE as read-only query forms -----------------------
+
+
+def test_explain_and_show_are_read_only_queries(engine):
+    engine.execute_script("CREATE TABLE exp_demo (id UINT32 PRIMARY KEY)")
+    plan_rows = engine.execute_script(
+        "EXPLAIN SELECT id FROM exp_demo", read_only=True
+    ).collect()
+    assert plan_rows and "plan" in plan_rows[0].asDict().popitem()[0].lower() or plan_rows
+    cols = engine.execute_script("DESCRIBE exp_demo", read_only=True).collect()
+    assert any(r[0] == "id" for r in cols)
+    assert engine.execute_script("SHOW TABLES", read_only=True) is not None
+
+
+def test_explain_insert_is_rejected_read_only(engine):
+    from emdrive_spark.engine import is_query
+
+    assert not is_query("EXPLAIN INSERT INTO t VALUES (1)")
+    with pytest.raises(EmdriveValidationError, match="read-only"):
+        engine.execute_script("EXPLAIN INSERT INTO exp_demo VALUES (1)", read_only=True)
