@@ -336,3 +336,39 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("zscore"),
         (F.abs(z) > 3).alias("is_anomaly"),
     )
+
+
+@register(
+    "json_roundtrip_nested",
+    oracle="""
+    SELECT event_id, event_type AS type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           event_id AS second_id
+    FROM events
+    """,
+)
+def json_roundtrip_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON machinery check (§2.8 depth beyond the flat
+    json_extract_props): build a nested document per event with
+    to_json(struct(..., struct(...), array(...))), reparse with an
+    explicit from_json schema, and extract nested fields + an array
+    element. The oracle states the expected values straight from the
+    source columns, so ANY corruption in the serialize→parse→extract
+    chain shows as a mismatch. One projection — JSON functions are
+    JVM-side, no shuffle, no Python."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.struct(F.col("event_type").alias("type"), k.alias("k")).alias("meta"),
+            F.array(F.col("user_id"), F.col("event_id")).alias("ids"),
+        )
+    )
+    parsed = F.from_json(doc, "id long, meta struct<type:string,k:long>, ids array<long>")
+    return ev.select(
+        "event_id",
+        parsed["meta"]["type"].alias("type"),
+        parsed["meta"]["k"].alias("k"),
+        parsed["ids"][1].alias("second_id"),
+    )
