@@ -843,6 +843,56 @@ def str_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRGM_PROBE = "promo burnished copper"
+_TRGM_SET = sorted({_TRGM_PROBE[i : i + 3] for i in range(len(_TRGM_PROBE) - 2)})
+_TRGM_SQL = "[" + ", ".join(f"'{t}'" for t in _TRGM_SET) + "]"
+
+
+@register(
+    "str_trgm_similarity",
+    oracle=f"""
+    WITH t AS (
+      SELECT p_partkey,
+             list_distinct(list_transform(range(1, greatest(len(p_name) - 2, 0) + 1),
+                                          i -> substr(p_name, i, 3))) AS tg
+      FROM part
+    )
+    SELECT p_partkey,
+           CAST(len(list_intersect(tg, {_TRGM_SQL})) AS BIGINT) AS n_shared,
+           floor(CAST(len(list_intersect(tg, {_TRGM_SQL})) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(tg, {_TRGM_SQL}))) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS trgm_jaccard
+    FROM t
+    """,
+)
+def str_trgm_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-set Jaccard similarity against a probe string — the
+    pg_trgm-style fuzzy match (robust to word order and partial edits,
+    where levenshtein is position-bound). Trigram extraction and set
+    algebra are higher-order array expressions per row: no shuffle, no
+    Python. At corpus scale the probe set (here 20 trigrams) broadcasts
+    as a literal; an any-to-any fuzzy join would instead explode
+    trigrams and equi-join on them (the dedup_ngram shape)."""
+    p = load(spark, sf_dir, "part")
+    name = F.col("p_name")
+    tg = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(name) - 2, F.lit(1))),
+            lambda i: name.substr(i, F.lit(3)),
+        )
+    )
+    probe = F.array(*[F.lit(t) for t in _TRGM_SET])
+    inter = F.size(F.array_intersect(tg, probe))
+    union = F.size(F.array_union(tg, probe))
+    return p.select(
+        "p_partkey",
+        inter.cast("long").alias("n_shared"),
+        (F.floor(inter.cast("double") / union.cast("double") * 10000 + F.lit(0.5)) / 10000).alias(
+            "trgm_jaccard"
+        ),
+    )
+
+
 @register(
     "topk_per_group",
     oracle="""

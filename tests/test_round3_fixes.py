@@ -336,3 +336,19 @@ def test_explain_insert_is_rejected_read_only(engine):
     assert not is_query("EXPLAIN INSERT INTO t VALUES (1)")
     with pytest.raises(EmdriveValidationError, match="read-only"):
         engine.execute_script("EXPLAIN INSERT INTO exp_demo VALUES (1)", read_only=True)
+
+
+def test_streaming_pins_utc_for_foreign_sessions(spark):
+    """events_stream must force a UTC session (advisor r2): in a
+    non-whole-window offset timezone (+05:45) the NTZ→LTZ→NTZ window
+    round-trip would shift window_start vs the batch/oracle answer."""
+    from emdrive_spark.streaming.events import events_stream
+
+    from .conftest import SF_SMOKE
+
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+    try:
+        events_stream(spark, SF_SMOKE)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
