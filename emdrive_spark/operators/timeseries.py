@@ -372,3 +372,45 @@ def json_roundtrip_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed["meta"]["k"].alias("k"),
         parsed["ids"][1].alias("second_id"),
     )
+
+
+@register(
+    "events_ohlc",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+           arg_min(value, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                          || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           arg_max(value, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                          || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars (open/high/low/close per hour per event_type) — the
+    candlestick downsample every time-series store ships. open/close
+    are min_by/max_by on the (ts, event_id) composite, so ties at a
+    bucket boundary resolve identically in any engine; one shuffle on
+    the (bucket, type) key with full map-side partial aggregation."""
+    ev = load(spark, sf_dir, "events")
+    # DuckDB arg_min/arg_max take only scalar sort keys, so the
+    # (ts, event_id) composite rides as a fixed-width lexicographic
+    # string — micros-precision timestamp then zero-padded id.
+    order_key = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", order_key).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.max_by("value", order_key).alias("close"),
+            F.count("*").alias("n"),
+        )
+        .select(F.col("w.start").alias("bucket"), "event_type", "open", "high", "low", "close", "n")
+    )
