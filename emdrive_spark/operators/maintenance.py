@@ -193,3 +193,56 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.sum("n").alias("n"), F.sum("total_dec").cast("double").alias("total"))
     )
+
+
+@register(
+    "merge_scd2",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, TIMESTAMP '2020-01-01' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+    FROM customer WHERE c_custkey % 10 <> 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, TIMESTAMP '2020-01-01', TIMESTAMP '2024-06-01', FALSE
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, 'UPDATED', TIMESTAMP '2024-06-01', CAST(NULL AS TIMESTAMP), TRUE
+    FROM customer WHERE c_custkey % 10 = 0
+    """,
+)
+def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 merge: incoming changes CLOSE the current row
+    (valid_to = effective date, is_current = false) and append a new
+    current row, so history survives — the warehouse dimension pattern
+    Delta MERGE + whenMatchedUpdate/whenNotMatchedInsert encodes. The
+    change set (every 10th customer re-segmented) joins the dimension
+    once on the key: unchanged rows pass through an anti-join, closed +
+    new rows derive from the semi side. One key shuffle, rewrite is
+    partition-parallel."""
+    eff = F.lit("2024-06-01 00:00:00").cast("timestamp")
+    base_from = F.lit("2020-01-01 00:00:00").cast("timestamp")
+    dim = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        base_from.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = dim.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", F.lit("UPDATED").alias("new_segment")
+    )
+    unchanged = dim.join(changes, "c_custkey", "left_anti")
+    closed = dim.join(changes.select("c_custkey"), "c_custkey", "left_semi").select(
+        "c_custkey",
+        "c_mktsegment",
+        "valid_from",
+        eff.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = changes.select(
+        "c_custkey",
+        F.col("new_segment").alias("c_mktsegment"),
+        eff.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return unchanged.unionByName(closed).unionByName(opened)
