@@ -148,7 +148,9 @@ class Catalog:
         if entry.inserts % _CHECKPOINT_EVERY_INSERTS == 0:
             entry.df = entry.df.localCheckpoint(eager=True)
         entry.df.createOrReplaceTempView(entry.name)
-        self.refresh_system_views()
+        # no refresh_system_views() here: the system relations expose
+        # DDL metadata only — INSERT never changes them, and the hot
+        # ingest path shouldn't pay two view rebuilds per statement.
         return len(py_rows)
 
     def _materialize_row(

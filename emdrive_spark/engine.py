@@ -24,7 +24,7 @@ from emdrive_spark.functions.generators import now_expr, ulid_expr
 from emdrive_spark.sql import ast
 from emdrive_spark.sql.errors import EmdriveSyntaxError, EmdriveValidationError
 from emdrive_spark.sql.parser import parse_statement
-from emdrive_spark.sql.tokenizer import split_statements
+from emdrive_spark.sql.tokenizer import mask_spans, split_around_spans, split_statements
 
 # Statement heads Spark treats as pure queries — shared by the ANSI
 # passthrough and the HTTP GET read-only guard (server.py) so the two
@@ -42,27 +42,19 @@ def _head(sql: str) -> str:
 
 import re as _re
 
-# Masks every span the keyword scan must not look inside: single/double
-# quoted string literals (Spark accepts both, with backslash escapes AND
-# '' / "" doubling), backquoted identifiers, and -- / /* */ comments.
-_MASK_RE = _re.compile(
-    r"'(?:\\.|''|[^'\\])*'"
-    r'|"(?:\\.|""|[^"\\])*"'
-    r"|`(?:``|[^`])*`"
-    r"|--[^\n]*"
-    r"|/\*.*?\*/",
-    _re.S,
-)
-
 # Spark's grammar allows DML after a CTE prefix (`WITH q AS (...) INSERT
-# INTO ...`, `WITH ... INSERT OVERWRITE DIRECTORY '/path' ...`), so a
-# WITH head alone does not make a statement read-only. Any of these
-# appearing OUTSIDE strings/comments in a WITH statement marks it a
-# mutation. Word-boundary match: identifiers like `insert_count` don't
-# trip it; a bare unquoted column literally named `insert` would — an
-# acceptable false positive for a read-only gate (quote it to use it).
+# INTO ...`, `WITH ... INSERT OVERWRITE DIRECTORY '/path' ...`, and the
+# v2 UPDATE/DELETE/MERGE forms), so a WITH head alone does not make a
+# statement read-only. Any of these appearing OUTSIDE strings/comments
+# in a WITH/EXPLAIN statement marks it a mutation. Word-boundary match:
+# identifiers like `insert_count` don't trip it; a bare unquoted column
+# literally named `insert` would — an acceptable false positive for a
+# read-only gate (quote it to use it). Deliberately NOT listed: REPLACE
+# (a common scalar function; as a statement head it never follows a
+# CTE) and DIRECTORY (INSERT OVERWRITE DIRECTORY is already caught by
+# both INSERT and OVERWRITE).
 _MUTATION_KEYWORD_RE = _re.compile(
-    r"\b(INSERT|OVERWRITE|DIRECTORY|UPDATE|DELETE|MERGE|REPLACE)\b", _re.I
+    r"\b(INSERT|OVERWRITE|UPDATE|DELETE|MERGE)\b", _re.I
 )
 
 
@@ -71,8 +63,10 @@ def is_query(sql: str) -> bool:
     stripped before the head check (so `-- note\\nSELECT 1` passes) and
     WITH/EXPLAIN statements are scanned for embedded mutations (advisor
     r2, high): the head keyword alone cannot be trusted for either
-    (`WITH q AS (...) INSERT ...`, `EXPLAIN INSERT ...`)."""
-    masked = _MASK_RE.sub(" ", sql)
+    (`WITH q AS (...) INSERT ...`, `EXPLAIN INSERT ...`). Masking uses
+    the tokenizer's scan_spans — the same definition of string/comment
+    opacity split_statements splits by."""
+    masked = mask_spans(sql)
     head = _head(masked)
     if head not in QUERY_HEADS:
         return False
@@ -101,18 +95,16 @@ def _conv_literal(tok: str) -> str:
     return tok
 
 
-_MASK_SPLIT_RE = _re.compile(f"({_MASK_RE.pattern})", _re.S)
-
-
 def rewrite_at_distance(sql: str) -> str:
     """Rewrite `a @ b` to `emdrive_hamming(a, b)` outside string
     literals (single- AND double-quoted — Spark treats both as strings),
     backquoted identifiers, and comments (advisor r2: `SELECT "a @ b"`
     or a commented `x @ y` must not be rewritten). Identity for SQL
-    without `@`."""
+    without `@`. Span boundaries come from the tokenizer's scan_spans —
+    the shared lexical-opacity definition."""
     if "@" not in sql:
         return sql
-    parts = _MASK_SPLIT_RE.split(sql)
+    parts = split_around_spans(sql)
     for i in range(0, len(parts), 2):  # even indexes = outside masked spans
         parts[i] = _AT_RE.sub(
             lambda m: (
@@ -182,7 +174,12 @@ class Engine:
             self._persist()
             return None
         if isinstance(stmt, ast.Select):
-            if stmt.table not in self.catalog.tables and self.spark.catalog.tableExists(
+            # Case matters: the managed-table check must be
+            # case-insensitive like Spark temp views are, or
+            # `SELECT * FROM USERS` on managed table `users` would
+            # silently switch from dialect to ANSI semantics.
+            managed = {t.lower() for t in self.catalog.tables}
+            if stmt.table.lower() not in managed and self.spark.catalog.tableExists(
                 stmt.table
             ):
                 # not a managed table but a live temp view — notably the

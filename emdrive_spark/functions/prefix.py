@@ -1,0 +1,52 @@
+"""Distributed global prefix sum — shared by pipeline.pack_sequences
+and multimodal.mm_shard_pack (r3 review: the two had drifted into
+copy-pasted twins of the same machinery).
+
+A naive ``Window.orderBy(key)`` with no partitionBy drags the whole
+dataset through ONE task. This is the classic two-phase scan instead:
+per-range-partition subtotals (one tiny row per partition) come to the
+driver, become prefix offsets, broadcast back, and the running sum runs
+per-partition. The driver touches #partitions rows, never data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def global_prefix_sum(
+    spark: SparkSession,
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Add ``out_col`` = sum of ``weight_col`` over all rows strictly
+    before this one in ``order_col`` order (i.e. each row's exclusive
+    global running total). Input columns pass through unchanged."""
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    part = (
+        df.repartitionByRange(nparts, order_col)
+        .sortWithinPartitions(order_col)
+        .withColumn("__pid", F.spark_partition_id())
+        # Pin the partition assignment: two actions follow (subtotal
+        # collect, final compute) and both must see identical pids.
+        .localCheckpoint(eager=True)
+    )
+    subtotals = part.groupBy("__pid").agg(F.sum(weight_col).alias("sub")).collect()
+    offsets, run = [], 0
+    for r in sorted(subtotals, key=lambda r: r["__pid"]):  # range parts are ordered
+        offsets.append((r["__pid"], run))
+        run += r["sub"]
+    off = spark.createDataFrame(offsets, "__pid int, __offset long")
+    w = W.partitionBy("__pid").orderBy(order_col).rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        part.join(F.broadcast(off), "__pid")
+        .withColumn(
+            out_col,
+            (F.sum(weight_col).over(w) - F.col(weight_col) + F.col("__offset")).cast("long"),
+        )
+        .drop("__pid", "__offset")
+    )

@@ -289,35 +289,14 @@ def mm_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtotals to the driver, offsets broadcast back, per-partition
     window — so no single-partition exchange at any scale; only
     (doc_id, n_bytes) move, never payloads."""
-    from pyspark.sql.window import Window as W
+    from emdrive_spark.functions.prefix import global_prefix_sum
 
     d = _pack(spark, sf_dir).select(
         "doc_id", F.octet_length("payload").cast("long").alias("n_bytes")
     )
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    part = (
-        d.repartitionByRange(nparts, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)  # pin pids across the two actions
-    )
-    subtotals = part.groupBy("pid").agg(F.sum("n_bytes").alias("sub")).collect()
-    offsets, run = [], 0
-    for r in sorted(subtotals, key=lambda r: r["pid"]):
-        offsets.append((r["pid"], run))
-        run += r["sub"]
-    off = spark.createDataFrame(offsets, "pid int, offset long")
-    w = W.partitionBy("pid").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return (
-        part.join(F.broadcast(off), "pid")
-        .withColumn(
-            "start_byte",
-            (F.sum("n_bytes").over(w) - F.col("n_bytes") + F.col("offset")).cast("long"),
-        )
-        .select(
-            "doc_id",
-            "n_bytes",
-            "start_byte",
-            F.expr(f"start_byte div {_SHARD_BYTES}").alias("shard_id"),
-        )
+    return global_prefix_sum(spark, d, "doc_id", "n_bytes", "start_byte").select(
+        "doc_id",
+        "n_bytes",
+        "start_byte",
+        F.expr(f"start_byte div {_SHARD_BYTES}").alias("shard_id"),
     )

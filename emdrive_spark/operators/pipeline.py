@@ -357,39 +357,18 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     come to the driver, become prefix offsets, broadcast back, and the
     running sum runs per-partition — every task windows only its own
     range. The collect is #partitions rows, not data."""
+    from emdrive_spark.functions.prefix import global_prefix_sum
+
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
     )
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    part = (
-        d.repartitionByRange(nparts, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .withColumn("pid", F.spark_partition_id())
-    )
-    # Pin the partition assignment: the plan below runs two actions
-    # (subtotals, final) and both must see identical pids. Only the
-    # 2-column projection (doc_id, n_tokens) is checkpointed — tiny
-    # relative to the corpus, even at 100 TB of text.
-    part = part.localCheckpoint(eager=True)
-    subtotals = part.groupBy("pid").agg(F.sum("n_tokens").alias("sub")).collect()
-    offsets, run = [], 0
-    for r in sorted(subtotals, key=lambda r: r["pid"]):  # range parts are ordered
-        offsets.append((r["pid"], run))
-        run += r["sub"]
-    off = spark.createDataFrame(offsets, "pid int, offset long")
-    w = W.partitionBy("pid").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return (
-        part.join(F.broadcast(off), "pid")
-        .withColumn(
-            "start_tok",
-            (F.sum("n_tokens").over(w) - F.col("n_tokens") + F.col("offset")).cast("long"),
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            "start_tok",
-            F.expr(f"start_tok div {_SEQ_BUDGET}").alias("seq_id"),
-        )
+    # Only the 2-column projection (doc_id, n_tokens) enters the prefix
+    # sum (and its checkpoint) — tiny relative to the corpus at 100 TB.
+    return global_prefix_sum(spark, d, "doc_id", "n_tokens", "start_tok").select(
+        "doc_id",
+        "n_tokens",
+        "start_tok",
+        F.expr(f"start_tok div {_SEQ_BUDGET}").alias("seq_id"),
     )
 
 

@@ -875,12 +875,17 @@ def str_trgm_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigrams and equi-join on them (the dedup_ngram shape)."""
     p = load(spark, sf_dir, "part")
     name = F.col("p_name")
-    tg = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(name) - 2, F.lit(1))),
-            lambda i: name.substr(i, F.lit(3)),
-        )
-    )
+    # strings shorter than 3 chars have NO trigrams — mirror the
+    # oracle's empty set exactly (and dodge sequence(1, k<1) descending)
+    tg = F.when(
+        F.length(name) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(name) - 2),
+                lambda i: name.substr(i, F.lit(3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     probe = F.array(*[F.lit(t) for t in _TRGM_SET])
     inter = F.size(F.array_intersect(tg, probe))
     union = F.size(F.array_union(tg, probe))

@@ -130,19 +130,31 @@ def serve(
     engine = Engine(spark, data_directory=data_directory if explicit else None)
     if os.path.exists(os.path.join(data_directory, "_catalog.json")):
         engine.catalog.restore(data_directory)
-    httpd = ThreadingHTTPServer((host, port), make_handler(engine))
+    httpd = _DrainingHTTPServer((host, port), make_handler(engine))
     httpd.engine = engine  # type: ignore[attr-defined]
     httpd.data_directory = data_directory  # type: ignore[attr-defined]
     return httpd
+
+
+class _DrainingHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer that DRAINS on close: handler threads are
+    non-daemon and ``server_close()`` joins them, so a SIGTERM during a
+    long-running query lets the in-flight response complete before
+    Spark stops — the reference's 'join server + executor' contract
+    (src/server/mod.rs:140-145), not just stop-accepting."""
+
+    daemon_threads = False
+    block_on_close = True
 
 
 def install_shutdown_handlers(server: ThreadingHTTPServer) -> None:
     """Trap SIGINT/SIGTERM and stop the accept loop cleanly — the
     reference's ctrl-c story (src/server/mod.rs:140-145: trap, then
     join server + executor). ``serve_forever`` returns once
-    ``shutdown()`` is called; the caller then closes the socket and
-    stops Spark. ``shutdown()`` must not run on the serve_forever
-    thread (it joins it), hence the helper thread."""
+    ``shutdown()`` is called; the caller then closes the socket (which
+    drains in-flight handlers, see _DrainingHTTPServer) and stops
+    Spark. ``shutdown()`` must not run on the serve_forever thread (it
+    joins it), hence the helper thread."""
     import signal
     import threading
 

@@ -141,69 +141,113 @@ def parse_number(tok: Token) -> int | float:
         ) from None
 
 
-def split_statements(sql: str) -> list[str]:
-    """Split a script into statements on TOP-LEVEL ';' only.
+def scan_spans(sql: str):
+    """Yield (start, end) spans of every region the SQL grammar treats
+    as opaque text: single/double-quoted string literals (backslash
+    escapes AND ''/"" doubling — matching Spark, the engine the pieces
+    are handed to), backquoted identifiers, `--` line comments (the
+    newline stays outside the span), and `/* */` block comments.
 
-    A ';' is content, not a terminator, inside: single- or double-quoted
-    string literals (Spark treats both as strings; both backslash
-    escapes and ''/"" doubling are honored — matching the engine the
-    pieces are handed to), backquoted identifiers, `--` line comments,
-    and `/* */` block comments (advisor r2). Raw-text scan so each
-    piece can be re-tokenized (or handed to Spark's ANSI parser)
-    verbatim — comments stay attached to their statement."""
-    parts: list[str] = []
-    buf: list[str] = []
+    THE single definition of SQL lexical opacity in this codebase:
+    split_statements, mask_spans (the read-only guard), and
+    split_around_spans (the `@` rewrite) all consume it, so the three
+    can never disagree about where a string ends (advisor r2 + r3
+    review: two independent scanners drift)."""
     i, n = 0, len(sql)
-
-    def take(k: int) -> None:
-        nonlocal i
-        buf.append(sql[i : i + k])
-        i += k
-
     while i < n:
         ch = sql[i]
         two = sql[i : i + 2]
         if ch in ("'", '"'):
             q = ch
-            take(1)
-            while i < n:
-                if sql[i] == "\\" and i + 1 < n:
-                    take(2)
-                elif sql[i] == q:
-                    if sql[i : i + 2] == q + q:  # '' / "" doubling
-                        take(2)
+            j = i + 1
+            while j < n:
+                if sql[j] == "\\" and j + 1 < n:
+                    j += 2
+                elif sql[j] == q:
+                    if sql[j : j + 2] == q + q:  # '' / "" doubling
+                        j += 2
                     else:
-                        take(1)
+                        j += 1
                         break
                 else:
-                    take(1)
-            continue
-        if ch == "`":
-            take(1)
-            while i < n:
-                if sql[i : i + 2] == "``":
-                    take(2)
-                elif sql[i] == "`":
-                    take(1)
+                    j += 1
+            yield (i, j)
+            i = j
+        elif ch == "`":
+            j = i + 1
+            while j < n:
+                if sql[j : j + 2] == "``":
+                    j += 2
+                elif sql[j] == "`":
+                    j += 1
                     break
                 else:
-                    take(1)
+                    j += 1
+            yield (i, j)
+            i = j
+        elif two == "--":
+            j = i
+            while j < n and sql[j] != "\n":
+                j += 1
+            yield (i, j)
+            i = j
+        elif two == "/*":
+            j = i + 2
+            while j < n and sql[j : j + 2] != "*/":
+                j += 1
+            j = min(j + 2, n)
+            yield (i, j)
+            i = j
+        else:
+            i += 1
+
+
+def mask_spans(sql: str) -> str:
+    """Blank every opaque span (scan_spans) with spaces — keyword scans
+    over the result can never match inside strings/comments."""
+    out = list(sql)
+    for s, e in scan_spans(sql):
+        out[s:e] = " " * (e - s)
+    return "".join(out)
+
+
+def split_around_spans(sql: str) -> list[str]:
+    """Alternating [outside, span, outside, span, ...] pieces (even
+    indexes are outside every literal/comment); ``"".join`` restores
+    the input verbatim."""
+    parts: list[str] = []
+    last = 0
+    for s, e in scan_spans(sql):
+        parts.append(sql[last:s])
+        parts.append(sql[s:e])
+        last = e
+    parts.append(sql[last:])
+    return parts
+
+
+def split_statements(sql: str) -> list[str]:
+    """Split a script into statements on TOP-LEVEL ';' only — a ';'
+    inside any scan_spans region (string literal, backquoted
+    identifier, comment) is content, not a terminator. Raw-text scan so
+    each piece can be re-tokenized (or handed to Spark's ANSI parser)
+    verbatim — comments stay attached to their statement."""
+    parts: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(sql)
+    spans = iter(scan_spans(sql))
+    cur = next(spans, None)
+    while i < n:
+        if cur and i == cur[0]:
+            buf.append(sql[cur[0] : cur[1]])
+            i = cur[1]
+            cur = next(spans, None)
             continue
-        if two == "--":
-            while i < n and sql[i] != "\n":
-                take(1)
-            continue
-        if two == "/*":
-            take(2)
-            while i < n and sql[i : i + 2] != "*/":
-                take(1)
-            take(2)
-            continue
+        ch = sql[i]
         if ch == ";":
             parts.append("".join(buf))
             buf = []
-            i += 1
-            continue
-        take(1)
+        else:
+            buf.append(ch)
+        i += 1
     parts.append("".join(buf))
     return [p for p in parts if p.strip()]

@@ -47,6 +47,18 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window) shifts window_start vs the batch/oracle computation, and a
     # DST fall-back makes the NTZ→LTZ cast ambiguous (advisor r2).
     # get_spark pins UTC; enforce it here for sessions built elsewhere.
+    # The set must persist (not set-and-restore): streaming evaluation
+    # is lazy, so the TZ matters at query RUN time, long after this
+    # builder returns — hence the loud warning instead of a revert.
+    current_tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if current_tz != "UTC":
+        import logging
+
+        logging.getLogger("emdrive_spark.streaming").warning(
+            "events_stream: pinning spark.sql.session.timeZone=UTC for the whole "
+            "session (was %s) — streaming window semantics require it",
+            current_tz,
+        )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     stream = (
