@@ -81,6 +81,15 @@ class Catalog:
         self.spark = spark
         self.schema_name = schema_name
         self.tables: dict[str, TableEntry] = {}
+        # Mutations are serialized: the HTTP front end is threaded, and
+        # INSERT is a read-modify-write on entry.df (two concurrent
+        # inserts would both union against the same base and the last
+        # writer would silently drop the other's rows). The reference
+        # gets the same guarantee from its single executor loop
+        # (bounded mpsc channel, executor/mod.rs:19).
+        import threading
+
+        self._write_lock = threading.Lock()
         # SQL-queryable from session start, like the reference's
         # bootstrap (system.rs:5-91): the system relations exist (empty)
         # before the first CREATE TABLE.
@@ -90,17 +99,18 @@ class Catalog:
 
     def create_table(self, stmt: ast.CreateTable) -> None:
         stmt.validate()
-        if stmt.name in self.tables:
-            if stmt.if_not_exists:
-                return
-            raise EmdriveValidationError(f"Table {stmt.name} already exists.")
-        df = self.spark.createDataFrame([], schema=spark_schema(stmt.columns))
-        entry = TableEntry(
-            name=stmt.name, schema_name=self.schema_name, columns=stmt.columns, df=df
-        )
-        self.tables[stmt.name] = entry
-        df.createOrReplaceTempView(stmt.name)
-        self.refresh_system_views()
+        with self._write_lock:
+            if stmt.name in self.tables:
+                if stmt.if_not_exists:
+                    return
+                raise EmdriveValidationError(f"Table {stmt.name} already exists.")
+            df = self.spark.createDataFrame([], schema=spark_schema(stmt.columns))
+            entry = TableEntry(
+                name=stmt.name, schema_name=self.schema_name, columns=stmt.columns, df=df
+            )
+            self.tables[stmt.name] = entry
+            df.createOrReplaceTempView(stmt.name)
+            self.refresh_system_views()
 
     def get(self, name: str) -> TableEntry:
         try:
@@ -120,34 +130,40 @@ class Catalog:
         schema = spark_schema(entry.columns)
         batch = self.spark.createDataFrame(py_rows, schema=schema)
 
-        # PK uniqueness (reference enforces exactly-one-PK at DDL,
-        # components.rs:164-169; uniqueness is the B+tree key contract).
-        # Within-batch check driver-side (batch is a VALUES list, small);
-        # against existing data via left-anti join — distributed, no
-        # collect, scales to any table size.
-        pk = entry.pk.name
-        pk_vals = [r[pk] for r in py_rows]
-        if len(set(pk_vals)) != len(pk_vals):
-            raise EmdriveValidationError(
-                f"Duplicate PRIMARY KEY value in INSERT batch for table {stmt.table}."
-            )
-        clashes = batch.join(entry.df.select(pk), on=pk, how="left_semi").limit(1).count()
-        if clashes:
-            raise EmdriveValidationError(
-                f"PRIMARY KEY value already exists in table {stmt.table}."
-            )
+        # Everything from the PK-clash check through the entry.df swap
+        # must be one critical section: the check is check-then-act and
+        # the swap is read-modify-write — a concurrent INSERT between
+        # them would either slip a duplicate PK through or have its
+        # rows silently dropped by the last writer.
+        with self._write_lock:
+            # PK uniqueness (reference enforces exactly-one-PK at DDL,
+            # components.rs:164-169; uniqueness is the B+tree key
+            # contract). Within-batch check driver-side (batch is a
+            # VALUES list, small); against existing data via left-anti
+            # join — distributed, no collect, scales to any table size.
+            pk = entry.pk.name
+            pk_vals = [r[pk] for r in py_rows]
+            if len(set(pk_vals)) != len(pk_vals):
+                raise EmdriveValidationError(
+                    f"Duplicate PRIMARY KEY value in INSERT batch for table {stmt.table}."
+                )
+            clashes = batch.join(entry.df.select(pk), on=pk, how="left_semi").limit(1).count()
+            if clashes:
+                raise EmdriveValidationError(
+                    f"PRIMARY KEY value already exists in table {stmt.table}."
+                )
 
-        entry.df = entry.df.unionByName(batch)
-        # Lineage hygiene: every INSERT stacks a Union node, so a
-        # long-lived table would accrete an unbounded plan (analyzer
-        # time grows per statement, eventually StackOverflow). Truncate
-        # the chain periodically — the checkpoint materializes only
-        # this table's rows, and the PK anti-join above already reads
-        # the data each INSERT anyway.
-        entry.inserts += 1
-        if entry.inserts % _CHECKPOINT_EVERY_INSERTS == 0:
-            entry.df = entry.df.localCheckpoint(eager=True)
-        entry.df.createOrReplaceTempView(entry.name)
+            entry.df = entry.df.unionByName(batch)
+            # Lineage hygiene: every INSERT stacks a Union node, so a
+            # long-lived table would accrete an unbounded plan (analyzer
+            # time grows per statement, eventually StackOverflow).
+            # Truncate the chain periodically — the checkpoint
+            # materializes only this table's rows, and the PK anti-join
+            # above already reads the data each INSERT anyway.
+            entry.inserts += 1
+            if entry.inserts % _CHECKPOINT_EVERY_INSERTS == 0:
+                entry.df = entry.df.localCheckpoint(eager=True)
+            entry.df.createOrReplaceTempView(entry.name)
         # no refresh_system_views() here: the system relations expose
         # DDL metadata only — INSERT never changes them, and the hot
         # ingest path shouldn't pay two view rebuilds per statement.

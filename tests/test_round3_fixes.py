@@ -352,3 +352,32 @@ def test_streaming_pins_utc_for_foreign_sessions(spark):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_concurrent_inserts_lose_nothing(spark):
+    """INSERT is read-modify-write on the table DataFrame; without the
+    catalog write lock, concurrent HTTP inserts would silently drop
+    rows (last writer wins). 8 threads x 4 single-row inserts with
+    distinct PKs must all land, and PK uniqueness must still hold."""
+    import threading
+
+    from emdrive_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.execute("CREATE TABLE conc_ins (id UINT32 PRIMARY KEY)")
+    errors = []
+
+    def worker(base: int) -> None:
+        try:
+            for i in range(4):
+                eng.execute(f"INSERT INTO conc_ins (id) VALUES ({base * 100 + i})")
+        except Exception as exc:  # pragma: no cover - failure path
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(b,)) for b in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert eng.execute("SELECT id FROM conc_ins").count() == 32
