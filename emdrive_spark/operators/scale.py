@@ -132,3 +132,125 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.filter(
         F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "1a"
     ).select("o_orderkey", "o_totalprice")
+
+
+# Z-order bit interleave: 16 bits from each of two keys -> one 32-bit
+# locality value. The SAME Python loop emits both the Spark Column tree
+# and the DuckDB SQL text so the two formulas cannot drift.
+_Z_BITS = 16
+
+
+def _zval_column(x, y):
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z
+
+
+def _zval_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_cluster",
+    oracle=f"""
+    WITH k AS (
+      SELECT o_orderkey,
+             o_custkey % 65536 AS xk,
+             CAST(floor(o_totalprice) AS BIGINT) % 65536 AS yk
+      FROM orders
+    )
+    SELECT o_orderkey, CAST({_zval_sql("xk", "yk")} AS BIGINT) AS zval
+    FROM k
+    """,
+)
+def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering value over two dimensions: interleave
+    the low 16 bits of (custkey, price) so rows close in BOTH keys get
+    close z-values. The physical move at 100 TB is
+    ``repartitionByRange(zval).sortWithinPartitions(zval)`` before the
+    Parquet write (applied here): every file then covers a small
+    rectangle of (custkey, price) space and min/max footer stats let a
+    predicate on EITHER column skip most files — the multi-dimensional
+    generalization of sink_partitioned's one-key pruning, and the
+    engine-side analog of the reference's single-key B+tree clustering
+    (/root/reference/src/storage/paging.rs:39-62, which cannot index a
+    second dimension at all). Pure codegen arithmetic; the one range
+    shuffle IS the clustering being bought."""
+    o = load(spark, sf_dir, "orders")
+    xk = (F.col("o_custkey") % 65536).cast("long")
+    # floor() explicitly: DuckDB's double->BIGINT cast rounds to nearest
+    # while Spark's truncates — floor is the portable bucketing.
+    yk = (F.floor("o_totalprice") % 65536).cast("long")
+    z = o.select("o_orderkey", _zval_column(xk, yk).cast("long").alias("zval"))
+    return z.repartitionByRange(16, "zval").sortWithinPartitions("zval")
+
+
+@register(
+    "cdc_changes",
+    oracle="""
+    WITH snap_old AS (
+      SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+    ),
+    snap_new AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 17 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS p
+      FROM orders WHERE o_orderkey % 23 != 0
+      UNION ALL
+      SELECT o_orderkey + 100000000 AS k, o_totalprice / 2 AS p
+      FROM orders WHERE o_orderkey % 31 = 0
+    )
+    SELECT COALESCE(snap_old.k, snap_new.k) AS o_orderkey,
+           CASE WHEN snap_old.k IS NULL THEN 'insert'
+                WHEN snap_new.k IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           snap_old.p AS old_price, snap_new.p AS new_price
+    FROM snap_old FULL OUTER JOIN snap_new ON snap_old.k = snap_new.k
+    WHERE snap_old.k IS NULL OR snap_new.k IS NULL OR snap_old.p != snap_new.p
+    """,
+)
+def cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff change capture: classify every key as
+    insert / update / delete by full-outer-joining two table versions on
+    the primary key (the new snapshot is derived deterministically from
+    orders: ~4% of keys deleted, ~6% price-updated, ~3% inserted under
+    shifted keys). This is the batch CDC primitive that feeds
+    merge_scd2 and upsert_table; at 100 TB it is one sort-merge join on
+    the PK with unchanged rows dropped before any downstream shuffle.
+    All price math is IEEE double (*, /) — bit-identical in any engine,
+    so the diff itself is engine-portable. No UDFs, no collect."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    updated = o.filter(F.col("k") % 23 != 0).select(
+        "k",
+        F.when(F.col("k") % 17 == 0, F.col("p") * 1.1).otherwise(F.col("p")).alias("p"),
+    )
+    inserted = o.filter(F.col("k") % 31 == 0).select(
+        (F.col("k") + 100000000).alias("k"), (F.col("p") / 2).alias("p")
+    )
+    new = updated.unionAll(inserted)
+    old = o
+    j = old.alias("o").join(new.alias("n"), F.col("o.k") == F.col("n.k"), "full_outer")
+    change = (
+        F.when(F.col("o.k").isNull(), "insert")
+        .when(F.col("n.k").isNull(), "delete")
+        .otherwise("update")
+    )
+    return j.filter(
+        F.col("o.k").isNull() | F.col("n.k").isNull() | (F.col("o.p") != F.col("n.p"))
+    ).select(
+        F.coalesce(F.col("o.k"), F.col("n.k")).alias("o_orderkey"),
+        change.alias("change_type"),
+        F.col("o.p").alias("old_price"),
+        F.col("n.p").alias("new_price"),
+    )
