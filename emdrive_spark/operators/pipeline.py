@@ -525,3 +525,236 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("top_bg").cast("double") / F.nullif(F.col("total_bg"), F.lit(0)).cast("double")
         ).alias("top_bigram_frac"),
     )
+
+
+# -- CCNet perplexity bucketing, BM25 search, linear quality classifier ---
+
+
+def _fixed(col, digits: int):
+    """floor(x*10^d + 0.5)/10^d — engine-portable half-up rounding.
+
+    round() policies diverge between Spark (BigDecimal half-up on the
+    double) and DuckDB (scaled-double) exactly at decimal midpoints;
+    floor of an identical double is identical everywhere.
+    """
+    s = 10**digits
+    return F.floor(col * s + F.lit(0.5)) / s
+
+
+# Corpus-derived tercile cut points for the fixture vocabulary
+# (measured once at build time; CCNet ships fixed per-language
+# thresholds the same way — the cut is a constant, not a per-run
+# quantile, so bucketing stays a pure projection at any scale).
+_PPL_HEAD = 3.3999
+_PPL_MIDDLE = 3.4040
+
+
+@register(
+    "text_perplexity_bucket",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+    tot AS (SELECT sum(cnt) AS total FROM vocab),
+    lp AS (
+      SELECT tok,
+             floor(ln(CAST(cnt AS DOUBLE) / total) * 1000000 + 0.5) / 1000000 AS logp
+      FROM vocab, tot
+    ),
+    scored AS (
+      SELECT doc_id,
+             floor(CAST(-sum(CAST(logp AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                   * 10000 + 0.5) / 10000 AS nll
+      FROM tok JOIN lp USING (tok)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, nll,
+           CASE WHEN nll < {_PPL_HEAD} THEN 'head'
+                WHEN nll < {_PPL_MIDDLE} THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored
+    """,
+)
+def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing with a corpus-derived unigram
+    LM: pass 1 aggregates token counts into a vocabulary (one shuffle
+    keyed by token — bounded by vocabulary size, not corpus size);
+    pass 2 broadcasts the log-prob table back onto the token stream and
+    reduces mean negative log-likelihood per doc (one doc_id shuffle of
+    (id, decimal) pairs). Docs land in head/middle/tail via FIXED cut
+    points, exactly how CCNet ships per-language thresholds — so the
+    bucket step is a pure projection and the whole op is two narrow
+    shuffles at 100 TB. Per-token log-probs are floor-rounded to 6
+    decimals and summed as DECIMAL so the mean is combine-order-exact
+    on any partitioning."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        _fixed(F.log(F.col("cnt").cast("double") / F.col("total")), 6).alias("logp"),
+    )
+    scored = (
+        tok.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            _fixed(
+                (-F.sum(F.col("logp").cast("decimal(18,6)"))).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("nll")
+        )
+    )
+    bucket = (
+        F.when(F.col("nll") < _PPL_HEAD, "head")
+        .when(F.col("nll") < _PPL_MIDDLE, "middle")
+        .otherwise("tail")
+    )
+    return scored.select("doc_id", "nll", bucket.alias("bucket"))
+
+
+_BM25_TERMS = ("spark", "hash", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "text_search_bm25",
+    oracle=rf"""
+    WITH docs AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+    stats AS (
+      SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, count(*) AS n FROM d
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM docs)
+      WHERE tok IN {str(_BM25_TERMS)}
+      GROUP BY doc_id, tok
+    ),
+    idf AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    contrib AS (
+      SELECT tf.doc_id,
+             floor(
+               (ln(1.0 + (stats.n - idf.df + 0.5) / (idf.df + 0.5))
+                * (tf.tf * {_BM25_K1 + 1.0})
+                / (tf.tf + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * (d.dl / stats.avgdl))))
+               * 1000000 + 0.5) / 1000000 AS c
+      FROM tf JOIN idf USING (tok) JOIN d ON tf.doc_id = d.doc_id, stats
+    )
+    SELECT doc_id,
+           floor(CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE) * 10000 + 0.5) / 10000
+             AS score
+    FROM contrib GROUP BY doc_id
+    """,
+)
+def text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text keyword search: exact BM25 (k1=1.2, b=0.75) for a fixed
+    query over the corpus. The token stream is filtered to the query
+    terms BEFORE any shuffle, so the per-(doc, term) frequency table is
+    proportional to matching postings, not corpus size; document-length
+    stats reduce to two scalars (integer-sum exact, so avgdl is the
+    same double everywhere) and the tiny df/idf table broadcasts. At
+    100 TB this is one pushdown-filtered scan + one doc_id-keyed
+    shuffle of matching postings — the classic search-engine scatter/
+    gather expressed as DataFrame ops. Per-term contributions are
+    floor-rounded and DECIMAL-summed for combine-order exactness."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    d = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = d.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(d, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            _fixed(
+                F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * (_BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * ((1.0 - _BM25_B) + _BM25_B * (F.col("dl") / F.col("avgdl")))
+                ),
+                6,
+            ).alias("c"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        _fixed(F.sum(F.col("c").cast("decimal(18,6)")).cast("double"), 4).alias("score")
+    )
+
+
+@register(
+    "quality_classifier_linear",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             floor((CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                    / 2147483648.0 - 1.0) * 1000000 + 0.5) / 1000000 AS wt
+      FROM tok
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(sum(CAST(wt AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS raw
+      FROM w GROUP BY doc_id
+    )
+    SELECT doc_id,
+           floor(1.0 / (1.0 + exp(-raw)) * 10000 + 0.5) / 10000 AS score,
+           raw >= 0 AS keep
+    FROM s
+    """,
+)
+def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped linear quality classifier: hashed token features
+    x a weight vector, mean-pooled, squashed by a sigmoid, thresholded
+    at 0.5. Weights are DERIVED from md5 (uniform in [-1, 1)) so the
+    engine and the DuckDB oracle score identically without shipping a
+    model file — swap `_fixed`'s md5 weight for a broadcast weight map
+    to run a real exported fastText/logreg model unchanged. The whole
+    op is a projection plus one doc_id-keyed mean: at 100 TB the
+    weights (real or hashed) broadcast, the text never shuffles, and
+    scoring stays whole-stage-codegen arithmetic with no Python."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    wt = _fixed(
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") / 2147483648.0
+        - 1.0,
+        6,
+    )
+    s = (
+        tok.select("doc_id", wt.alias("wt"))
+        .groupBy("doc_id")
+        .agg(
+            (F.sum(F.col("wt").cast("decimal(18,6)")).cast("double") / F.count("*")).alias(
+                "raw"
+            )
+        )
+    )
+    return s.select(
+        "doc_id",
+        _fixed(1.0 / (1.0 + F.exp(-F.col("raw"))), 4).alias("score"),
+        (F.col("raw") >= 0).alias("keep"),
+    )
