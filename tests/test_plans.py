@@ -239,3 +239,44 @@ def test_sample_domain_mix_broadcasts_rates(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# -- round-3 corpus/scale additions ---------------------------------------
+
+
+def test_zorder_cluster_is_range_partitioned_codegen(spark):
+    # the one exchange must be the range repartition that IS the
+    # clustering; the z-value math stays JVM-side arithmetic
+    plan = _plan(spark, "zorder_cluster")
+    assert "rangepartitioning" in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cdc_changes_is_one_full_outer_merge_join(spark):
+    plan = _plan(spark, "cdc_changes")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_perplexity_bucket_broadcasts_lm(spark):
+    # the log-prob table joins back onto the token stream as a
+    # broadcast — the corpus side never shuffles for the scoring join
+    plan = _plan(spark, "text_perplexity_bucket")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_broadcasts_idf_and_filters_before_shuffle(spark):
+    plan = _plan(spark, "text_search_bm25")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the query-term membership filter must exist as a plan Filter (it
+    # runs in the generate/project stage, before the groupBy exchange)
+    assert "Filter" in plan and "tok" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_classifier_linear_pure_codegen(spark):
+    plan = _plan(spark, "quality_classifier_linear")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SinglePartition" not in plan
