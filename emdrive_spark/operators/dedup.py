@@ -854,3 +854,80 @@ def dedup_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .distinct()
     )
+
+
+@register(
+    "dedup_edit_verified",
+    oracle=rf"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_SHIFT} AS doc_id,
+             'prefix ' || substr(text, 9) || ' suffix tok' AS text
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                              i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM corpus)
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT id_a, id_b, CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
+    FROM cand
+    JOIN corpus ta ON ta.doc_id = id_a
+    JOIN corpus tb ON tb.doc_id = id_b
+    WHERE levenshtein(ta.text, tb.text) <= 30
+    """,
+)
+def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup with an EDIT-DISTANCE verifier: shingle-equality
+    candidates (the same generator as dedup_ngram), then exact
+    Levenshtein <= 30 on the candidate pairs only — the
+    candidates-then-verify composition for typo-level / templated
+    near-dups where token-set Jaccard over-matches (it ignores order)
+    and under-matches short edits. The corpus gains a perturbed twin
+    per doc (prefix swap + suffix append, distance 16-19 vs >= 47 for
+    unrelated fixture pairs), so the threshold provably separates.
+    Levenshtein is unit-cost in both engines — identical integers. At
+    100 TB the shingle join runs on LSH candidates and the O(len^2)
+    verifier touches only pairs that survive banding; full text moves
+    exactly once, to the verify join."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    twin = docs.select(
+        (F.col("doc_id") + _SHIFT).alias("doc_id"),
+        F.concat(F.lit("prefix "), F.expr("substring(text, 9)"), F.lit(" suffix tok")).alias(
+            "text"
+        ),
+    )
+    corpus = docs.unionByName(twin)
+    sh = corpus.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+    # >= 5 shared shingles (every perturbed twin clears it; measured
+    # min twin overlap = 5) — drops 48.7k loose 1-shingle collisions to
+    # 600 candidates, keeping the O(len^2) verifier off random pairs.
+    cand = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= 5)
+        .select("id_a", "id_b")
+    )
+    ta = corpus.alias("ta")
+    tb = corpus.alias("tb")
+    dist = F.levenshtein(F.col("ta.text"), F.col("tb.text"))
+    return (
+        cand.join(ta, F.col("id_a") == F.col("ta.doc_id"))
+        .join(tb, F.col("id_b") == F.col("tb.doc_id"))
+        .filter(dist <= 30)
+        .select("id_a", "id_b", dist.cast("long").alias("edit_dist"))
+    )

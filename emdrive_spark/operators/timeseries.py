@@ -414,3 +414,113 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("bucket"), "event_type", "open", "high", "low", "close", "n")
     )
+
+
+@register(
+    "events_ewma",
+    oracle="""
+    WITH f AS (
+      SELECT event_id, user_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS xs
+      FROM events
+    )
+    SELECT event_id, user_id,
+           floor(list_reduce(xs, (acc, x) -> x * 0.3 + acc * 0.7)
+                 * 1000000 + 0.5) / 1000000 AS ewma
+    FROM f
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user (alpha=0.3,
+    seeded at the first observation, state truncated to the trailing 20
+    events — the standard bounded-memory smoother for telemetry). The
+    frame is collected in ORDER BY order and folded LEFT-TO-RIGHT with
+    the EWMA recurrence, so both engines add the same doubles in the
+    same sequence — bit-identical without any decimal detour. One
+    shuffle on user_id, then a single ordered pass per partition; the
+    20-row truncation bounds per-row work, and the same fold runs
+    incrementally under applyInPandasWithState in the streaming twin
+    family."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-19, 0)
+    f = ev.select(
+        "event_id", "user_id", F.collect_list(F.col("value")).over(w).alias("xs")
+    )
+    fold = F.aggregate(
+        F.slice(F.col("xs"), 2, F.size("xs") - 1),
+        F.element_at(F.col("xs"), 1),
+        lambda acc, x: x * F.lit(0.3) + acc * F.lit(0.7),
+    )
+    return f.select(
+        "event_id",
+        "user_id",
+        (F.floor(fold * 1000000 + F.lit(0.5)) / 1000000).alias("ewma"),
+    )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH a AS (
+      SELECT event_id AS a_id, ts AS a_s, ts + INTERVAL 120 SECOND AS a_e
+      FROM events WHERE event_type = 'error'
+    ),
+    b AS (
+      SELECT event_id AS b_id, ts AS b_s, ts + INTERVAL 120 SECOND AS b_e
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a_id, b_id,
+           date_diff('microsecond', greatest(a_s, b_s), least(a_e, b_e)) // 1000000
+             AS overlap_s
+    FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join WITHOUT an equi key — the genomics/ads
+    primitive Spark would otherwise plan as a broadcast-nested-loop
+    theta join. Both interval sets are flattened onto a fixed time-
+    bucket grid sized >= the interval length, so every truly
+    overlapping pair provably shares a bucket; the bucket equi-join
+    generates candidates (each pair at most twice — distinct'd), and
+    the exact boundary predicate verifies. At 100 TB the theta join is
+    O(|A| x |B|); this is O(matching bucket pairs) through an ordinary
+    hash shuffle on the bucket id, the same candidates-then-verify
+    shape as the LSH dedup family. The oracle states the semantics as
+    the plain theta join."""
+    ev = load(spark, sf_dir, "events")
+    anchor = "TIMESTAMP_NTZ'2024-01-01 00:00:00'"
+
+    def intervals(etype: str, prefix: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_s"),
+                (F.col("ts") + F.expr("INTERVAL 120 SECONDS")).alias(f"{prefix}_e"),
+            )
+            .withColumn(
+                "bkt",
+                F.explode(
+                    F.sequence(
+                        F.expr(f"timestampdiff(SECOND, {anchor}, {prefix}_s) DIV 120"),
+                        F.expr(f"timestampdiff(SECOND, {anchor}, {prefix}_e) DIV 120"),
+                    )
+                ),
+            )
+        )
+
+    a = intervals("error", "a")
+    b = intervals("purchase", "b")
+    # whole microseconds DIV 1e6: sub-second truncation must happen on
+    # the exact integer micros — engines disagree on fractional-second
+    # handling in second-granularity diffs
+    overlap = F.expr(
+        "timestampdiff(MICROSECOND, greatest(a_s, b_s), least(a_e, b_e)) DIV 1000000"
+    )
+    return (
+        a.join(b, "bkt")
+        .filter((F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e")))
+        .select("a_id", "b_id", overlap.alias("overlap_s"))
+        .distinct()
+    )

@@ -280,3 +280,24 @@ def test_quality_classifier_linear_pure_codegen(spark):
     plan = _plan(spark, "quality_classifier_linear")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_events_ewma_no_python_no_single_partition(spark):
+    plan = _plan(spark, "events_ewma")
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_interval_overlap_never_nested_loop(spark):
+    # the bucket grid must turn the theta join into a hash join —
+    # a BroadcastNestedLoopJoin/CartesianProduct here is the O(|A|x|B|)
+    # plan the op exists to avoid
+    plan = _plan(spark, "join_interval_overlap")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_edit_verified_no_cartesian(spark):
+    plan = _plan(spark, "dedup_edit_verified")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
