@@ -504,3 +504,89 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("purchase_id", "view_id", _ntz("purchase_ts"), _ntz("view_ts"))
     name = f"emdrive_stream_{next(_RUN_SEQ)}"
     return run_to_memory(spark, joined, name, "append")
+
+
+def ewma_user(events: DataFrame) -> DataFrame:
+    """Streaming per-user EWMA via applyInPandasWithState — the custom
+    SEQUENCE-SENSITIVE stateful operator (stateful_user_totals is
+    order-free; this one is not). Each micro-batch's rows are sorted by
+    event time inside the group before the fold, and the state carries
+    the raw (unrounded) accumulator so later batches resume the exact
+    recurrence. With the finite single-file test source everything
+    arrives in one batch; a multi-batch deployment needs event-time
+    ordering ACROSS batches too — there the pattern is watermark-
+    buffered reordering in state (hold rows newer than the watermark,
+    fold only what the watermark has sealed)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("ewma", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("acc", DoubleType())]
+    )
+
+    def update(key, pdfs, state):
+        import math  # noqa: PLC0415
+
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        n, acc = state.get if state.exists else (0, None)
+        # identical fold to the batch oracle: x*0.3 + acc*0.7, seeded at
+        # the first observation; .tolist() yields exact IEEE doubles
+        for x in pdf["value"].tolist():
+            acc = x if acc is None else x * 0.3 + acc * 0.7
+        n += len(pdf)
+        state.update((n, acc))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "ewma": [math.floor(acc * 1000000 + 0.5) / 1000000],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_ewma",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           floor(list_reduce(list(value ORDER BY ts, event_id),
+                             (acc, x) -> x * 0.3 + acc * 0.7)
+                 * 1000000 + 0.5) / 1000000 AS ewma
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EWMA custom stateful operator driven to completion;
+    the final per-user smoothed value must equal the batch left fold
+    over the user's full event-time-ordered history (events_ewma's
+    untruncated twin). The oracle's list_reduce folds the same doubles
+    in the same order, so equality is exact, not approximate."""
+    out = _drive(spark, sf_dir, ewma_user, "update")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "ewma")
+    )
