@@ -524,3 +524,135 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", overlap.alias("overlap_s"))
         .distinct()
     )
+
+
+@register(
+    "events_interpolate",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             date_trunc('minute', ts) AS bucket,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT min(date_trunc('minute', ts)) AS t0, max(date_trunc('minute', ts)) AS t1
+      FROM events
+    ),
+    grid AS (
+      SELECT t.event_type, g.bucket
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(generate_series(t0, t1, INTERVAL 1 MINUTE)) AS bucket
+            FROM bounds) g
+    ),
+    j AS (
+      SELECT grid.event_type, grid.bucket,
+             date_diff('minute', TIMESTAMP '2024-01-01 00:00:00', grid.bucket) AS idx,
+             obs.v, obs.v IS NOT NULL AS observed
+      FROM grid LEFT JOIN obs
+        ON grid.event_type = obs.event_type AND grid.bucket = obs.bucket
+    ),
+    n AS (
+      SELECT *,
+             last_value(v IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN observed THEN idx END IGNORE NULLS) OVER wp AS pidx,
+             first_value(v IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN observed THEN idx END IGNORE NULLS) OVER wn AS nidx
+      FROM j
+      WINDOW wp AS (PARTITION BY event_type ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY event_type ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, bucket, observed,
+           floor(coalesce(pv + (nv - pv) * ((idx - pidx) / nullif(nidx - pidx, 0)),
+                          pv, nv)
+                 * 1000000 + 0.5) / 1000000 AS v_interp
+    FROM n
+    """,
+)
+def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series linear interpolation onto a dense minute grid: each
+    (event_type, minute) gets its observed mean value, and missing
+    minutes get the straight line between the nearest observed
+    neighbors (edges clamp to the nearest side). The windows partition
+    BY SERIES — at telemetry scale parallelism is the number of series,
+    never one global sort; per-minute means are exact DECIMAL sums and
+    the interpolation fraction is an integer-minute ratio, so the line
+    is the same double everywhere. The grid generates from one
+    broadcastable min/max row, and only the sparse observed aggregate
+    shuffles. The standard downsample-then-fill resampling shape
+    (pandas df.resample().interpolate()) as pure DataFrame ops."""
+    ev = load(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("bucket")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("v")
+    )
+    bounds = ev.agg(
+        F.date_trunc("minute", F.min("ts")).alias("t0"),
+        F.date_trunc("minute", F.max("ts")).alias("t1"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                bounds.select(
+                    F.explode(
+                        F.sequence("t0", "t1", F.expr("INTERVAL 1 MINUTE"))
+                    ).alias("bucket")
+                )
+            )
+        )
+    )
+    idx = F.expr(
+        "timestampdiff(MINUTE, TIMESTAMP_NTZ'2024-01-01 00:00:00', bucket)"
+    )
+    j = grid.join(obs, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        idx.alias("idx"),
+        "v",
+        F.col("v").isNotNull().alias("observed"),
+    )
+    wp = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # "next observed" = last-ignore-nulls over the REVERSED running
+    # frame: Spark evaluates a (currentRow, unboundedFollowing) frame by
+    # re-aggregating the remainder per row — O(n^2) per series (measured
+    # 200 s on the sf0.01 grid) — while both running frames stream in
+    # O(n) (0.9 s).
+    wn = (
+        W.partitionBy("event_type")
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    when_idx = F.when(F.col("observed"), F.col("idx"))
+    n = j.select(
+        "event_type",
+        "bucket",
+        "observed",
+        "idx",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(when_idx, ignorenulls=True).over(wp).alias("pidx"),
+        F.last("v", ignorenulls=True).over(wn).alias("nv"),
+        F.last(when_idx, ignorenulls=True).over(wn).alias("nidx"),
+    )
+    # nullif on the span: an observed row has idx == pidx == nidx and a
+    # 0/0 here would be an ANSI error in Spark and a NaN in DuckDB —
+    # NULL falls through to coalesce(pv) on both engines instead
+    line = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("idx") - F.col("pidx"))
+        / F.nullif(F.col("nidx") - F.col("pidx"), F.lit(0))
+    )
+    v = F.coalesce(line, F.col("pv"), F.col("nv"))
+    return n.select(
+        "event_type",
+        "bucket",
+        "observed",
+        (F.floor(v * 1000000 + F.lit(0.5)) / 1000000).alias("v_interp"),
+    )
