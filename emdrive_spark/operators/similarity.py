@@ -504,3 +504,55 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("count"), F.lit(0)) / F.lit(float(k))).alias("recall_at_10"),
         )
     )
+
+
+@register("embedding_mmr_rerank", oracle=None)  # greedy sequential selection
+def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: diversified top-10 from a
+    top-50 relevance pool — each pick maximizes
+    ``lambda*rel(q,d) - (1-lambda)*max_sim(d, selected)`` (lambda=0.5),
+    the standard search/RAG de-redundancy step downstream of knn_topk.
+    The pool is produced distributed (rounded-key TakeOrderedAndProject,
+    same contract as knn_topk); the greedy selection is inherently
+    sequential, runs on the CONSTANT-SIZE pool driver-side (50 rows,
+    like ann_ivf's centroid pull), and is deterministic: scores rounded
+    to 6 decimals, ties to the smaller vec_id. Not SQL-expressible
+    (each step's argmax depends on the selected set), so rows-only;
+    determinism + containment + diversification are pinned in
+    tests/test_round3_fixes.py."""
+    k, pool, lam = 10, 50, 0.5
+    scored = _with_query_vector(spark, sf_dir).select(
+        "vec_id",
+        "embedding",
+        F.round(cosine_similarity(F.col("embedding"), F.col("q")), 6).alias("rel"),
+    )
+    cand = scored.orderBy(F.col("rel").desc(), "vec_id").limit(pool).collect()
+
+    import math  # noqa: PLC0415
+
+    vecs = {r.vec_id: r.embedding for r in cand}
+    rel = {r.vec_id: r.rel for r in cand}
+
+    def cos(a, b) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return d / (na * nb) if na > 0.0 and nb > 0.0 else 0.0
+
+    selected: list[tuple[int, float, float]] = []
+    remaining = [r.vec_id for r in cand]
+    while remaining and len(selected) < k:
+        best = None
+        for vid in remaining:
+            div = max((cos(vecs[vid], vecs[s]) for s, _, _ in selected), default=0.0)
+            score = round(lam * rel[vid] - (1.0 - lam) * div, 6)
+            key = (score, -vid)
+            if best is None or key > best[0]:
+                best = (key, vid)
+        vid = best[1]
+        selected.append((vid, rel[vid], best[0][0]))
+        remaining.remove(vid)
+    return spark.createDataFrame(
+        [(i + 1, vid, r, s) for i, (vid, r, s) in enumerate(selected)],
+        "rank INT, vec_id BIGINT, rel DOUBLE, mmr_score DOUBLE",
+    )

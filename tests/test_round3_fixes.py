@@ -381,3 +381,25 @@ def test_concurrent_inserts_lose_nothing(spark):
         t.join()
     assert not errors
     assert eng.execute("SELECT id FROM conc_ins").count() == 32
+
+
+def test_mmr_rerank_properties(spark):
+    from emdrive_spark import registry
+
+    from .conftest import SF_ORACLE
+
+    fn = registry.queries()["embedding_mmr_rerank"]
+    rows = fn(spark, SF_ORACLE).collect()
+    again = fn(spark, SF_ORACLE).collect()
+    assert [tuple(r) for r in rows] == [tuple(again[i]) for i in range(len(again))]
+    assert len(rows) == 10
+    assert [r.rank for r in rows] == list(range(1, 11))
+    # first pick is pure relevance — must equal exact knn_topk's top-1
+    top1 = registry.queries()["knn_topk"](spark, SF_ORACLE).collect()[0]
+    assert rows[0].vec_id == top1.vec_id
+    # every later pick trades relevance for diversity: mmr <= lambda*rel
+    for r in rows[1:]:
+        assert r.mmr_score <= 0.5 * r.rel + 1e-9
+    # diversification must actually reorder vs pure relevance somewhere
+    pure = [t.vec_id for t in registry.queries()["knn_topk"](spark, SF_ORACLE).collect()]
+    assert [r.vec_id for r in rows] != pure
