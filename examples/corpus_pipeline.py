@@ -37,6 +37,16 @@ def main() -> None:
     audit.show(10, truncate=False)
     kept = gate.filter("passed").select("doc_id")
 
+    # 1b. Perplexity bucketing (CCNet): keep the fluent head/middle
+    ppl = q["text_perplexity_bucket"].fn(spark, sf_dir)
+    print("== perplexity buckets ==")
+    ppl.groupBy("bucket").count().orderBy("bucket").show()
+
+    # 1c. Model-based quality score: hashed-feature linear classifier
+    clf = q["quality_classifier_linear"].fn(spark, sf_dir)
+    n_keep = clf.filter("keep").count()
+    print(f"classifier keeps {n_keep} docs (score >= 0.5)")
+
     # 2. PII scrub: redaction counts over the kept slice
     scrub = q["text_pii_scrub"].fn(spark, sf_dir).join(kept, "doc_id")
     n_redacted = scrub.agg(
@@ -70,6 +80,10 @@ def main() -> None:
     # 4d. Multimodal: payload-hash banding (real pHash plugs in at decode)
     phash = q["mm_phash_dedup"].fn(spark, sf_dir)
     print(f"payload-hash dup pairs (hamming ≤ 3): {phash.count()}")
+
+    # 4f. Typo-level fuzzy dedup: shingle candidates → exact Levenshtein
+    fuzzy = q["dedup_edit_verified"].fn(spark, sf_dir)
+    print(f"edit-distance near-dup pairs (lev <= 30 on candidates): {fuzzy.count()}")
 
     # 4e. Boilerplate removal: corpus-wide duplicate-chunk dedup
     lines = q["dedup_lines_global"].fn(spark, sf_dir)
