@@ -656,3 +656,76 @@ def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "observed",
         (F.floor(v * 1000000 + F.lit(0.5)) / 1000000).alias("v_interp"),
     )
+
+
+@register(
+    "events_cusum",
+    oracle="""
+    WITH stats AS (
+      SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mu
+      FROM events
+    ),
+    series AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             list(value ORDER BY ts, event_id) AS xs
+      FROM events GROUP BY user_id
+    ),
+    folded AS (
+      SELECT user_id, n_events,
+             list_reduce(list_prepend(0.0, xs),
+                         (acc, x) -> greatest(0.0, acc + (x - mu - 0.25))) AS sp,
+             list_reduce(list_prepend(0.0, xs),
+                         (acc, x) -> greatest(0.0, acc + (mu - x - 0.25))) AS sn
+      FROM series, stats
+    )
+    SELECT user_id, n_events,
+           floor(sp * 1000000 + 0.5) / 1000000 AS s_pos,
+           floor(sn * 1000000 + 0.5) / 1000000 AS s_neg,
+           sp > 5.0 AS drift_up,
+           sn > 5.0 AS drift_down
+    FROM folded
+    """,
+)
+def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection per user: two one-sided cumulative sums
+    (slack k=0.25, threshold h=5) folded over the user's event-time-
+    ordered values against the DECIMAL-exact corpus mean — the classic
+    sequential changepoint statistic. Both engines seed the fold at 0
+    (list_prepend / explicit zero) and apply the identical
+    ``greatest(0, acc + dev)`` recurrence left-to-right, so the final
+    statistics are bit-equal. One user_id shuffle carrying (ts-ordered
+    values); each series folds in O(n) with O(1) state — the same
+    recurrence runs incrementally in the stream_ewma-style stateful
+    operator at deployment scale."""
+    ev = load(spark, sf_dir, "events")
+    stats = ev.agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("*")).alias(
+            "mu"
+        )
+    )
+    series = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"],
+        ).alias("xs"),
+    )
+    j = series.crossJoin(F.broadcast(stats))
+    sp = F.aggregate(
+        F.col("xs"),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(F.lit(0.0), acc + (x - F.col("mu") - F.lit(0.25))),
+    )
+    sn = F.aggregate(
+        F.col("xs"),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(F.lit(0.0), acc + (F.col("mu") - x - F.lit(0.25))),
+    )
+    return j.select(
+        "user_id",
+        "n_events",
+        (F.floor(sp * 1000000 + F.lit(0.5)) / 1000000).alias("s_pos"),
+        (F.floor(sn * 1000000 + F.lit(0.5)) / 1000000).alias("s_neg"),
+        (sp > 5.0).alias("drift_up"),
+        (sn > 5.0).alias("drift_down"),
+    )
