@@ -64,6 +64,11 @@ HEADLINE = (
     # this boundary, per-query keys are.
     "dedup_lsh_verified",   # minhash bands -> exact Jaccard rerank
     "dedup_embedding",      # sign-LSH bands -> exact cosine rerank
+    # round 3 additions — new heavy families (totals not comparable
+    # across this boundary; per-query keys are)
+    "text_perplexity_bucket",  # corpus LM build + broadcast scoring
+    "events_interpolate",      # dense-grid fill, per-series windows
+    "dedup_edit_verified",     # shingle candidates -> Levenshtein verify
 )
 
 
