@@ -1548,3 +1548,79 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("l_quantity", 0.95, 10000).alias("p95_approx"),
         )
     )
+
+
+@register(
+    "agg_moments",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(v) AS DOUBLE) AS s1,
+             CAST(sum(v2) AS DOUBLE) AS s2,
+             CAST(sum(CAST(v2 AS DECIMAL(19,4)) * v) AS DOUBLE) AS s3,
+             CAST(sum(CAST(v2 AS DECIMAL(19,4)) * v2) AS DOUBLE) AS s4
+      FROM (SELECT event_type,
+                   CAST(value AS DECIMAL(9,2)) AS v,
+                   CAST(CAST(value AS DECIMAL(9,2)) * CAST(value AS DECIMAL(9,2))
+                        AS DECIMAL(18,4)) AS v2
+            FROM events)
+      GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           floor((s1/n) * 1000000 + 0.5) / 1000000 AS mean,
+           floor((s2/n - (s1/n)*(s1/n)) * 1000000 + 0.5) / 1000000 AS var_pop,
+           floor(((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+                  / ((s2/n - (s1/n)*(s1/n)) * sqrt(s2/n - (s1/n)*(s1/n))))
+                 * 1000000 + 0.5) / 1000000 AS skewness,
+           floor(((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                   - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+                  / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0)
+                 * 1000000 + 0.5) / 1000000 AS kurtosis_excess
+    FROM m
+    """,
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis from EXACT decimal power sums
+    (Σv..Σv⁴): the built-in skewness/kurtosis stream co-moments whose
+    last ulp depends on partition merge order, while 2-decimal values
+    raised within DECIMAL(38) are exact, and the downstream double
+    arithmetic is written token-for-token like the oracle's (including
+    var*sqrt(var) instead of pow(var, 1.5) — sqrt is IEEE-exact, pow is
+    libm-dependent). One map-side partial aggregation, five numbers per
+    group, same plan shape as agg_stats."""
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(9,2)")
+    v2 = (v * v).cast("decimal(18,4)")
+    m = (
+        ev.select("event_type", v.alias("v"), v2.alias("v2"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").cast("double").alias("s1"),
+            F.sum("v2").cast("double").alias("s2"),
+            F.sum(F.col("v2") * F.col("v")).cast("double").alias("s3"),
+            F.sum(F.col("v2") * F.col("v2")).cast("double").alias("s4"),
+        )
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    s2n = F.col("s2") / n
+    s3n = F.col("s3") / n
+    s4n = F.col("s4") / n
+    var = s2n - mu * mu
+    skew = (s3n - F.lit(3) * mu * s2n + F.lit(2) * mu * mu * mu) / (var * F.sqrt(var))
+    kurt = (
+        s4n - F.lit(4) * mu * s3n + F.lit(6) * mu * mu * s2n - F.lit(3) * mu * mu * mu * mu
+    ) / (var * var) - F.lit(3.0)
+
+    def f6(c):
+        return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+
+    return m.select(
+        "event_type",
+        n.alias("n"),
+        f6(mu).alias("mean"),
+        f6(var).alias("var_pop"),
+        f6(skew).alias("skewness"),
+        f6(kurt).alias("kurtosis_excess"),
+    )
