@@ -1624,3 +1624,49 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         f6(skew).alias("skewness"),
         f6(kurt).alias("kurtosis_excess"),
     )
+
+
+@register(
+    "window_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    keyed AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT)
+               AS island_key
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id, island_key, count(*) AS len
+      FROM keyed GROUP BY user_id, island_key
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS active_days
+    FROM islands GROUP BY user_id
+    """,
+)
+def window_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user runs of CONSECUTIVE active days via
+    the date-minus-row_number trick (consecutive days share an island
+    key), then per-island lengths roll up to streak stats — the classic
+    engagement-streak query. Two shuffles, both on user_id (the window
+    and the rollup reuse the same partitioning; AQE coalesces). All
+    integer/date arithmetic — engine-exact by construction."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    keyed = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("island_key"),
+    )
+    islands = keyed.groupBy("user_id", "island_key").agg(F.count("*").alias("len"))
+    return islands.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.max("len").alias("longest_streak"),
+        F.sum("len").cast("long").alias("active_days"),
+    )

@@ -254,3 +254,47 @@ def cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o.p").alias("old_price"),
         F.col("n.p").alias("new_price"),
     )
+
+
+@register(
+    "sink_manifest",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+           CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(max(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders GROUP BY 1
+    """,
+)
+def sink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse manifest: write orders partitioned by year, then build
+    the per-partition stats manifest (row count, key and price min/max)
+    BY READING THE SINK BACK — the bookkeeping a Delta/Iceberg
+    transaction log keeps per file, here per partition. A query planner
+    consults the manifest instead of the data: a predicate outside a
+    partition's [min, max] skips it without opening a file (the same
+    contract parquet footer stats give within a file). The manifest
+    aggregation shuffles six scalars per partition — nothing else; the
+    oracle states the invariant that the manifest must equal the source
+    table's own statistics (a lost row or partition would break it)."""
+    import os as _os
+
+    path = _os.path.join(_TMP, "orders_manifest")
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    o.select("o_orderkey", "o_totalprice", "o_year").write.mode("overwrite").partitionBy(
+        "o_year"
+    ).parquet(path)
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.min("o_totalprice").cast("double").alias("min_price"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+        )
+    )
