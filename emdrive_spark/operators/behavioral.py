@@ -115,3 +115,55 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("cohort_day").cast("string").alias("cohort_day"), "day_offset")
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "events_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ),
+    pair AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, sum(n) AS row_total FROM pair GROUP BY from_type)
+    SELECT pair.from_type, to_type, n,
+           floor(CAST(n AS DOUBLE) / row_total * 1000000 + 0.5) / 1000000 AS p
+    FROM pair JOIN tot ON pair.from_type = tot.from_type
+    """,
+)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user journeys: for
+    each user's event-time-ordered stream, count (state -> next state)
+    pairs and normalize per origin row — the path-analysis primitive
+    behind 'what do users do after X'. One user_id shuffle for the
+    lead() window, then a |types|^2-row aggregate; probabilities are an
+    integer-count ratio (exact same double everywhere). At journey
+    scale the per-user window is the only data-sized pass — the matrix
+    itself is tiny and broadcastable downstream."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pair = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    tot = pair.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    p = F.col("n").cast("double") / F.col("row_total")
+    return (
+        pair.join(tot, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.floor(p * 1000000 + F.lit(0.5)) / 1000000).alias("p"),
+        )
+    )
