@@ -301,3 +301,38 @@ def test_dedup_edit_verified_no_cartesian(spark):
     plan = _plan(spark, "dedup_edit_verified")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_events_cusum_no_python_single_user_shuffle(spark):
+    plan = _plan(spark, "events_cusum")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_events_transitions_no_python(spark):
+    plan = _plan(spark, "events_transitions")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_window_islands_reuses_user_partitioning(spark):
+    plan = _plan(spark, "window_islands")
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sink_manifest_scans_the_sink(spark):
+    # the manifest must aggregate the written dataset (read-back scan of
+    # the orders_manifest path), not shortcut to the source table
+    import os
+    import tempfile
+
+    plan = _plan(spark, "sink_manifest")
+    assert os.path.join(tempfile.gettempdir(), "emdrive_scale", "orders_manifest") in plan
+
+
+def test_agg_moments_single_aggregation_pass(spark):
+    plan = _plan(spark, "agg_moments")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # partial+final hash aggregate pair over one scan — no join, no window
+    assert "SortMergeJoin" not in plan and "Window" not in plan

@@ -147,3 +147,59 @@ def test_at_rewrite_never_touches_masked_spans(body):
     comments survives the rewrite verbatim."""
     sql = f"SELECT \"a @ b\" AS x, '{body} @ y' AS s FROM t -- z @ w"
     assert rewrite_at_distance(sql) == sql
+
+
+# -- round-3 op invariants -------------------------------------------------
+
+from .conftest import SF_SMOKE  # noqa: E402
+
+
+def test_zorder_interleave_is_bijective_on_16bit_pairs():
+    """The Morton interleave must be invertible: distinct (x, y) pairs
+    map to distinct z-values (spot lattice + random corners)."""
+    from emdrive_spark.operators.scale import _Z_BITS
+
+    def z(x, y):
+        v = 0
+        for i in range(_Z_BITS):
+            v |= ((x >> i) & 1) << (2 * i)
+            v |= ((y >> i) & 1) << (2 * i + 1)
+        return v
+
+    pts = [(x, y) for x in (0, 1, 2, 255, 65535) for y in (0, 1, 3, 254, 65535)]
+    zs = [z(x, y) for x, y in pts]
+    assert len(set(zs)) == len(pts)
+    # locality sanity: neighbors differ by small z when low bits change
+    assert z(2, 2) != z(2, 3)
+
+
+def test_cusum_stats_are_non_negative(spark):
+    from emdrive_spark import registry
+
+    rows = registry.queries()["events_cusum"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.s_pos >= 0.0 and r.s_neg >= 0.0
+
+
+def test_islands_invariants(spark):
+    from emdrive_spark import registry
+
+    rows = registry.queries()["window_islands"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_islands <= r.active_days
+        assert r.longest_streak <= r.active_days
+
+
+def test_transitions_rows_sum_to_one(spark):
+    from collections import defaultdict
+
+    from emdrive_spark import registry
+
+    rows = registry.queries()["events_transitions"](spark, SF_SMOKE).collect()
+    sums = defaultdict(float)
+    for r in rows:
+        sums[r.from_type] += r.p
+    for v in sums.values():
+        assert abs(v - 1.0) < 1e-4
