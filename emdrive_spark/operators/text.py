@@ -390,3 +390,56 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(tfidf > 1.0)
         .select("doc_id", "tok", F.round(tfidf, 6).alias("tfidf"))
     )
+
+
+@register(
+    "text_readability",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+             CAST(len(regexp_split_to_array(trim(text), '[.!?]+\s*'))
+                  AS BIGINT) AS n_sents,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+               AS n_syll
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sents, n_syll,
+           floor((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                  - 84.6 * (CAST(n_syll AS DOUBLE) / n_words))
+                 * 10000 + 0.5) / 10000 AS flesch
+    FROM t
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring with the standard cheap proxies
+    (vowel-group runs ~ syllables, [.!?] runs ~ sentence breaks) — the
+    document-quality signal corpus pipelines bucket on alongside
+    perplexity. One whole-corpus projection: tokenizing, syllable
+    counting, and the score are all codegen'd regex/array expressions —
+    zero shuffle, zero Python; the regexes are in the RE2-compatible
+    subset Java regex and DuckDB evaluate identically."""
+    d = load(spark, sf_dir, "documents")
+    n_words = F.size(tokens(F.col("text"))).cast("long")
+    n_sents = F.size(F.split(F.trim(F.col("text")), r"[.!?]+\s*")).cast("long")
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    ).cast("long")
+    t = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sents"))
+        - F.lit(84.6) * (F.col("n_syll").cast("double") / F.col("n_words"))
+    )
+    return t.select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        "n_syll",
+        (F.floor(flesch * 10000 + F.lit(0.5)) / 10000).alias("flesch"),
+    )

@@ -729,3 +729,43 @@ def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sp > 5.0).alias("drift_up"),
         (sn > 5.0).alias("drift_down"),
     )
+
+
+@register(
+    "events_seasonality",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(hour(ts) AS INT) AS hour_of_day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT event_type, sum(n) AS total FROM h GROUP BY event_type)
+    SELECT h.event_type, hour_of_day, n,
+           floor(CAST(n AS DOUBLE) / total * 1000000 + 0.5) / 1000000 AS share,
+           n = max(n) OVER (PARTITION BY h.event_type) AS is_peak
+    FROM h JOIN tot ON h.event_type = tot.event_type
+    """,
+)
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: volume share per
+    hour with the peak hour(s) flagged — the diurnal-load query behind
+    capacity planning and anomaly baselines. One (type, hour) aggregate
+    (at most |types| x 24 rows leave the shuffle), shares are exact
+    integer-count ratios, and the peak flag is a window max over the
+    tiny profile — data-sized work is the single scan."""
+    ev = load(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour_of_day")
+    ).agg(F.count("*").alias("n"))
+    tot = h.groupBy("event_type").agg(F.sum("n").alias("total"))
+    share = F.col("n").cast("double") / F.col("total")
+    wmax = W.partitionBy("event_type")
+    return (
+        h.join(tot, "event_type")
+        .select(
+            "event_type",
+            "hour_of_day",
+            "n",
+            (F.floor(share * 1000000 + F.lit(0.5)) / 1000000).alias("share"),
+            (F.col("n") == F.max("n").over(wmax)).alias("is_peak"),
+        )
+    )
