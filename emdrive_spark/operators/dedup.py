@@ -868,14 +868,19 @@ def dedup_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sh AS (
       SELECT doc_id,
-             unnest(list_distinct(
-               list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
-                              i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
-      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM corpus)
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS sh_key
+      FROM (
+        SELECT doc_id,
+               unnest(list_distinct(
+                 list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM corpus)
+      )
     ),
     cand AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM sh a JOIN sh b ON a.sh_key = b.sh_key AND a.doc_id < b.doc_id
       GROUP BY 1, 2 HAVING count(*) >= 5
     )
     SELECT id_a, id_b, CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
@@ -906,7 +911,16 @@ def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     corpus = docs.unionByName(twin)
-    sh = corpus.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+    # the join key is a PORTABLE 60-bit md5 prefix of the shingle, not
+    # the string: the candidate shuffle carries 8-byte ints (the same
+    # key the oracle computes, so any hash collision is seen by both
+    # engines and exactness is preserved)
+    sh = corpus.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("shingle")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long").alias("sh_key"),
+    )
     # >= 5 shared shingles (every perturbed twin clears it; measured
     # min twin overlap = 5) — drops 48.7k loose 1-shingle collisions to
     # 600 candidates, keeping the O(len^2) verifier off random pairs.
@@ -914,7 +928,7 @@ def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.alias("a")
         .join(
             sh.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sh_key") == F.col("b.sh_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
