@@ -298,3 +298,57 @@ def sink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").cast("double").alias("max_price"),
         )
     )
+
+
+@register(
+    "sink_versioned_timetravel",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 100 < 50
+    """,
+)
+def sink_versioned_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot versioning + time travel on plain Parquet: each commit
+    writes a full new version directory (v=1, then v=2 with different
+    rows) and readers pin a version — reading v1 AFTER v2 landed must
+    return exactly the v1 rows, which is the oracle's check. This is
+    the directory-level skeleton of Delta/Iceberg time travel (their
+    logs record file sets per snapshot; here the version IS the
+    directory). Writers never mutate a published version, so reads
+    need no locks at any scale."""
+    base = os.path.join(_TMP, "orders_versions")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v1 = o.filter(F.col("o_orderkey") % 100 < 50)
+    v2 = o.filter(F.col("o_orderkey") % 100 >= 50)
+    v1.write.mode("overwrite").parquet(os.path.join(base, "v=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(base, "v=2"))
+    return spark.read.parquet(os.path.join(base, "v=1"))
+
+
+@register(
+    "source_federated_join",
+    oracle="""
+    SELECT n_name, count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def source_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated multi-format join: the fact side stays Parquet while
+    the dimension is staged to (and read back from) JSON — one logical
+    plan over heterogeneous sources, the everyday lakehouse reality of
+    curated Parquet joined against exported/reference files. Catalyst
+    treats both scans uniformly (pushdown works per-format), the tiny
+    JSON dim broadcasts, and the answer must equal the single-format
+    join exactly."""
+    path = os.path.join(_TMP, "nation_json")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation.write.mode("overwrite").json(path)
+    njson = spark.read.json(path).select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name"
+    )
+    c = load(spark, sf_dir, "customer").select("c_nationkey")
+    return (
+        c.join(F.broadcast(njson), c.c_nationkey == njson.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )

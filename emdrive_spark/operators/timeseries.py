@@ -769,3 +769,33 @@ def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") == F.max("n").over(wmax)).alias("is_peak"),
         )
     )
+
+
+@register(
+    "events_sliding_distinct",
+    oracle="""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, user_id
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', user_id
+      FROM events
+    )
+    SELECT window_start, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM assigned GROUP BY 1
+    """,
+)
+def events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct users (1 h window / 30 min slide) — the
+    concurrent-actives metric. F.window expands each event into its two
+    windows MAP-SIDE; the exact distinct is a two-phase aggregate
+    ((window, user) dedup, then count) — at deployment scale the
+    drop-in approximate twin is approx_count_distinct over the same
+    window expression (see agg_approx_count_distinct), trading exact
+    counts for fixed-size sketches."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(F.col("w.start").alias("window_start"), "n_users")
+    )
