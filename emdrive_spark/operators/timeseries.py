@@ -799,3 +799,137 @@ def events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_users"))
         .select(F.col("w.start").alias("window_start"), "n_users")
     )
+
+
+@register(
+    "join_point_in_time",
+    oracle="""
+    WITH hist AS (
+      SELECT user_id, value AS plan_value, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM events WHERE event_type = 'signup'
+    ),
+    fact AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT event_id, fact.user_id, plan_value
+    FROM fact JOIN hist
+      ON fact.user_id = hist.user_id
+     AND fact.ts >= valid_from
+     AND (valid_to IS NULL OR fact.ts < valid_to)
+    """,
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct dimension lookup: each fact joins the
+    dimension VERSION that was valid at the fact's own timestamp
+    (valid_from <= ts < valid_to), the SCD-2 read path that prevents
+    feature leakage in ML training joins and restatement bugs in
+    warehouses. The version intervals come from one lead() window over
+    the change stream; the join is an ordinary user_id equi join with
+    the interval predicate — exactly one key shuffle per side, at most
+    one match per fact by construction."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("value").alias("plan_value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w.orderBy("ts", "event_id")).alias("valid_to"),
+        )
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        fact.join(hist, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+        )
+        .select("event_id", "user_id", "plan_value")
+    )
+
+
+@register(
+    "events_ab_test",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+                  AS DOUBLE) AS s2
+      FROM events WHERE event_type IN ('click', 'error')
+      GROUP BY event_type
+    ),
+    w AS (
+      SELECT event_type, n, s1 / n AS mean,
+             (s2 - s1 * s1 / n) / (n - 1) / n AS vn
+      FROM g
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           floor(a.mean * 1000000 + 0.5) / 1000000 AS mean_a,
+           floor(b.mean * 1000000 + 0.5) / 1000000 AS mean_b,
+           floor((a.mean - b.mean) / sqrt(a.vn + b.vn) * 1000000 + 0.5) / 1000000
+             AS t_stat,
+           floor((a.vn + b.vn) * (a.vn + b.vn)
+                 / (a.vn * a.vn / (a.n - 1) + b.vn * b.vn / (b.n - 1))
+                 * 10000 + 0.5) / 10000 AS dof
+    FROM (SELECT * FROM w WHERE event_type = 'click') a,
+         (SELECT * FROM w WHERE event_type = 'error') b
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test between event cohorts (click vs
+    error), computed from exact DECIMAL power sums: per-group mean and
+    vn = s^2/n reduce map-side to four scalars, and the t statistic and
+    Welch-Satterthwaite degrees of freedom are the identical double
+    expressions in both engines (sqrt only — no libm pow). This is the
+    experimentation primitive: at any scale the data-sized work is one
+    filtered scan; everything after the two-row aggregate is
+    arithmetic on a broadcastable 2x4 table."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    dv = F.col("value").cast("decimal(18,2)")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dv).cast("double").alias("s1"),
+        F.sum(dv * dv).cast("double").alias("s2"),
+    )
+    w = g.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+            / F.col("n")
+        ).alias("vn"),
+    )
+    a = w.filter(F.col("event_type") == "click").alias("a")
+    b = w.filter(F.col("event_type") == "error").alias("b")
+    j = a.crossJoin(b)
+
+    def f(c, d=1000000):
+        return F.floor(c * d + F.lit(0.5)) / d
+
+    t = (F.col("a.mean") - F.col("b.mean")) / F.sqrt(F.col("a.vn") + F.col("b.vn"))
+    dof = (
+        (F.col("a.vn") + F.col("b.vn"))
+        * (F.col("a.vn") + F.col("b.vn"))
+        / (
+            F.col("a.vn") * F.col("a.vn") / (F.col("a.n") - 1)
+            + F.col("b.vn") * F.col("b.vn") / (F.col("b.n") - 1)
+        )
+    )
+    return j.select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        f(F.col("a.mean")).alias("mean_a"),
+        f(F.col("b.mean")).alias("mean_b"),
+        f(t).alias("t_stat"),
+        f(dof, 10000).alias("dof"),
+    )
