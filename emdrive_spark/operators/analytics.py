@@ -643,3 +643,74 @@ def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.text(path).select(
         F.length("value").cast("long").alias("n_chars_rt")
     )
+
+
+@register(
+    "basket_pair_lift",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 200 AS item FROM lineitem
+    ),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM basket),
+    item_n AS (SELECT item, count(*) AS cnt FROM basket GROUP BY item),
+    pair AS (
+      SELECT a.item AS item_a, b.item AS item_b, count(*) AS together
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 8
+    )
+    SELECT item_a, item_b, together,
+           floor(CAST(together AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS support,
+           floor((CAST(together AS DOUBLE) / n)
+                 / ((CAST(ia.cnt AS DOUBLE) / n) * (CAST(ib.cnt AS DOUBLE) / n))
+                 * 10000 + 0.5) / 10000 AS lift
+    FROM pair
+    JOIN item_n ia ON ia.item = item_a
+    JOIN item_n ib ON ib.item = item_b, n_orders
+    """,
+)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift: item pairs bought in the
+    same order (items bucketed to 200 SKU groups), support = P(a,b),
+    lift = P(a,b) / (P(a)P(b)) — the association-rule primitive behind
+    'customers also bought'. The pair expansion is an equi self-join on
+    the ORDER key, so work is sum of per-basket sizes squared (bounded
+    by basket size, never |orders|^2); the >= 8 support floor prunes
+    the pair table before the stats joins, and item marginals
+    broadcast. All ratios are exact integer-count divisions."""
+    li = load(spark, sf_dir, "lineitem")
+    basket = li.select(
+        "l_orderkey", (F.col("l_partkey") % 200).alias("item")
+    ).distinct()
+    n_orders = basket.agg(F.count_distinct("l_orderkey").alias("n"))
+    item_n = basket.groupBy("item").agg(F.count("*").alias("cnt"))
+    pair = (
+        basket.alias("a")
+        .join(
+            basket.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count("*").alias("together"))
+        .filter(F.col("together") >= 8)
+    )
+    ia = item_n.alias("ia")
+    ib = item_n.alias("ib")
+    support = F.col("together").cast("double") / F.col("n")
+    lift = support / (
+        (F.col("ia.cnt").cast("double") / F.col("n"))
+        * (F.col("ib.cnt").cast("double") / F.col("n"))
+    )
+    return (
+        pair.join(F.broadcast(ia), F.col("item_a") == F.col("ia.item"))
+        .join(F.broadcast(ib), F.col("item_b") == F.col("ib.item"))
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "item_a",
+            "item_b",
+            "together",
+            (F.floor(support * 1000000 + F.lit(0.5)) / 1000000).alias("support"),
+            (F.floor(lift * 10000 + F.lit(0.5)) / 10000).alias("lift"),
+        )
+    )
