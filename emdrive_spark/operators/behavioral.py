@@ -167,3 +167,116 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(p * 1000000 + F.lit(0.5)) / 1000000).alias("p"),
         )
     )
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT CAST(cohort.cohort_day AS VARCHAR) AS cohort_day,
+             date_diff('day', cohort.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+             sum(CAST(e.value AS DECIMAL(18,2))) AS rev
+      FROM events e JOIN cohort ON e.user_id = cohort.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(sum(rev) OVER (PARTITION BY cohort_day ORDER BY day_offset
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS ltv
+    FROM daily
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative purchase revenue per
+    signup cohort by day offset — the growth-analytics companion to
+    events_retention. Revenue aggregates as exact DECIMAL before the
+    running window (frame sums accumulate in ORDER BY order —
+    deterministic), so every point on every curve is engine-exact. Two
+    user_id-keyed steps then a per-cohort ordered pass over the tiny
+    (cohort x offset) table."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = (
+        W.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return daily.select(
+        "cohort_day",
+        "day_offset",
+        F.sum("rev").over(w).cast("double").alias("ltv"),
+    )
+
+
+@register(
+    "user_rfm_segments",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             date_diff('day', max(ts), TIMESTAMP '2024-02-01') AS recency_days,
+             CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS frequency,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'purchase')
+                  AS DOUBLE) AS monetary
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           CASE WHEN recency_days <= 2 AND frequency >= 13 AND monetary >= 590.0
+                  THEN 'champion'
+                WHEN frequency >= 13 THEN 'loyal'
+                WHEN monetary >= 590.0 THEN 'big_spender'
+                ELSE 'casual' END AS segment
+    FROM u
+    """,
+)
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation with FIXED
+    business-rule cut points — the scale-clean form: quantile-based
+    cuts need a global ntile (single-partition window) or an
+    approx-percentile pre-pass; fixed cuts keep segmentation a pure
+    per-user aggregate + projection at any corpus size. Monetary is an
+    exact DECIMAL sum, recency is integer day arithmetic against a
+    fixed anchor, so every user lands in the same segment on every
+    engine."""
+    ev = load(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    u = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.lit("2024-02-01").cast("date"), F.max("ts").cast("date")
+        ).alias("recency_days"),
+        F.count(F.when(is_p, 1)).alias("frequency"),
+        F.sum(F.when(is_p, F.col("value").cast("decimal(18,2)")))
+        .cast("double")
+        .alias("monetary"),
+    )
+    seg = (
+        F.when(
+            (F.col("recency_days") <= 2)
+            & (F.col("frequency") >= 13)
+            & (F.col("monetary") >= 590.0),
+            "champion",
+        )
+        .when(F.col("frequency") >= 13, "loyal")
+        .when(F.col("monetary") >= 590.0, "big_spender")
+        .otherwise("casual")
+    )
+    return u.select(
+        "user_id", "recency_days", "frequency", "monetary", seg.alias("segment")
+    )
