@@ -280,3 +280,55 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.select(
         "user_id", "recency_days", "frequency", "monetary", seg.alias("segment")
     )
+
+
+@register(
+    "user_time_to_convert",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY e.user_id
+    )
+    SELECT s.user_id, signup_ts, first_purchase_ts,
+           date_diff('microsecond', signup_ts, first_purchase_ts) // 1000000
+             AS seconds_to_convert
+    FROM s JOIN p ON s.user_id = p.user_id
+    """,
+)
+def user_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: seconds from first signup to the first purchase
+    at-or-after it, per user — the funnel-latency metric. Two min()
+    aggregates and one equi join, all keyed on user_id (one shuffle,
+    reused); the latency is exact integer microseconds DIV 1e6, the
+    engine-portable truncation (second-granularity diffs disagree on
+    fractional seconds across engines)."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    return (
+        s.join(p, "user_id")
+        .select(
+            "user_id",
+            "signup_ts",
+            "first_purchase_ts",
+            F.expr(
+                "timestampdiff(MICROSECOND, signup_ts, first_purchase_ts) DIV 1000000"
+            ).alias("seconds_to_convert"),
+        )
+    )
