@@ -124,3 +124,36 @@ def pivot_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("O", "qty_O")
         .withColumnRenamed("F", "qty_F")
     )
+
+
+@register(
+    "sql_select_at_distance",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('https://twixes.com/b.png', CAST(0 AS INT)),
+      ('https://twixes.com/a.png', CAST(3 AS INT)),
+      ('https://twixes.com/c.png', CAST(5 AS INT))
+    ) AS t(url, distance)
+    """,
+)
+def sql_select_at_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference README's flagship query VERBATIM through the SQL
+    dialect layer (README.md:67-78): `hash @ 0b00001011` rewrites to
+    the hamming metric, the `distance` alias is referable in WHERE
+    (alias-in-predicate, which stock Spark SQL rejects), and ORDER
+    BY/threshold behave as declared. The oracle states the expected
+    popcounts of the three inserted rows — so this driver row checks
+    parser, rewriter, catalog, metric function, and executor
+    end-to-end."""
+    eng = Engine(spark)
+    eng.execute(_CREATE)
+    eng.execute(_INSERT)
+    out = eng.execute(
+        """
+        SELECT url, hash @ 0b00001011 AS distance
+        FROM photos_seen
+        WHERE distance < 200
+        ORDER BY distance
+        """
+    )
+    return out.select("url", F.col("distance").cast("int").alias("distance"))
