@@ -138,6 +138,38 @@ _ROUND_WINDOW = (
     # r2 changed this op's output (array→CSV serialization) after its
     # r1 green row — re-verify under the new shape (r2 advisor note)
     "agg_collect_sorted",
+    # ---- second tier: past the ~50-row driver window, listed so any
+    # extra driver capacity lands on the round-3 additions (never
+    # driver-checked) instead of already-green r1/r2 ops; these are
+    # also the front of the round-4 rotation (SURVEY §8).
+    "sql_select_at_distance",
+    "zorder_cluster",
+    "cdc_changes",
+    "text_perplexity_bucket",
+    "text_search_bm25",
+    "quality_classifier_linear",
+    "events_ewma",
+    "join_interval_overlap",
+    "dedup_edit_verified",
+    "stream_ewma",
+    "events_interpolate",
+    "events_cusum",
+    "embedding_mmr_rerank",
+    "agg_moments",
+    "window_islands",
+    "sink_manifest",
+    "events_transitions",
+    "text_readability",
+    "events_seasonality",
+    "sink_versioned_timetravel",
+    "source_federated_join",
+    "events_sliding_distinct",
+    "join_point_in_time",
+    "events_ab_test",
+    "basket_pair_lift",
+    "events_cohort_ltv",
+    "user_rfm_segments",
+    "user_time_to_convert",
 )
 
 _loaded = False
