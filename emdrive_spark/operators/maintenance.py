@@ -246,3 +246,70 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return unchanged.unionByName(closed).unionByName(opened)
+
+
+@register(
+    "table_quality_audit",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'o_orderkey' AS column_name,
+             CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_dup,
+             CAST(min(o_orderkey) AS DOUBLE) AS min_v,
+             CAST(max(o_orderkey) AS DOUBLE) AS max_v
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey',
+             CAST(count(*) - count(o_custkey) AS BIGINT),
+             CAST(count(DISTINCT o_custkey) AS BIGINT),
+             CAST(count(*) - count(DISTINCT o_custkey) AS BIGINT),
+             CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice',
+             CAST(count(*) - count(o_totalprice) AS BIGINT),
+             CAST(count(DISTINCT o_totalprice) AS BIGINT),
+             CAST(count(*) - count(DISTINCT o_totalprice) AS BIGINT),
+             CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+      FROM orders
+    )
+    """,
+)
+def table_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style data-quality audit: per audited column, null
+    count, distinct count, duplicate count (the PK-uniqueness check
+    when run on the key), and value range — the contract a pipeline
+    asserts before publishing a table. All columns audit in ONE scan:
+    each metric is a map-side partial aggregate, and the per-column
+    rows are unpivoted from a single aggregate row, so at 100 TB the
+    audit costs one pass regardless of how many columns it covers
+    (count_distinct adds one shuffle per audited column — swap in
+    approx_count_distinct to keep the audit single-pass at the
+    billion-row grain)."""
+    o = load(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"{c}__null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            (F.count("*") - F.count_distinct(F.col(c))).alias(f"{c}__dup"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    one = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__null, {c}__distinct, {c}__dup, {c}__min, {c}__max" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(column_name, n_null, n_distinct, n_dup, min_v, max_v)"
+    ).select(
+        "column_name",
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("n_dup").cast("long").alias("n_dup"),
+        "min_v",
+        "max_v",
+    )
