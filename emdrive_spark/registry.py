@@ -170,6 +170,7 @@ _ROUND_WINDOW = (
     "events_cohort_ltv",
     "user_rfm_segments",
     "user_time_to_convert",
+    "table_quality_audit",
 )
 
 _loaded = False
