@@ -546,6 +546,8 @@ def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         for vid in remaining:
             div = max((cos(vecs[vid], vecs[s]) for s, _, _ in selected), default=0.0)
             score = round(lam * rel[vid] - (1.0 - lam) * div, 6)
+            if score == 0.0:
+                score = 0.0  # normalize -0.0 (display + hash stability)
             key = (score, -vid)
             if best is None or key > best[0]:
                 best = (key, vid)
