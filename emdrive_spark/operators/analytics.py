@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from emdrive_spark.functions import money as M
@@ -713,4 +713,65 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(support * 1000000 + F.lit(0.5)) / 1000000).alias("support"),
             (F.floor(lift * 10000 + F.lit(0.5)) / 10000).alias("lift"),
         )
+    )
+
+
+@register(
+    "customer_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT c_mktsegment, c_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT c_mktsegment, c_custkey,
+             CAST(row_number() OVER w AS BIGINT) AS rnk,
+             CAST(sum(rev) OVER (PARTITION BY c_mktsegment ORDER BY rev DESC, c_custkey
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_rev,
+             CAST(sum(rev) OVER (PARTITION BY c_mktsegment) AS DOUBLE) AS total_rev,
+             CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n_cust
+      FROM rev
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY rev DESC, c_custkey)
+    )
+    SELECT c_mktsegment, c_custkey, rnk,
+           floor(cum_rev / total_rev * 1000000 + 0.5) / 1000000 AS rev_share,
+           rnk * 5 <= n_cust AS is_top20pct
+    FROM ranked
+    """,
+)
+def customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / concentration curve per market segment: customers
+    ranked by exact DECIMAL revenue, cumulative share of segment
+    revenue, and the top-20% flag — the 80/20 revenue-concentration
+    query. All windows partition by SEGMENT (dimension cardinality
+    drives parallelism, never one global sort); cumulative sums run
+    over exact decimals so every share is engine-identical; rank ties
+    break on the key."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    order = W.partitionBy("c_mktsegment").orderBy(F.desc("rev"), "c_custkey")
+    running = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    whole = W.partitionBy("c_mktsegment")
+    ranked = rev.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.row_number().over(order).cast("long").alias("rnk"),
+        F.sum("rev").over(running).cast("double").alias("cum_rev"),
+        F.sum("rev").over(whole).cast("double").alias("total_rev"),
+        F.count("*").over(whole).cast("long").alias("n_cust"),
+    )
+    share = F.col("cum_rev") / F.col("total_rev")
+    return ranked.select(
+        "c_mktsegment",
+        "c_custkey",
+        "rnk",
+        (F.floor(share * 1000000 + F.lit(0.5)) / 1000000).alias("rev_share"),
+        (F.col("rnk") * 5 <= F.col("n_cust")).alias("is_top20pct"),
     )

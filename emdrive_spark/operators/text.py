@@ -14,7 +14,7 @@ driver's value-hash compare).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from emdrive_spark.registry import register
@@ -442,4 +442,55 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sents",
         "n_syll",
         (F.floor(flesch * 10000 + F.lit(0.5)) / 10000).alias("flesch"),
+    )
+
+
+@register(
+    "text_keyword_extract",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, tok, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, tok) AS INT) AS rank
+      FROM scored
+    )
+    SELECT doc_id, tok, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: the top-3 TF-IDF terms per document (rounded
+    score ordering + lexicographic tiebreak, so the keyword set is
+    engine-stable) — the metadata-enrichment step behind search facets
+    and topic labeling. Same two aggregations as text_tfidf plus a
+    doc-partitioned window; the per-doc rank never needs a global
+    sort."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.count()
+    tfidf = F.round(
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+    )
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "doc_id", "tok", tfidf.alias("tfidf")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (
+        scored.select(
+            "doc_id", "tok", "tfidf", F.row_number().over(w).cast("int").alias("rank")
+        )
+        .filter(F.col("rank") <= 3)
     )
