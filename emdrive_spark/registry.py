@@ -171,6 +171,8 @@ _ROUND_WINDOW = (
     "user_rfm_segments",
     "user_time_to_convert",
     "table_quality_audit",
+    "text_keyword_extract",
+    "customer_pareto",
 )
 
 _loaded = False
