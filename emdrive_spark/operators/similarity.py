@@ -558,3 +558,49 @@ def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, vid, r, s) for i, (vid, r, s) in enumerate(selected)],
         "rank INT, vec_id BIGINT, rel DOUBLE, mmr_score DOUBLE",
     )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH comp AS (
+      SELECT i - 1 AS dim,
+             floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) / 1000000 AS x
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                 * 1000000 + 0.5) / 1000000 AS mean,
+           CAST(min(x) AS DOUBLE) AS min_v,
+           CAST(max(x) AS DOUBLE) AS max_v
+    FROM comp GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health stats (mean / min / max per
+    coordinate): the drift-and-dead-dimension check run before trusting
+    an embedding table for dedup or ANN — a collapsed dimension shows
+    as near-zero range, a biased encoder as off-center means.
+    Components round to 6 decimals and sum as DECIMAL, so the means
+    are combine-order-exact; the shuffle carries (dim, decimal partial)
+    pairs — at most dims x partitions rows regardless of table size."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x0")
+    )
+    x = F.floor(F.col("x0") * 1000000 + F.lit(0.5)) / 1000000
+    comp = emb.select(F.col("dim").cast("int").alias("dim"), x.alias("x"))
+    return comp.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        (
+            F.floor(
+                F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("mean"),
+        F.min("x").cast("double").alias("min_v"),
+        F.max("x").cast("double").alias("max_v"),
+    )

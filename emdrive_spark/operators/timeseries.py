@@ -933,3 +933,56 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         f(t).alias("t_stat"),
         f(dof, 10000).alias("dof"),
     )
+
+
+@register(
+    "events_outlier_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, med.med,
+             abs(e.value - med.med) AS adev
+      FROM events e JOIN med ON e.event_type = med.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT event_id, dev.event_type,
+           floor(dev.adev / nullif(1.4826 * mad.mad, 0.0) * 10000 + 0.5) / 10000
+             AS robust_z,
+           dev.adev > 3 * (1.4826 * mad.mad) AS is_outlier
+    FROM dev JOIN mad ON dev.event_type = mad.event_type
+    """,
+)
+def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: each
+    event scored as |x - median| / (1.4826 * MAD) per event type — the
+    zscore's breakdown-resistant sibling (one wild value cannot shift
+    the baseline the way it shifts a mean/stddev). Exact interpolated
+    percentiles group per TYPE (agg_percentile pinned the Spark
+    percentile ↔ DuckDB quantile_cont parity); the two tiny per-type
+    stats tables broadcast back, so the event stream is scanned twice
+    and never shuffled on anything but the scan. At the billion-row
+    grain swap in approx_percentile — same plan shape."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
+    j = dev.join(F.broadcast(mad), "event_type")
+    rz = F.col("adev") / F.nullif(F.lit(1.4826) * F.col("mad"), F.lit(0.0))
+    return j.select(
+        "event_id",
+        "event_type",
+        (F.floor(rz * 10000 + F.lit(0.5)) / 10000).alias("robust_z"),
+        (F.col("adev") > 3 * (F.lit(1.4826) * F.col("mad"))).alias("is_outlier"),
+    )
