@@ -173,6 +173,8 @@ _ROUND_WINDOW = (
     "table_quality_audit",
     "text_keyword_extract",
     "customer_pareto",
+    "events_outlier_mad",
+    "embedding_dim_stats",
 )
 
 _loaded = False
