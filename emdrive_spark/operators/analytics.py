@@ -775,3 +775,43 @@ def customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(share * 1000000 + F.lit(0.5)) / 1000000).alias("rev_share"),
         (F.col("rnk") * 5 <= F.col("n_cust")).alias("is_top20pct"),
     )
+
+
+@register(
+    "source_csv_malformed",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 != 0
+    """,
+)
+def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant CSV ingestion: the staged feed corrupts every
+    10th record (wrong column count + non-numeric key); the PERMISSIVE
+    reader captures those rows in columnNameOfCorruptRecord instead of
+    failing the job, and the op returns exactly the clean rows — which
+    the oracle pins as the uncorrupted subset of the source. This is
+    the quarantine pattern for 100 TB third-party feeds: bad records
+    become a filterable column (routed to a dead-letter sink in
+    production), never a job abort. Numeric round-trip uses Spark's own
+    CSV writer/parser (lossless for doubles, per source_csv_roundtrip)."""
+    import os as _os
+    import tempfile as _tf
+
+    path = _os.path.join(_tf.gettempdir(), "emdrive_scale", "orders_malformed_csv")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    line = F.when(
+        F.col("o_orderkey") % 10 == 0,
+        F.concat(F.lit("corrupt-"), F.col("o_orderkey").cast("string"), F.lit(",x,y,z")),
+    ).otherwise(
+        F.concat_ws(",", F.col("o_orderkey").cast("string"), F.col("o_totalprice"))
+    )
+    o.select(line.alias("value")).write.mode("overwrite").text(path)
+    schema = "o_orderkey LONG, o_totalprice DOUBLE, _corrupt STRING"
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    return parsed.filter(F.col("_corrupt").isNull()).select(
+        "o_orderkey", "o_totalprice"
+    )

@@ -986,3 +986,42 @@ def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(rz * 10000 + F.lit(0.5)) / 10000).alias("robust_z"),
         (F.col("adev") > 3 * (F.lit(1.4826) * F.col("mad"))).alias("is_outlier"),
     )
+
+
+@register(
+    "events_detect_gaps",
+    oracle="""
+    WITH seq AS (
+      SELECT ts,
+             lag(ts) OVER (ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT prev_ts AS gap_start, ts AS gap_end,
+           date_diff('microsecond', prev_ts, ts) // 1000000 AS gap_s
+    FROM seq
+    WHERE prev_ts IS NOT NULL
+      AND date_diff('microsecond', prev_ts, ts) // 1000000 >= 900
+    """,
+)
+def events_detect_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-gap detection: consecutive-event pairs more than 15
+    minutes apart, reported as (start, end, seconds) — the monitoring
+    query that pages when a feed stalls (the complement of
+    events_gap_fill, which repairs; this one REPORTS). A single global
+    lag() window is inherent to whole-feed gap detection; at
+    deployment scale run it per source/partition key or on the already
+    -aggregated minute rollup (both make the window partitioned). Gap
+    seconds are exact integer microseconds DIV 1e6."""
+    ev = load(spark, sf_dir, "events")
+    w = W.orderBy("ts", "event_id")
+    seq = ev.select("ts", F.lag("ts").over(w).alias("prev_ts"))
+    gap_s = F.expr("timestampdiff(MICROSECOND, prev_ts, ts) DIV 1000000")
+    return (
+        seq.filter(F.col("prev_ts").isNotNull())
+        .select(
+            F.col("prev_ts").alias("gap_start"),
+            F.col("ts").alias("gap_end"),
+            gap_s.alias("gap_s"),
+        )
+        .filter(F.col("gap_s") >= 900)
+    )
