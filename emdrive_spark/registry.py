@@ -175,6 +175,8 @@ _ROUND_WINDOW = (
     "customer_pareto",
     "events_outlier_mad",
     "embedding_dim_stats",
+    "events_detect_gaps",
+    "source_csv_malformed",
 )
 
 _loaded = False
