@@ -11,14 +11,13 @@ tests/test_plans.py for pinned properties).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from emdrive_spark.functions import money as M
 from emdrive_spark.registry import register
-from emdrive_spark.sources.tables import load
+from emdrive_spark.sources.tables import load, staging_dir
 
 
 @register(
@@ -256,8 +255,8 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _roundtrip_dir(fmt: str) -> str:
-    return os.path.join(tempfile.gettempdir(), f"emdrive_roundtrip_{fmt}")
+def _roundtrip_dir(spark: SparkSession, fmt: str) -> str:
+    return staging_dir(spark, f"roundtrip_{fmt}")
 
 
 @register(
@@ -314,7 +313,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink+source (ABSENT in reference, §2.1 external formats):
     write region as CSV, read it back with an explicit schema (no
     inference job)."""
-    path = _roundtrip_dir("csv")
+    path = _roundtrip_dir(spark, "csv")
     region = load(spark, sf_dir, "region")
     region.write.mode("overwrite").option("header", True).csv(path)
     return spark.read.schema(region.schema).option("header", True).csv(path)
@@ -323,7 +322,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("source_json_roundtrip", oracle="SELECT * FROM region")
 def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON lines sink+source (§2.1)."""
-    path = _roundtrip_dir("json")
+    path = _roundtrip_dir(spark, "json")
     region = load(spark, sf_dir, "region")
     region.write.mode("overwrite").json(path)
     return spark.read.schema(region.schema).json(path)
@@ -333,7 +332,7 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink+source (§2.1) — the second columnar format with native
     vectorized read + predicate pushdown."""
-    path = _roundtrip_dir("orc")
+    path = _roundtrip_dir(spark, "orc")
     region = load(spark, sf_dir, "region")
     region.write.mode("overwrite").orc(path)
     return spark.read.schema(region.schema).orc(path)
@@ -357,7 +356,7 @@ def source_parquet_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     time and old files surface NULLs. At 100 TB, schema merge is a
     footer-only operation (no data rewrite); per-file projection
     happens at scan time."""
-    path = _roundtrip_dir("evolve")
+    path = _roundtrip_dir(spark, "evolve")
     nation = load(spark, sf_dir, "nation")
     old = nation.filter(F.col("n_nationkey") < 10).select("n_nationkey", "n_name")
     new = nation.filter(F.col("n_nationkey") >= 10).select(
@@ -395,7 +394,7 @@ def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     row of (path, modificationTime, length, content binary) — how raw
     media lands before mm_pack-style normalization. Staged here by
     writing 50 docs as .bin files, then reading the directory back."""
-    path = _roundtrip_dir("bin")
+    path = _roundtrip_dir(spark, "bin")
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).collect()
     os.makedirs(path, exist_ok=True)
     for r in docs:
@@ -638,7 +637,7 @@ def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw lines and read back with spark.read.text — the ingest format of
     most raw web-scrape dumps. Roundtrip pinned by per-line length
     (the fixture corpus is newline-free by construction)."""
-    path = _roundtrip_dir("text")
+    path = _roundtrip_dir(spark, "text")
     load(spark, sf_dir, "documents").select("text").write.mode("overwrite").text(path)
     return spark.read.text(path).select(
         F.length("value").cast("long").alias("n_chars_rt")
@@ -793,10 +792,7 @@ def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     become a filterable column (routed to a dead-letter sink in
     production), never a job abort. Numeric round-trip uses Spark's own
     CSV writer/parser (lossless for doubles, per source_csv_roundtrip)."""
-    import os as _os
-    import tempfile as _tf
-
-    path = _os.path.join(_tf.gettempdir(), "emdrive_scale", "orders_malformed_csv")
+    path = staging_dir(spark, "orders_malformed_csv")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     line = F.when(
         F.col("o_orderkey") % 10 == 0,

@@ -103,6 +103,44 @@ def gen_now(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "system_catalog_introspect",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('main', 'photos_seen', CAST(0 AS INT), 'hash',    'UINT8',        false, false),
+      ('main', 'photos_seen', CAST(1 AS INT), 'url',     'STRING(2048)', true,  false),
+      ('main', 'photos_seen', CAST(2 AS INT), 'width',   'UINT32',       false, false),
+      ('main', 'photos_seen', CAST(3 AS INT), 'height',  'UINT32',       false, false),
+      ('main', 'photos_seen', CAST(4 AS INT), 'seen_at', 'TIMESTAMP',    false, false),
+      ('main', 'tags',        CAST(0 AS INT), 'name',    'STRING(64)',   true,  false),
+      ('main', 'tags',        CAST(1 AS INT), 'weight',  'NULLABLE(UINT32)', false, true)
+    ) AS t(schema_name, table_name, ordinal, column_name, data_type,
+           primary_key, is_nullable)
+    """,
+)
+def system_catalog_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The system catalog AS A QUERYABLE SURFACE: after two CREATEs, a
+    plain Spark SQL join over the ``system_tables`` / ``system_columns``
+    temp views must reproduce the full column inventory — the same
+    introspection contract the reference bootstraps as real tables an
+    SQL client reads (/root/reference/src/storage/system.rs:5-91,
+    /root/reference/src/executor/mod.rs:64-71). The oracle pins the
+    exact expected rows, so this driver row certifies that catalog
+    mutations propagate to the SQL-visible views (refresh-on-DDL)."""
+    eng = Engine(spark)
+    eng.execute(_CREATE)
+    eng.execute(
+        "CREATE TABLE tags (name STRING(64) PRIMARY KEY, weight NULLABLE(UINT32))"
+    )
+    return spark.sql(
+        """
+        SELECT t.schema_name, c.table_name, c.ordinal, c.column_name,
+               c.data_type, c.primary_key, c.is_nullable
+        FROM system_columns c JOIN system_tables t ON c.table_name = t.table_name
+        """
+    )
+
+
+@register(
     "pivot_sum",
     oracle="""
     SELECT l_returnflag,

@@ -14,16 +14,11 @@ transaction log (out of scope: no such package in this environment).
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from emdrive_spark.registry import register
-from emdrive_spark.sources.tables import load
-
-_TMP = os.path.join(tempfile.gettempdir(), "emdrive_maint")
+from emdrive_spark.sources.tables import load, staging_dir
 
 
 @register(
@@ -35,7 +30,7 @@ _TMP = os.path.join(tempfile.gettempdir(), "emdrive_maint")
              AS c_acctbal
     FROM customer
     UNION ALL
-    SELECT c_custkey + 10000000 AS c_custkey, 'NEW' AS c_mktsegment, 0.0 AS c_acctbal
+    SELECT c_custkey + 1000000000000 AS c_custkey, 'NEW' AS c_mktsegment, 0.0 AS c_acctbal
     FROM customer WHERE c_custkey % 100 = 0
     """,
 )
@@ -55,7 +50,9 @@ def upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c_acctbal") + 1000, 2).alias("u_bal"),
     )
     inserts = target.filter(F.col("c_custkey") % 100 == 0).select(
-        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        # 1e12 shift, same rationale as cdc_changes: c_custkey reaches
+        # 1.5e5*SF, so a small shift collides with real keys at scale.
+        (F.col("c_custkey") + 1_000_000_000_000).alias("c_custkey"),
         F.lit("NEW").alias("u_seg"),
         F.lit(0.0).alias("u_bal"),
     )
@@ -69,7 +66,7 @@ def upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("s.u_bal"), F.col("t.c_acctbal")).alias("c_acctbal"),
         )
     )
-    path = os.path.join(_TMP, "customer_upserted")
+    path = staging_dir(spark, "customer_upserted")
     merged.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
@@ -89,7 +86,7 @@ def delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
     kept = o.filter(~((F.col("o_orderstatus") == "F") & (F.col("o_custkey") % 7 == 0)))
-    path = os.path.join(_TMP, "orders_deleted")
+    path = staging_dir(spark, "orders_deleted")
     kept.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
@@ -107,8 +104,8 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     job — scan cost is dominated by file count, not bytes, once files
     shrink below a row group."""
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
-    frag = os.path.join(_TMP, "supplier_fragmented")
-    compacted = os.path.join(_TMP, "supplier_compacted")
+    frag = staging_dir(spark, "supplier_fragmented")
+    compacted = staging_dir(spark, "supplier_compacted")
     # fragment: many tiny files (worst case: one per ~8 rows)
     s.repartition(64).write.mode("overwrite").parquet(frag)
     # compact: few large files

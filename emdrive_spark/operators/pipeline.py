@@ -722,7 +722,7 @@ def text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM w GROUP BY doc_id
     )
     SELECT doc_id,
-           floor(1.0 / (1.0 + exp(-raw)) * 10000 + 0.5) / 10000 AS score,
+           floor(1.0 / (1.0 + exp(-raw)) * 1000 + 0.5) / 1000 AS score,
            raw >= 0 AS keep
     FROM s
     """,
@@ -753,8 +753,15 @@ def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # `keep` compares RAW, never the sigmoid: raw is decimal-sum/count,
+    # bit-identical across engines, so the flag cannot drift. The score
+    # passes through F.exp (libm/platform-dependent, the one non-portable
+    # step here); a last-ulp exp difference only shows if the sigmoid
+    # lands within 1 ulp of a rounding boundary, so round coarsely
+    # (3 decimals) and accept that residual risk — documented, matching
+    # the pow-ban rationale in agg_moments.
     return s.select(
         "doc_id",
-        _fixed(1.0 / (1.0 + F.exp(-F.col("raw"))), 4).alias("score"),
+        _fixed(1.0 / (1.0 + F.exp(-F.col("raw"))), 3).alias("score"),
         (F.col("raw") >= 0).alias("keep"),
     )

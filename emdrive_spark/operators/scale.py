@@ -14,15 +14,12 @@ oracle checks the *semantics* while tests/test_plans.py pins the
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from emdrive_spark.registry import register
-from emdrive_spark.sources.tables import load
-
-_TMP = os.path.join(tempfile.gettempdir(), "emdrive_scale")
+from emdrive_spark.sources.tables import load, staging_dir
 
 
 @register(
@@ -38,7 +35,7 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolves at *planning* time from directory names — a 100 TB table
     with 25 year partitions scans 4% of its files for one year. This is
     the engine's analog of the reference's B+tree range skip."""
-    path = os.path.join(_TMP, "orders_by_year")
+    path = staging_dir(spark, "orders_by_year")
     o = load(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate"))
     o.select("o_orderkey", "o_totalprice", "o_year").write.mode("overwrite").partitionBy(
         "o_year"
@@ -206,7 +203,7 @@ def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE o_totalprice END AS p
       FROM orders WHERE o_orderkey % 23 != 0
       UNION ALL
-      SELECT o_orderkey + 100000000 AS k, o_totalprice / 2 AS p
+      SELECT o_orderkey + 1000000000000 AS k, o_totalprice / 2 AS p
       FROM orders WHERE o_orderkey % 31 = 0
     )
     SELECT COALESCE(snap_old.k, snap_new.k) AS o_orderkey,
@@ -235,8 +232,11 @@ def cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         F.when(F.col("k") % 17 == 0, F.col("p") * 1.1).otherwise(F.col("p")).alias("p"),
     )
+    # Shift by 1e12, not 1e8: TPC-H o_orderkey reaches 6e6*SF, so a 1e8
+    # shift collides with real keys around SF~17 and misclassifies the
+    # synthetic inserts as updates. 1e12 clears SF 100k (~100 TB).
     inserted = o.filter(F.col("k") % 31 == 0).select(
-        (F.col("k") + 100000000).alias("k"), (F.col("p") / 2).alias("p")
+        (F.col("k") + 1_000_000_000_000).alias("k"), (F.col("p") / 2).alias("p")
     )
     new = updated.unionAll(inserted)
     old = o
@@ -278,9 +278,7 @@ def sink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation shuffles six scalars per partition — nothing else; the
     oracle states the invariant that the manifest must equal the source
     table's own statistics (a lost row or partition would break it)."""
-    import os as _os
-
-    path = _os.path.join(_TMP, "orders_manifest")
+    path = staging_dir(spark, "orders_manifest")
     o = load(spark, sf_dir, "orders").withColumn(
         "o_year", F.year("o_orderdate").cast("int")
     )
@@ -315,7 +313,7 @@ def sink_versioned_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     logs record file sets per snapshot; here the version IS the
     directory). Writers never mutate a published version, so reads
     need no locks at any scale."""
-    base = os.path.join(_TMP, "orders_versions")
+    base = staging_dir(spark, "orders_versions")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     v1 = o.filter(F.col("o_orderkey") % 100 < 50)
     v2 = o.filter(F.col("o_orderkey") % 100 >= 50)
@@ -340,7 +338,7 @@ def source_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     treats both scans uniformly (pushdown works per-format), the tiny
     JSON dim broadcasts, and the answer must equal the single-format
     join exactly."""
-    path = os.path.join(_TMP, "nation_json")
+    path = staging_dir(spark, "nation_json")
     nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     nation.write.mode("overwrite").json(path)
     njson = spark.read.json(path).select(

@@ -457,7 +457,8 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT count(*) AS n_docs FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.tok,
-             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+             floor(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1000000 + 0.5)
+               / 1000000 AS tfidf
       FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
     ),
     ranked AS (
@@ -481,9 +482,12 @@ def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
     n_docs = d.count()
-    tfidf = F.round(
-        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-    )
+    # floor(x*1e6+0.5)/1e6, not F.round: Spark and DuckDB disagree on
+    # half-up at decimal midpoints, and the rank<=3 cutoff below makes a
+    # one-ulp divergence change the row SET, not just a displayed value.
+    tfidf = F.floor(
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 1e6 + F.lit(0.5)
+    ) / F.lit(1e6)
     scored = tf.join(F.broadcast(df), "tok").select(
         "doc_id", "tok", tfidf.alias("tfidf")
     )

@@ -55,6 +55,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def staging_dir(spark: SparkSession, *parts: str) -> str:
+    """Per-session scratch path for sink / round-trip ops. Keyed on the
+    Spark applicationId so two concurrent gate/bench invocations (each
+    its own SparkSession) never overwrite each other's staged files
+    mid-read — a fixed world-readable path under /tmp did exactly that
+    (r3 advisor). Local-mode scratch only: the 100 TB deployments these
+    ops document would stage to a per-job object-store prefix instead."""
+    import tempfile
+
+    app_id = spark.sparkContext.applicationId
+    return os.path.join(tempfile.gettempdir(), f"emdrive_stage_{app_id}", *parts)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views so spark.sql() queries resolve,
     mirroring the reference's system catalog bootstrap

@@ -130,12 +130,12 @@ def test_topk_planner_both_paths(spark):
 def test_compaction_reduces_file_count(spark):
     import glob
     import os
-    import tempfile
+
+    from emdrive_spark.sources.tables import staging_dir
 
     registry.REGISTRY["compact_small_files"].fn(spark, SF_SMOKE).count()
-    tmp = os.path.join(tempfile.gettempdir(), "emdrive_maint")
-    frag = glob.glob(os.path.join(tmp, "supplier_fragmented", "*.parquet"))
-    comp = glob.glob(os.path.join(tmp, "supplier_compacted", "*.parquet"))
+    frag = glob.glob(os.path.join(staging_dir(spark, "supplier_fragmented"), "*.parquet"))
+    comp = glob.glob(os.path.join(staging_dir(spark, "supplier_compacted"), "*.parquet"))
     assert len(comp) <= 2
     # at smoke SF supplier is tiny (empty partitions write no file);
     # the invariant is a strict reduction, not a fixed ratio
@@ -324,11 +324,10 @@ def test_window_islands_reuses_user_partitioning(spark):
 def test_sink_manifest_scans_the_sink(spark):
     # the manifest must aggregate the written dataset (read-back scan of
     # the orders_manifest path), not shortcut to the source table
-    import os
-    import tempfile
+    from emdrive_spark.sources.tables import staging_dir
 
     plan = _plan(spark, "sink_manifest")
-    assert os.path.join(tempfile.gettempdir(), "emdrive_scale", "orders_manifest") in plan
+    assert staging_dir(spark, "orders_manifest") in plan
 
 
 def test_agg_moments_single_aggregation_pass(spark):
