@@ -12,6 +12,16 @@ single-run sub-second timings moved ±17% between rounds with no code
 change (judge r2: join_broadcast/join_asof), so medians are the
 regression signal, not single samples. "reps" rides in the JSON so
 cross-round comparisons know what they're reading.
+
+r4 note on the r3 tpch_q1 watch item (+28%, 0.785→1.002 s): re-benched
+at SPARK_GRAFT_REPS=5 on an otherwise-idle machine → median 0.802 s,
+back at the r2 number with zero code/config change (session.py
+untouched since before the r2 bench; the op untouched since r1).
+Verdict: measurement noise, not a regression. The same sweep showed
+host-load sensitivity of ±20-90% on sub-second compute-bound queries
+when the 15-min load average is elevated — cross-round totals are only
+comparable between runs taken at similar idle load; per-query medians
+at reps>=5 are the durable signal.
 """
 
 from __future__ import annotations
