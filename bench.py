@@ -107,6 +107,14 @@ def main() -> None:
         timings[name] = round(runs[len(runs) // 2], 3)  # median
 
     total = round(sum(timings.values()), 3)
+    # Host-load context for cross-round comparison: sub-second
+    # compute-bound queries swing 20-90% when the machine is busy
+    # (r4 finding); the 1/5/15-min load averages let a reader judge
+    # whether a delta is signal or contention.
+    try:
+        load_avg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_avg = None
     print(
         json.dumps(
             {
@@ -115,6 +123,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "reps": reps,
+                "load_avg": load_avg,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
