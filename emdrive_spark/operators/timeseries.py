@@ -1007,17 +1007,47 @@ def events_detect_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-gap detection: consecutive-event pairs more than 15
     minutes apart, reported as (start, end, seconds) — the monitoring
     query that pages when a feed stalls (the complement of
-    events_gap_fill, which repairs; this one REPORTS). A single global
-    lag() window is inherent to whole-feed gap detection; at
-    deployment scale run it per source/partition key or on the already
-    -aggregated minute rollup (both make the window partitioned). Gap
-    seconds are exact integer microseconds DIV 1e6."""
-    ev = load(spark, sf_dir, "events")
-    w = W.orderBy("ts", "event_id")
-    seq = ev.select("ts", F.lag("ts").over(w).alias("prev_ts"))
+    events_gap_fill, which repairs; this one REPORTS). Global lag()
+    WITHOUT the global window: the feed is range-partitioned on
+    (ts, event_id), each partition computes its own lag in parallel,
+    and the only cross-partition information — each partition's last
+    timestamp — is a #partitions-row frame stitched onto the next
+    partition's first row (nearest non-empty predecessor via a lag
+    over the tiny bounds frame, same two-phase shape as
+    functions/prefix.py). The gap SET is identical for any boundary
+    placement, so the result is partition-count-independent; no
+    Exchange SinglePartition touches event-cardinality data
+    (plan-pinned in tests/test_plans.py). Gap seconds are exact
+    integer microseconds DIV 1e6."""
+    ev = load(spark, sf_dir, "events").select("ts", "event_id")
+    n_part = max(spark.sparkContext.defaultParallelism, 2)
+    ranged = ev.repartitionByRange(n_part, "ts", "event_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wp = W.partitionBy("pid").orderBy("ts", "event_id")
+    seq = ranged.select(
+        "pid",
+        "ts",
+        F.lag("ts").over(wp).alias("prev_ts"),
+        F.row_number().over(wp).alias("rn"),
+    )
+    # Per-partition last event — tiny (one row per non-empty partition);
+    # the lag over it finds the nearest non-empty predecessor partition.
+    bounds = ranged.groupBy("pid").agg(F.max(F.struct("ts", "event_id")).alias("mx"))
+    wb = W.orderBy("pid")
+    boundary = bounds.select(
+        "pid", F.lag(F.col("mx.ts")).over(wb).alias("boundary_prev_ts")
+    )
+    firsts = (
+        seq.filter(F.col("rn") == 1)
+        .join(F.broadcast(boundary), "pid")
+        .select("ts", F.col("boundary_prev_ts").alias("prev_ts"))
+    )
+    rest = seq.filter(F.col("rn") > 1).select("ts", "prev_ts")
+    stitched = rest.unionByName(firsts)
     gap_s = F.expr("timestampdiff(MICROSECOND, prev_ts, ts) DIV 1000000")
     return (
-        seq.filter(F.col("prev_ts").isNotNull())
+        stitched.filter(F.col("prev_ts").isNotNull())
         .select(
             F.col("prev_ts").alias("gap_start"),
             F.col("ts").alias("gap_end"),

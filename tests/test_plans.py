@@ -321,6 +321,86 @@ def test_window_islands_reuses_user_partitioning(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_point_in_time_join_no_nested_loop(spark):
+    # SCD-2 point-in-time lookup: dimension broadcast, interval match
+    # resolved per key — never a cartesian/nested-loop fallback
+    plan = _plan(spark, "join_point_in_time")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_merge_scd2_broadcasts_change_set(spark):
+    # the change set drives anti/semi sides as broadcast joins; history
+    # rewrite is partition-parallel with no Python and no nested loop
+    plan = _plan(spark, "merge_scd2")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_federated_join_broadcasts_json_dim(spark):
+    # Parquet fact x JSON dim in one plan: the tiny dim broadcasts
+    plan = _plan(spark, "source_federated_join")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_keyword_extract_broadcasts_df_table(spark):
+    # the token document-frequency table broadcasts onto the tf side —
+    # the corpus-cardinality tf stream never shuffles for the join
+    plan = _plan(spark, "text_keyword_extract")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mm_shard_pack_no_single_partition(spark):
+    # WebDataset shard assignment via the two-phase prefix sum: payload
+    # cardinality data never funnels through one partition
+    plan = _plan(spark, "mm_shard_pack")
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_behavioral_rollups_stay_partitioned(spark):
+    # cohort/segment rollups: per-user and per-segment windows keep
+    # their natural partitioning — no global window, no Python
+    for name in (
+        "user_rfm_segments",
+        "events_cohort_ltv",
+        "customer_pareto",
+        "events_seasonality",
+        "user_time_to_convert",
+        "events_ohlc",
+        "events_sliding_distinct",
+        "embedding_dim_stats",
+    ):
+        plan = _plan(spark, name)
+        assert "SinglePartition" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_outlier_mad_broadcasts_stats(spark):
+    # per-type median/MAD tables broadcast back onto the event stream;
+    # events shuffle only for the two tiny per-type aggregations
+    plan = _plan(spark, "events_outlier_mad")
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_detect_gaps_global_lag_is_range_partitioned(spark):
+    # global feed-gap detection must NOT run one global lag() window:
+    # the feed is range-partitioned and each partition lags in parallel
+    # (boundary rows stitched via the tiny per-partition bounds frame).
+    # The old scale bug was a windowspecdefinition ordered on ts with no
+    # partition key, forcing Exchange SinglePartition on all events.
+    plan = _plan(spark, "events_detect_gaps")
+    assert "rangepartitioning(ts" in plan
+    assert "windowspecdefinition(ts" not in plan  # every window pid-keyed
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_sink_manifest_scans_the_sink(spark):
     # the manifest must aggregate the written dataset (read-back scan of
     # the orders_manifest path), not shortcut to the source table
