@@ -415,3 +415,79 @@ def test_agg_moments_single_aggregation_pass(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # partial+final hash aggregate pair over one scan — no join, no window
     assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Fleet-wide scale-marker audit: every registered op's executed plan is
+# scanned for the three marker classes that can hide a scale killer.
+# Ops listed here have been triaged — each marker is a documented benign
+# pattern at its location. Any op NOT listed that plans one of these
+# markers fails, so a future op with an accidental global window,
+# cartesian fallback, or stray Python eval is caught at test time.
+_SCALE_MARKER_ALLOWLIST = {
+    # -- Exchange SinglePartition that moves one row per task (two-phase
+    #    scalar aggregate) or a #partitions-row control frame:
+    "tpch_q6": {"Exchange SinglePartition"},  # global scalar sum
+    "tpch_q14": {"Exchange SinglePartition"},  # global scalar ratio
+    "tpch_q15": {"Exchange SinglePartition"},  # max(total_rev) scalar
+    "tpch_q17": {"Exchange SinglePartition"},  # avg-qty scalar subquery
+    "tpch_q19": {"Exchange SinglePartition"},  # global scalar sum
+    "tpch_q11": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
+    "tpch_q22": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
+    "subquery_scalar": {"Exchange SinglePartition"},
+    "analyze_table": {"Exchange SinglePartition"},  # 1-row stats
+    "table_quality_audit": {"Exchange SinglePartition"},  # stacked 1-row
+    "events_funnel": {"Exchange SinglePartition"},  # per-stage counts
+    "events_cusum": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
+    "events_gap_fill": {"Exchange SinglePartition"},  # grid min/max
+    "events_interpolate": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
+    "events_detect_gaps": {"Exchange SinglePartition"},  # bounds frame
+    "events_ab_test": {"BroadcastNestedLoopJoin"},  # 2x 1-row stats
+    "basket_pair_lift": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
+    "sample_domain_mix": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
+    "text_search_bm25": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
+    "text_perplexity_bucket": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
+    "ann_recall": {"BroadcastNestedLoopJoin"},  # k-row recall compare
+    # -- BroadcastNestedLoopJoin of a broadcast-tiny query/probe set
+    #    (the intended plan for bulk distance scoring):
+    "vector_dot": {"BroadcastNestedLoopJoin"},
+    "vector_cosine": {"BroadcastNestedLoopJoin"},
+    "knn_topk": {"BroadcastNestedLoopJoin"},
+    "topk_by_distance": {"BroadcastNestedLoopJoin"},
+    "knn_join": {"BroadcastNestedLoopJoin"},
+    "join_cross": {"BroadcastNestedLoopJoin"},  # the cross-join op itself
+    # -- the §2.10 Python extension surface (each value-checked against
+    #    a declarative twin; Arrow-batched where the API allows):
+    "udf_pandas_scalar": {"ArrowEvalPython"},
+    "udf_grouped_agg": {"ArrowEvalPython"},
+    "udf_grouped_map": {"ArrowEvalPython"},
+    "udf_map_in_pandas": {"ArrowEvalPython"},
+    "udf_table_function": {"BatchEvalPython"},  # UDTF: no Arrow variant
+    # -- stateful streaming twins (applyInPandasWithState is Python by
+    #    definition; the batch twin is the oracle):
+    "stream_ewma": {"ArrowEvalPython", "FlatMapGroupsInPandasWithState"},
+}
+
+_SCALE_MARKERS = (
+    "Exchange SinglePartition",
+    "CartesianProduct",
+    "BroadcastNestedLoopJoin",
+    "BatchEvalPython",
+    "ArrowEvalPython",
+)
+
+
+def test_fleet_scale_markers_all_triaged(spark):
+    """One pass over every registered op: no plan may contain a scale
+    marker that is not explicitly triaged above. Streaming ops execute
+    their (finite) stream on build; sink ops stage to the per-session
+    dir — both fine at smoke SF."""
+    unexpected = {}
+    for name, spec in registry.REGISTRY.items():
+        df = spec.fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hits = {m for m in _SCALE_MARKERS if m in plan}
+        extra = hits - _SCALE_MARKER_ALLOWLIST.get(name, set())
+        if extra:
+            unexpected[name] = sorted(extra)
+    assert not unexpected, f"untriaged scale markers: {unexpected}"
