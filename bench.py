@@ -79,6 +79,14 @@ HEADLINE = (
     "text_perplexity_bucket",  # corpus LM build + broadcast scoring
     "events_interpolate",      # dense-grid fill, per-series windows
     "dedup_edit_verified",     # shingle candidates -> Levenshtein verify
+    # round 4 additions — flagship families that had no perf row
+    # (totals not comparable across this boundary; per-query keys are)
+    "pack_sequences",          # two-phase prefix-sum sequence packing
+    "dedup_lines_global",      # CCNet corpus-wide line dedup
+    "text_search_bm25",        # exact BM25 keyword search
+    "zorder_cluster",          # Morton interleave + range repartition
+    "merge_scd2",              # SCD-2 history merge
+    "mm_shard_pack",           # size-bounded media shard assignment
 )
 
 
