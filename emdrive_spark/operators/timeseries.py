@@ -1008,43 +1008,53 @@ def events_detect_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     minutes apart, reported as (start, end, seconds) — the monitoring
     query that pages when a feed stalls (the complement of
     events_gap_fill, which repairs; this one REPORTS). Global lag()
-    WITHOUT the global window: the feed is range-partitioned on
-    (ts, event_id), each partition computes its own lag in parallel,
-    and the only cross-partition information — each partition's last
-    timestamp — is a #partitions-row frame stitched onto the next
-    partition's first row (nearest non-empty predecessor via a lag
-    over the tiny bounds frame, same two-phase shape as
-    functions/prefix.py). The gap SET is identical for any boundary
-    placement, so the result is partition-count-independent; no
-    Exchange SinglePartition touches event-cardinality data
-    (plan-pinned in tests/test_plans.py). Gap seconds are exact
-    integer microseconds DIV 1e6."""
+    WITHOUT the global window: events are bucketed by a deterministic
+    hour-of-epoch key, each bucket computes its own lag in parallel,
+    and the only cross-bucket information — each bucket's last
+    timestamp — is a one-row-per-bucket frame whose lag (nearest
+    non-empty predecessor) stitches onto the next bucket's first row,
+    the same two-phase shape as functions/prefix.py. The gap SET is
+    identical for any bucket width, so the result is
+    partitioning-independent; no Exchange SinglePartition touches
+    event-cardinality data (plan-pinned in tests/test_plans.py). Gap
+    seconds are exact integer microseconds DIV 1e6."""
     ev = load(spark, sf_dir, "events").select("ts", "event_id")
-    n_part = max(spark.sparkContext.defaultParallelism, 2)
-    ranged = ev.repartitionByRange(n_part, "ts", "event_id").withColumn(
-        "pid", F.spark_partition_id()
-    )
+    # Deterministic monotone bucket id FROM THE DATA (hour-of-epoch),
+    # not spark_partition_id(): the stitch below joins two branches on
+    # pid, and a physical-partition id would make correctness depend on
+    # independent range-sample jobs producing identical boundaries. A
+    # data-derived pid is identical on every evaluation by construction
+    # (r4 review finding). Bucket width trades skew for partition
+    # count — at 100 TB drop to minute buckets; the gap set is
+    # invariant to the width.
+    # (date_trunc, not unix_micros: the fixture lands ts as
+    # TIMESTAMP_NTZ, which unix_micros rejects; the truncated hour is
+    # an equally deterministic, monotone bucket key.)
+    pid = F.date_trunc("hour", F.col("ts")).alias("pid")
+    bucketed = ev.select(pid, "ts", "event_id")
     wp = W.partitionBy("pid").orderBy("ts", "event_id")
-    seq = ranged.select(
+    seq = bucketed.select(
         "pid",
         "ts",
         F.lag("ts").over(wp).alias("prev_ts"),
         F.row_number().over(wp).alias("rn"),
     )
-    # Per-partition last event — tiny (one row per non-empty partition);
-    # the lag over it finds the nearest non-empty predecessor partition.
-    bounds = ranged.groupBy("pid").agg(F.max(F.struct("ts", "event_id")).alias("mx"))
+    # Per-bucket last timestamp — a straight partial+final aggregate
+    # (one row per non-empty bucket crosses the wire); the lag over it,
+    # ordered by pid, finds the nearest non-empty predecessor bucket.
+    bounds = bucketed.groupBy("pid").agg(F.max("ts").alias("last_ts"))
     wb = W.orderBy("pid")
     boundary = bounds.select(
-        "pid", F.lag(F.col("mx.ts")).over(wb).alias("boundary_prev_ts")
+        "pid", F.lag("last_ts").over(wb).alias("boundary_prev_ts")
     )
-    firsts = (
-        seq.filter(F.col("rn") == 1)
-        .join(F.broadcast(boundary), "pid")
-        .select("ts", F.col("boundary_prev_ts").alias("prev_ts"))
+    # Single-branch stitch: each bucket's first row takes the previous
+    # bucket's last timestamp, every other row keeps its in-bucket lag.
+    stitched = seq.join(F.broadcast(boundary), "pid", "left").select(
+        "ts",
+        F.when(F.col("rn") == 1, F.col("boundary_prev_ts"))
+        .otherwise(F.col("prev_ts"))
+        .alias("prev_ts"),
     )
-    rest = seq.filter(F.col("rn") > 1).select("ts", "prev_ts")
-    stitched = rest.unionByName(firsts)
     gap_s = F.expr("timestampdiff(MICROSECOND, prev_ts, ts) DIV 1000000")
     return (
         stitched.filter(F.col("prev_ts").isNotNull())

@@ -55,17 +55,28 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_STAGING_CLEANUP_REGISTERED: set[str] = set()
+
+
 def staging_dir(spark: SparkSession, *parts: str) -> str:
     """Per-session scratch path for sink / round-trip ops. Keyed on the
     Spark applicationId so two concurrent gate/bench invocations (each
     its own SparkSession) never overwrite each other's staged files
     mid-read — a fixed world-readable path under /tmp did exactly that
-    (r3 advisor). Local-mode scratch only: the 100 TB deployments these
-    ops document would stage to a per-job object-store prefix instead."""
+    (r3 advisor). The session root is removed at interpreter exit so
+    repeated runs don't accrete staged trees under /tmp (r4 review).
+    Local-mode scratch only: the 100 TB deployments these ops document
+    would stage to a per-job object-store prefix instead."""
+    import atexit
+    import shutil
     import tempfile
 
     app_id = spark.sparkContext.applicationId
-    return os.path.join(tempfile.gettempdir(), f"emdrive_stage_{app_id}", *parts)
+    root = os.path.join(tempfile.gettempdir(), f"emdrive_stage_{app_id}")
+    if root not in _STAGING_CLEANUP_REGISTERED:
+        _STAGING_CLEANUP_REGISTERED.add(root)
+        atexit.register(shutil.rmtree, root, True)
+    return os.path.join(root, *parts)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -389,14 +389,14 @@ def test_outlier_mad_broadcasts_stats(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_detect_gaps_global_lag_is_range_partitioned(spark):
+def test_detect_gaps_global_lag_is_bucket_partitioned(spark):
     # global feed-gap detection must NOT run one global lag() window:
-    # the feed is range-partitioned and each partition lags in parallel
-    # (boundary rows stitched via the tiny per-partition bounds frame).
-    # The old scale bug was a windowspecdefinition ordered on ts with no
-    # partition key, forcing Exchange SinglePartition on all events.
+    # events bucket by a deterministic hour key and each bucket lags in
+    # parallel (boundary rows stitched via the tiny per-bucket bounds
+    # frame). The old scale bug was a windowspecdefinition ordered on
+    # ts with no partition key → Exchange SinglePartition on all events.
     plan = _plan(spark, "events_detect_gaps")
-    assert "rangepartitioning(ts" in plan
+    assert "windowspecdefinition(pid" in plan
     assert "windowspecdefinition(ts" not in plan  # every window pid-keyed
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
