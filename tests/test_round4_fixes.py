@@ -24,6 +24,33 @@ def test_staging_dir_is_per_session(spark):
     assert staging_dir(spark, "a", "b").endswith("/a/b")
 
 
+def test_staging_root_removed_at_exit():
+    """The per-session staging root must vanish when the process exits
+    (r4 review: leaked roots accrete under /tmp until the disk fills).
+    Runs a staging op in a subprocess and checks the root after exit."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from emdrive_spark.session import get_spark\n"
+        "from emdrive_spark import registry\n"
+        "registry.load_all()\n"
+        "s = get_spark('staging-exit-test')\n"
+        "registry.REGISTRY['source_csv_roundtrip'].fn(s, '/root/testdata/sf0.001').count()\n"
+        "from emdrive_spark.sources.tables import staging_dir\n"
+        "print('ROOT=' + staging_dir(s))\n"
+        "s.stop()\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    roots = [l[5:] for l in out.stdout.splitlines() if l.startswith("ROOT=")]
+    assert roots, out.stderr[-500:]
+    assert not os.path.exists(roots[0])
+
+
 def test_cdc_insert_keys_clear_scale(spark):
     """Synthetic 'insert' keys are shifted by 1e12 — above the max
     o_orderkey TPC-H generates through SF~100k (~100 TB), so inserts
