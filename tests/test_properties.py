@@ -203,3 +203,50 @@ def test_transitions_rows_sum_to_one(spark):
         sums[r.from_type] += r.p
     for v in sums.values():
         assert abs(v - 1.0) < 1e-4
+
+
+# --- parser-level fuzz: the error-taxonomy contract -----------------------
+# The reference returns a typed error for any malformed statement rather
+# than crashing (/root/reference/src/sql/mod.rs error enums); our parser
+# must do the same: arbitrary input either parses or raises an
+# EmdriveError subclass — never an uncontrolled Python exception.
+
+_sql_fragments = st.lists(
+    st.sampled_from(
+        [
+            "SELECT", "CREATE", "TABLE", "INSERT", "INTO", "VALUES", "FROM",
+            "WHERE", "ORDER", "BY", "LIMIT", "AS", "NOT", "NULL", "DEFAULT",
+            "PRIMARY", "KEY", "METRIC", "USING", "IF", "EXISTS",
+            "photos_seen", "url", "hash", "x", "(", ")", ",", ";", "@", "<",
+            "=", "*", "'str'", "42", "0b1010", "UINT32", "STRING", "NULLABLE",
+            "mtree", "hamming", "NOW()", "ULID()",
+        ]
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(_sql_fragments)
+@settings(max_examples=300, deadline=None)
+def test_parser_never_crashes_unexpectedly(frags):
+    from emdrive_spark.sql.errors import EmdriveError
+    from emdrive_spark.sql.parser import parse_statement
+
+    sql = " ".join(frags)
+    try:
+        parse_statement(sql)
+    except EmdriveError:
+        pass  # the documented taxonomy — always acceptable
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_parser_arbitrary_text_is_taxonomy_safe(s):
+    from emdrive_spark.sql.errors import EmdriveError
+    from emdrive_spark.sql.parser import parse_statement
+
+    try:
+        parse_statement(s)
+    except EmdriveError:
+        pass
