@@ -140,11 +140,18 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash", oracle=None)  # xxhash64 is Spark-specific
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 32-bit fingerprint = sign of per-bit sums of
-    token hashes; candidate pairs = equality on 8-bit bands (4 bands →
-    Hamming ≤ 3 guaranteed caught); verify with exact Hamming. All
-    codegen arithmetic (xxhash64 + bit ops), one explode, one band join."""
-    nbits = 32
+    """SimHash near-dup: 64-bit fingerprint = sign of per-bit sums of
+    token hashes; candidate pairs = equality on 8-bit bands (8 bands →
+    Hamming ≤ 3 can corrupt at most 3 bands, so ≥5 still collide);
+    verify with exact Hamming. 64 bits, not 32 (r4 review): a 32-bit
+    fingerprint's hamming<=3 ball is so dense that unrelated documents
+    collide ~100x more often than real near-dups at even a 2k-doc
+    corpus, and the false-flag rate grows quadratically — the full 64
+    hash bits are already computed per token, so the wider fingerprint
+    costs only the extra bit-sum columns. All codegen arithmetic
+    (xxhash64 + bit ops), one explode, one band join."""
+    nbits = 64
+    n_bands = 8
     corpus = _doubled(spark, sf_dir)
     tok = corpus.select("doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"))
     h = tok.withColumn("h", F.xxhash64("tok"))
@@ -157,10 +164,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(nbits)
         ]
     )
+    # shiftleft(1L, i), not 2**i: the bit-63 literal overflows a signed
+    # long in Python; Java shift wraps to the sign bit, and summing
+    # distinct powers reproduces the exact bit pattern.
     fp = bit_sums.select(
         "doc_id",
         sum(
-            [F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long")) for i in range(nbits)],
+            [
+                F.when(
+                    F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+                ).otherwise(F.lit(0).cast("long"))
+                for i in range(nbits)
+            ],
             F.lit(0).cast("long"),
         ).alias("simhash"),
     )
@@ -170,7 +185,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array(*[
                 F.struct(F.lit(i).alias("band"), F.shiftright(F.col("simhash"), i * 8).bitwiseAND(F.lit(255)).alias("key"))
-                for i in range(4)
+                for i in range(n_bands)
             ])
         ).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))

@@ -218,8 +218,14 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "features", array_to_vector(F.col("embedding").cast("array<double>"))
     )
+    # Centroids train on a deterministic SAMPLE, as the docstring's
+    # cost model claims (r4 review caught a full-table fit): at 100 TB
+    # the index build must not be numIterations x full-table passes —
+    # a few hundred vectors per cell estimate the centroids fine, and
+    # every vector is still ASSIGNED below (that pass is one scan).
+    train = emb.sample(fraction=0.5, seed=42)
     km = KMeans(k=k_cells, seed=42, featuresCol="features", predictionCol="cell")
-    model = km.fit(emb)
+    model = km.fit(train)
     assigned = model.transform(emb)  # adds `cell`
 
     # Query = vec_id 0; its nProbe nearest centroids.
@@ -515,18 +521,28 @@ def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pool is produced distributed (rounded-key TakeOrderedAndProject,
     same contract as knn_topk); the greedy selection is inherently
     sequential, runs on the CONSTANT-SIZE pool driver-side (50 rows,
-    like ann_ivf's centroid pull), and is deterministic: scores rounded
-    to 6 decimals, ties to the smaller vec_id. Not SQL-expressible
-    (each step's argmax depends on the selected set), so rows-only;
-    determinism + containment + diversification are pinned in
-    tests/test_round3_fixes.py."""
+    like ann_ivf's centroid pull), and is deterministic: selection
+    compares UNROUNDED scores (ties to the smaller vec_id); the score
+    is rounded to 6 decimals only for display. The query document
+    itself (vec_id 0) is EXCLUDED from the pool — with it selected
+    first, every candidate's max-sim-to-selected is at least its
+    relevance (cos(d, q) is both), so all later MMR scores collapse to
+    exactly zero and the 'diversified' ranking degenerates to vec_id
+    order (r4 review). Not SQL-expressible (each step's argmax depends
+    on the selected set), so rows-only; determinism + containment +
+    diversification are pinned in tests/test_round3_fixes.py."""
     k, pool, lam = 10, 50, 0.5
     scored = _with_query_vector(spark, sf_dir).select(
         "vec_id",
         "embedding",
         F.round(cosine_similarity(F.col("embedding"), F.col("q")), 6).alias("rel"),
     )
-    cand = scored.orderBy(F.col("rel").desc(), "vec_id").limit(pool).collect()
+    cand = (
+        scored.filter(F.col("vec_id") != 0)
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(pool)
+        .collect()
+    )
 
     import math  # noqa: PLC0415
 
@@ -545,14 +561,17 @@ def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = None
         for vid in remaining:
             div = max((cos(vecs[vid], vecs[s]) for s, _, _ in selected), default=0.0)
-            score = round(lam * rel[vid] - (1.0 - lam) * div, 6)
-            if score == 0.0:
-                score = 0.0  # normalize -0.0 (display + hash stability)
+            # raw score in the comparison — rounding here would merge
+            # near-ties into vec_id-order artifacts (r4 review)
+            score = lam * rel[vid] - (1.0 - lam) * div
             key = (score, -vid)
             if best is None or key > best[0]:
                 best = (key, vid)
         vid = best[1]
-        selected.append((vid, rel[vid], best[0][0]))
+        shown = round(best[0][0], 6)
+        if shown == 0.0:
+            shown = 0.0  # normalize -0.0 (display + hash stability)
+        selected.append((vid, rel[vid], shown))
         remaining.remove(vid)
     return spark.createDataFrame(
         [(i + 1, vid, r, s) for i, (vid, r, s) in enumerate(selected)],

@@ -394,12 +394,26 @@ def test_mmr_rerank_properties(spark):
     assert [tuple(r) for r in rows] == [tuple(again[i]) for i in range(len(again))]
     assert len(rows) == 10
     assert [r.rank for r in rows] == list(range(1, 11))
-    # first pick is pure relevance — must equal exact knn_topk's top-1
-    top1 = registry.queries()["knn_topk"](spark, SF_ORACLE).collect()[0]
+    # first pick is pure relevance — the most relevant NON-QUERY doc
+    # (the query doc vec_id 0 is excluded from the pool: selecting it
+    # first made every later MMR score exactly zero — r4 review)
+    knn = registry.queries()["knn_topk"](spark, SF_ORACLE).collect()
+    top1 = next(t for t in knn if t.vec_id != 0)
     assert rows[0].vec_id == top1.vec_id
-    # every later pick trades relevance for diversity: mmr <= lambda*rel
+    assert all(r.vec_id != 0 for r in rows)
+    # every later pick trades relevance for diversity; with lam=0.5 the
+    # implied max-sim-to-selected is rel - 2*mmr and must be a cosine
+    # (negative div is legal — an anti-similar doc earns a bonus, which
+    # the old `mmr <= lam*rel` pin wrongly forbade)
     for r in rows[1:]:
-        assert r.mmr_score <= 0.5 * r.rel + 1e-9
+        div = r.rel - 2 * r.mmr_score
+        assert -1.0 - 1e-6 <= div <= 1.0 + 1e-6, (r.rank, div)
+    # greedy-max scores are non-increasing (each candidate's score can
+    # only fall as the selected set grows)
+    scores = [r.mmr_score for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(scores, scores[1:]))
+    # ...and not a degenerate all-tied sequence (the r4 review bug)
+    assert len(set(scores[1:])) > 1
     # diversification must actually reorder vs pure relevance somewhere
-    pure = [t.vec_id for t in registry.queries()["knn_topk"](spark, SF_ORACLE).collect()]
-    assert [r.vec_id for r in rows] != pure
+    pure = [t.vec_id for t in knn if t.vec_id != 0]
+    assert [r.vec_id for r in rows] != pure[:10]
