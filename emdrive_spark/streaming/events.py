@@ -7,9 +7,23 @@ the windowed aggregation; ``events_stream(spark, sf_dir)`` wires the
 driver's events parquet in as a file-stream source so the same queries
 run in tests via the memory sink (processAllAvailable → deterministic).
 
-Scale: watermarks bound state; the groupBy keys (window, event_type /
+Scale: the windowed aggregations, the stream-stream join, and the
+dedup bound their state by watermark; the applyInPandasWithState /
+transformWithStateInPandas running-total operators intentionally keep
+one state entry per key for the key's lifetime (a running total IS
+per-key history — production deployments with churning key spaces add
+a TTL timeout and merge evicted partials downstream, the
+stream_foreach_upsert pattern). The groupBy keys (window, event_type /
 user_id) are the same shuffle keys as the batch twins, so a production
 deployment with a Kafka source runs the identical plan continuously.
+
+Test-harness caveat (r4 review): the convergence oracle drives the
+windowed aggregations in 'complete' output mode over an in-order
+finite replay, where the watermark is inert — it verifies the
+aggregation arithmetic, NOT the late-data policy. The watermark values
+here are the documented production intent; an out-of-order deployment
+drops rows later than the watermark, which a batch twin by definition
+does not.
 """
 
 from __future__ import annotations
@@ -114,8 +128,15 @@ def session_aggregates(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 def streaming_dedup(events: DataFrame) -> DataFrame:
     """Stateful exact dedup on event_id with watermark-bounded state —
-    the streaming analog of dedup_exact."""
-    return events.withWatermark("ts", "1 hour").dropDuplicates(["event_id", "ts"])
+    the streaming analog of dedup_exact. dropDuplicatesWithinWatermark,
+    not dropDuplicates (r4 review): the key is event_id ALONE, so a
+    duplicate redelivered with a jittered event time is still caught,
+    and state eviction follows the watermark explicitly — the API built
+    for at-least-once redelivery. (Late uniques beyond the watermark
+    are still dropped — that is the watermark contract itself.)"""
+    return events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def stateful_user_totals(events: DataFrame) -> DataFrame:
@@ -148,10 +169,13 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     def update(key, pdfs, state):
         # State carries integer CENTS: float accumulation would drift
         # with batch order; 2-decimal values times 100 sum exactly.
+        # dropna before the int cast (r4 review): one NULL value would
+        # otherwise raise on astype('int64') and kill the whole query;
+        # count(*) still counts the row, matching the batch twin.
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            cents += int((pdf["value"].dropna() * 100).round().astype("int64").sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
@@ -212,11 +236,12 @@ def stateful_totals_tws(events: DataFrame) -> DataFrame:
             self.state = handle.getValueState("totals", state_schema)
 
         def handleInputRows(self, key, rows, timer_values):
-            # integer cents: float accumulation would drift with batch order
+            # integer cents: float accumulation would drift with batch
+            # order; dropna so a NULL value cannot kill the query
             n, cents = self.state.get() if self.state.exists() else (0, 0)
             for pdf in rows:
                 n += len(pdf)
-                cents += int((pdf["value"] * 100).round().astype("int64").sum())
+                cents += int((pdf["value"].dropna() * 100).round().astype("int64").sum())
             self.state.update((n, cents))
             yield pd.DataFrame(
                 {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
@@ -314,8 +339,9 @@ def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT event_id, user_id, event_type, value FROM events",
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark-bounded stateful dedup on (event_id, ts): every unique
-    event passes exactly once."""
+    """Watermark-bounded stateful dedup on event_id: every unique
+    event passes exactly once, and a redelivered duplicate is dropped
+    even if its event time jittered (key excludes ts)."""
     out = _drive(spark, sf_dir, streaming_dedup, "append")
     return out.select("event_id", "user_id", "event_type", "value")
 
@@ -392,9 +418,13 @@ def stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     PARTIAL aggregates (count, integer cents) appended to a parquet
     state table; the read side merges partials with one groupBy. This
     is the canonical 'streaming upsert into a warehouse table' recipe —
-    the stream writes only |users|-per-batch partial rows, the merge is
-    associative (exact cents, no float drift), and recovery is
-    append-idempotent per epoch. Must converge to the batch answer."""
+    the stream writes only |users|-per-batch partial rows and the merge
+    is associative (exact cents, no float drift). Each epoch writes to
+    its OWN epoch_id=N directory with overwrite, not a blind append
+    (r4 review): foreachBatch is at-least-once, so a batch re-delivered
+    after a crash re-materializes the same partition instead of
+    double-counting — the documented epoch-id idempotence recipe. Must
+    converge to the batch answer."""
     out_dir = tempfile.mkdtemp(prefix="emdrive_upsert_")
 
     def sink_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -404,8 +434,8 @@ def stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("*").alias("n"),
                 F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
             )
-            .write.mode("append")
-            .parquet(out_dir)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"epoch_id={epoch_id}"))
         )
 
     q = (
@@ -443,7 +473,13 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch against a static batch dimension (per-user first-seen
     cohort). The static side is planned once and broadcast/reused each
     batch — the standard streaming-enrichment shape; state-free, so no
-    watermark is needed. Must equal the batch join exactly."""
+    watermark is needed. LEFT join, not inner (r4 review): on an
+    unbounded stream, users first seen after query start have no
+    dimension row yet, and an inner join would silently drop their
+    events forever — enrichment must pass the event through with a
+    null cohort (refresh the dimension periodically to fill it). On
+    the fixture the dimension covers every user, so left == inner and
+    the oracle is unchanged. Must equal the batch join exactly."""
     static_dim = (
         load(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -452,7 +488,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_stream(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "ts"
     )
-    joined = stream.join(static_dim, "user_id").select(
+    joined = stream.join(static_dim, "user_id", "left").select(
         "event_id", "user_id", "event_type", "cohort_ts"
     )
     name = f"emdrive_stream_{next(_RUN_SEQ)}"
@@ -475,7 +511,12 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     that preceded them within 24h, both sides live streams. Watermarks
     on BOTH inputs plus the time-range predicate let Spark bound the
     join state (views older than the watermark minus 24h are evicted) —
-    the canonical streaming attribution join. Converges to the batch
+    the canonical streaming attribution join. Both sides tolerate 25h
+    of lateness (r4 review: an asymmetric 1h purchase bound silently
+    dropped routinely-late purchases — offline mobile flushes — and
+    lost their attributions; the view side needs 25h anyway to cover
+    the 24h range, and matching it on the purchase side costs only
+    purchase-stream state, the small side). Converges to the batch
     interval join (join_time_range's oracle) exactly."""
     base = events_stream(spark, sf_dir)
     purchases = (
@@ -485,7 +526,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("purchase_ts"),
         )
-        .withWatermark("purchase_ts", "1 hour")
+        .withWatermark("purchase_ts", "25 hours")
     )
     views = (
         base.filter(F.col("event_type") == "view")
@@ -512,11 +553,15 @@ def ewma_user(events: DataFrame) -> DataFrame:
     order-free; this one is not). Each micro-batch's rows are sorted by
     event time inside the group before the fold, and the state carries
     the raw (unrounded) accumulator so later batches resume the exact
-    recurrence. With the finite single-file test source everything
-    arrives in one batch; a multi-batch deployment needs event-time
-    ordering ACROSS batches too — there the pattern is watermark-
-    buffered reordering in state (hold rows newer than the watermark,
-    fold only what the watermark has sealed)."""
+    recurrence. KNOWN LIMITATION (made explicit per the r4 review):
+    ordering holds only WITHIN a micro-batch — cross-batch
+    out-of-orderness folds in arrival order, so an event-time-exact
+    EWMA on a disordered production source requires watermark-buffered
+    reordering in state (hold rows newer than the watermark, fold only
+    what the watermark has sealed), which this operator does NOT
+    implement. The finite single-file test source delivers everything
+    in one batch, so the convergence oracle exercises the fold
+    arithmetic, not the cross-batch ordering."""
     import pandas as pd  # noqa: PLC0415 — worker-side import
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import (
@@ -543,8 +588,9 @@ def ewma_user(events: DataFrame) -> DataFrame:
         pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         n, acc = state.get if state.exists else (0, None)
         # identical fold to the batch oracle: x*0.3 + acc*0.7, seeded at
-        # the first observation; .tolist() yields exact IEEE doubles
-        for x in pdf["value"].tolist():
+        # the first observation; .tolist() yields exact IEEE doubles.
+        # dropna: a NULL value would poison the recurrence (NaN forever)
+        for x in pdf["value"].dropna().tolist():
             acc = x if acc is None else x * 0.3 + acc * 0.7
         n += len(pdf)
         state.update((n, acc))
