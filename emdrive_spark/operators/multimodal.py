@@ -7,9 +7,14 @@ real and tested: binary payload columns, typed metadata, Arrow batch
 transfer through mapInPandas, frame-index expansion.
 
 Scale: payloads stay in executor-local Arrow batches end to end — the
-only shuffles are on (doc_id, metadata); a 100 TB media corpus flows
-through mapInPandas partition-parallel with bounded batch memory
-(spark.sql.execution.arrow.maxRecordsPerBatch).
+only shuffles are on (doc_id, metadata). Batch-memory caveat (r4
+review): spark.sql.execution.arrow.maxRecordsPerBatch bounds RECORDS,
+not BYTES — with ~1 MB media payloads the default 10k-record batch is
+~10 GiB and a single Arrow binary vector caps at 2 GiB, so a media
+deployment must size the record cap to payloadBytes*records << 2 GiB
+(and split any payload that is individually huge). Ops that need only
+metadata project the payload away BEFORE mapInPandas so Catalyst never
+ships bytes the Python side won't read.
 """
 
 from __future__ import annotations
@@ -37,7 +42,11 @@ def decode_image(payload: bytes) -> "object":
 def fake_features(payload: bytes) -> tuple[int, int]:
     """Deterministic stand-in for a feature extractor: derives features
     from the payload bytes only (so the oracle can reproduce them from
-    the byte length)."""
+    the byte length). NULL-safe: a nullable payload column WILL contain
+    None in production batches, and raising here kills the whole query
+    (r4 review) — propagate the null like the SQL twin does."""
+    if payload is None:
+        return None, None
     n = len(payload)
     return n, (n * _FNV) % _MOD
 
@@ -72,16 +81,31 @@ def mm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-           CAST((octet_length(encode(text)) * {_FNV}) % {_MOD} AS BIGINT) AS feat
+           CAST((octet_length(encode(text)) * {_FNV}) % {_MOD} AS BIGINT) AS feat,
+           CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS content_pref
     FROM documents
     """,
 )
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas: real
     Arrow binary batches into Python, deterministic fake extractor (the
-    decode itself is the stubbed step), typed output schema."""
+    decode itself is the stubbed step), typed output schema. The
+    content_pref column is the md5 high-32 of the PAYLOAD BYTES,
+    computed Python-side from the Arrow-delivered buffer and checked
+    against the oracle's md5 of the source text — so byte-level
+    corruption anywhere in the encode -> Arrow -> pandas path flips an
+    exactly-checked value instead of passing silently behind
+    length-only features (r4 review; DuckDB md5(VARCHAR) hashes the
+    string's UTF-8 bytes, which is exactly this payload)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib  # noqa: PLC0415 — worker-side import
+
+        def content_pref(b):
+            if b is None:
+                return None
+            return int(hashlib.md5(bytes(b)).hexdigest()[:8], 16)
+
         for pdf in batches:
             feats = pdf["payload"].map(fake_features)
             yield pd.DataFrame(
@@ -89,11 +113,12 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "byte_len": feats.map(lambda t: t[0]),
                     "feat": feats.map(lambda t: t[1]),
+                    "content_pref": pdf["payload"].map(content_pref),
                 }
             )
 
     return _pack(spark, sf_dir).mapInPandas(
-        extract, schema="doc_id long, byte_len long, feat long"
+        extract, schema="doc_id long, byte_len long, feat long, content_pref long"
     )
 
 
@@ -141,7 +166,12 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema, batching, and the exact target-dimension contract — what a
     distributed thumbnailing job must get right — are real and checked.
     Dimensions derive deterministically from the PK (the corpus carries
-    no real images)."""
+    no real images; doc_id is non-negative by PK contract, keeping the
+    Python % consistent with the oracle's). The payload is projected
+    AWAY before mapInPandas (r4 review): this op reads no bytes, and an
+    opaque MapInPandas node blocks column pruning, so without the
+    explicit select every payload would cross the JVM->Arrow->pandas
+    boundary just to be discarded."""
 
     def resize_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -160,12 +190,16 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return _pack(spark, sf_dir).mapInPandas(
+    return _pack(spark, sf_dir).select("doc_id").mapInPandas(
         resize_meta, schema="doc_id long, orig_w long, orig_h long, new_w long, new_h long"
     )
 
 
-_PH_SHIFT = 1_000_000  # id offset for the duplicated copy (known answer)
+# id offset for the duplicated copy (known answer). 1e12, not 1e6
+# (r4 review): a 1e6 shift collides synthetic ids with real doc_ids as
+# soon as the corpus passes a million documents — trivially reached at
+# the scale this op documents.
+_PH_SHIFT = 1_000_000_000_000
 _PH_BANDS = 4  # 16-bit bands over the 64-bit hash: hamming ≤ 3 always caught
 
 
@@ -173,14 +207,18 @@ _PH_BANDS = 4  # 16-bit bands over the 64-bit hash: hamming ≤ 3 always caught
     "mm_phash_dedup",
     oracle=f"""
     WITH corpus AS (
-      SELECT doc_id, encode(text) AS payload FROM documents
+      SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + {_PH_SHIFT} AS doc_id, encode(text) AS payload FROM documents
+      SELECT doc_id + {_PH_SHIFT} AS doc_id, text FROM documents
     ),
+    -- md5(text), NOT md5(payload::VARCHAR): the VARCHAR cast renders a
+    -- blob with backslash-xNN escapes, so its md5 diverges from the raw bytes
+    -- for any non-ASCII document; DuckDB md5(VARCHAR) hashes the
+    -- string's UTF-8 bytes, which IS the payload (r4 review).
     hashed AS (
       SELECT doc_id,
-             CAST(('0x' || substr(md5(payload::VARCHAR), 1, 8)) AS BIGINT) AS hi,
-             CAST(('0x' || substr(md5(payload::VARCHAR), 9, 8)) AS BIGINT) AS lo
+             CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS hi,
+             CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) AS lo
       FROM corpus
     ),
     bands AS (
