@@ -126,9 +126,23 @@ class Catalog:
         for col in stmt.columns:
             entry.column(col)  # raises on unknown column
 
-        py_rows = [self._materialize_row(entry, stmt.columns, row) for row in stmt.rows]
-        schema = spark_schema(entry.columns)
-        batch = self.spark.createDataFrame(py_rows, schema=schema)
+        # Bad user values (a non-ISO timestamp string, a string where an
+        # int belongs) raise plain ValueError/TypeError from coercion or
+        # createDataFrame — map them into the 400 validation taxonomy
+        # instead of leaking a 500 with PySpark internals (r4 review).
+        try:
+            py_rows = [
+                self._materialize_row(entry, stmt.columns, row) for row in stmt.rows
+            ]
+            schema = spark_schema(entry.columns)
+            batch = self.spark.createDataFrame(py_rows, schema=schema)
+        except EmdriveValidationError:
+            raise
+        except (ValueError, TypeError) as exc:
+            raise EmdriveValidationError(
+                f"Invalid value in INSERT for table {stmt.table}: "
+                f"{str(exc).splitlines()[0]}"
+            ) from exc
 
         # Everything from the PK-clash check through the entry.df swap
         # must be one critical section: the check is check-then-act and
@@ -200,36 +214,61 @@ class Catalog:
         DDL metadata Spark can't store (PK, metric, defaults, emdrive
         nullability). PK-sorting is the layout contract: Parquet
         min/max row-group stats make PK equality lookups prune like the
-        reference's B+tree."""
+        reference's B+tree.
+
+        Runs UNDER the catalog write lock (r4 review: an unlocked save
+        racing a concurrent INSERT read a pre-union entry.df and
+        persisted a snapshot missing acknowledged rows; two concurrent
+        saves also corrupted each other's overwrite jobs and the json).
+        Crash tolerance: each table writes to a __tmp dir swapped in
+        only after the write commits — the old mode('overwrite') deleted
+        committed data BEFORE rewriting, so a crash mid-save lost every
+        previously persisted row; restore() falls back to the __old dir
+        if a crash lands in the tiny rename window — and the metadata
+        json is published via temp-file + os.replace (atomic)."""
         import json
         import os
+        import shutil
 
-        meta = {}
-        for e in self.tables.values():
-            path = os.path.join(root, e.schema_name, e.name)
-            e.df.sortWithinPartitions(e.pk.name).write.mode("overwrite").parquet(path)
-            meta[e.name] = {
-                "schema_name": e.schema_name,
-                "columns": [
-                    {
-                        "name": c.name,
-                        "type": c.etype.render(),
-                        "primary_key": c.primary_key,
-                        "metric": c.metric,
-                        "index_kind": c.index_kind,
-                        "default": _default_to_json(c.default),
-                    }
-                    for c in e.columns
-                ],
-            }
-        os.makedirs(root, exist_ok=True)
-        with open(os.path.join(root, "_catalog.json"), "w") as f:
-            json.dump(meta, f, indent=2)
+        with self._write_lock:
+            meta = {}
+            for e in self.tables.values():
+                path = os.path.join(root, e.schema_name, e.name)
+                tmp, old = path + "__tmp", path + "__old"
+                shutil.rmtree(tmp, ignore_errors=True)
+                e.df.sortWithinPartitions(e.pk.name).write.mode("overwrite").parquet(tmp)
+                shutil.rmtree(old, ignore_errors=True)
+                if os.path.exists(path):
+                    os.rename(path, old)
+                os.rename(tmp, path)
+                shutil.rmtree(old, ignore_errors=True)
+                meta[e.name] = {
+                    "schema_name": e.schema_name,
+                    "columns": [
+                        {
+                            "name": c.name,
+                            "type": c.etype.render(),
+                            "primary_key": c.primary_key,
+                            "metric": c.metric,
+                            "index_kind": c.index_kind,
+                            "default": _default_to_json(c.default),
+                        }
+                        for c in e.columns
+                    ],
+                }
+            os.makedirs(root, exist_ok=True)
+            tmp_json = os.path.join(root, "_catalog.json.tmp")
+            with open(tmp_json, "w") as f:
+                json.dump(meta, f, indent=2)
+            os.replace(tmp_json, os.path.join(root, "_catalog.json"))
 
     def restore(self, root: str) -> int:
         """Load a saved catalog: re-register every table (schema from
         the metadata file — nullability/PK/metric survive the
-        round-trip, which plain Parquet alone would lose)."""
+        round-trip, which plain Parquet alone would lose). Runs under
+        the write lock (it mutates self.tables); if a crash interrupted
+        save() between its two directory renames, the table's data
+        survives under ``<table>__old`` and is swapped back here."""
         import json
         import os
 
@@ -237,26 +276,29 @@ class Catalog:
 
         with open(os.path.join(root, "_catalog.json")) as f:
             meta = json.load(f)
-        for name, t in meta.items():
-            columns = tuple(
-                ast.ColumnDef(
-                    name=c["name"],
-                    etype=parse_type(c["type"]),
-                    primary_key=c["primary_key"],
-                    metric=c["metric"],
-                    index_kind=c["index_kind"],
-                    default=_default_from_json(c["default"]),
+        with self._write_lock:
+            for name, t in meta.items():
+                columns = tuple(
+                    ast.ColumnDef(
+                        name=c["name"],
+                        etype=parse_type(c["type"]),
+                        primary_key=c["primary_key"],
+                        metric=c["metric"],
+                        index_kind=c["index_kind"],
+                        default=_default_from_json(c["default"]),
+                    )
+                    for c in t["columns"]
                 )
-                for c in t["columns"]
-            )
-            path = os.path.join(root, t["schema_name"], name)
-            df = self.spark.read.schema(spark_schema(columns)).parquet(path)
-            entry = TableEntry(
-                name=name, schema_name=t["schema_name"], columns=columns, df=df
-            )
-            self.tables[name] = entry
-            df.createOrReplaceTempView(name)
-        self.refresh_system_views()
+                path = os.path.join(root, t["schema_name"], name)
+                if not os.path.exists(path) and os.path.exists(path + "__old"):
+                    os.rename(path + "__old", path)
+                df = self.spark.read.schema(spark_schema(columns)).parquet(path)
+                entry = TableEntry(
+                    name=name, schema_name=t["schema_name"], columns=columns, df=df
+                )
+                self.tables[name] = entry
+                df.createOrReplaceTempView(name)
+            self.refresh_system_views()
         return len(meta)
 
     def refresh_system_views(self) -> None:

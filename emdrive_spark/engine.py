@@ -178,7 +178,11 @@ class Engine:
             # case-insensitive like Spark temp views are, or
             # `SELECT * FROM USERS` on managed table `users` would
             # silently switch from dialect to ANSI semantics.
-            managed = {t.lower() for t in self.catalog.tables}
+            # Snapshot under the catalog lock (r4 review): iterating the
+            # live dict races a concurrent CREATE TABLE and raises
+            # 'dictionary changed size during iteration' mid-SELECT.
+            with self.catalog._write_lock:
+                managed = {t.lower() for t in self.catalog.tables}
             if stmt.table.lower() not in managed and self.spark.catalog.tableExists(
                 stmt.table
             ):
@@ -245,19 +249,38 @@ class Engine:
         df = entry.df
         base_cols = [c.name for c in entry.columns]
 
+        # Computed items land in RESERVED temp columns, renamed only in
+        # the final projection (r4 review): writing the alias directly
+        # with withColumn clobbered a same-named base column, so
+        # `SELECT name AS id, id FROM t` silently returned name's values
+        # for both outputs. alias_src maps output name -> temp column;
+        # WHERE/ORDER BY resolve aliases through it (alias shadows a
+        # same-named base column there — alias-in-WHERE is the feature).
+        alias_src: dict[str, str] = {}
         if not stmt.items:  # SELECT *
             out_names = base_cols
+            sel_exprs = [F.col(c) for c in base_cols]
         else:
             out_names = []
+            sel_exprs = []
             for i, item in enumerate(stmt.items):
                 name = item.alias or _auto_name(item.expr, i)
-                if not (isinstance(item.expr, ast.Ident) and item.expr.name == name):
-                    df = df.withColumn(name, self._compile(entry, item.expr))
+                if isinstance(item.expr, ast.Ident) and item.expr.name == name:
+                    sel_exprs.append(F.col(name))
+                else:
+                    tmp = f"__emdrive_sel_{i}"
+                    df = df.withColumn(tmp, self._compile(entry, item.expr))
+                    alias_src[name] = tmp
+                    sel_exprs.append(F.col(tmp).alias(name))
                 out_names.append(name)
 
         if stmt.where is not None:
             # aliases are visible to WHERE (README.md:71)
-            df = df.filter(self._compile(entry, stmt.where, extra_cols=out_names))
+            df = df.filter(
+                self._compile(
+                    entry, stmt.where, extra_cols=out_names, rename=alias_src
+                )
+            )
         if stmt.order_by:
             # aliases in scope here too; ORDER BY + LIMIT plans as
             # TakeOrderedAndProject (per-partition heap, k rows to the
@@ -265,15 +288,21 @@ class Engine:
             # distance search needs, never a global sort.
             sort_cols = []
             for o in stmt.order_by:
-                c = self._compile(entry, o.expr, extra_cols=out_names)
+                c = self._compile(
+                    entry, o.expr, extra_cols=out_names, rename=alias_src
+                )
                 sort_cols.append(c.asc() if o.asc else c.desc())
             df = df.orderBy(*sort_cols)
         if stmt.limit is not None:
             df = df.limit(stmt.limit)
-        return df.select(*out_names)
+        return df.select(*sel_exprs)
 
     def _compile(
-        self, entry: TableEntry, expr: ast.Expr, extra_cols: list[str] | None = None
+        self,
+        entry: TableEntry,
+        expr: ast.Expr,
+        extra_cols: list[str] | None = None,
+        rename: dict[str, str] | None = None,
     ) -> Column:
         if isinstance(expr, ast.Const):
             v = expr.value
@@ -289,6 +318,8 @@ class Engine:
                 raise EmdriveValidationError(
                     f"Column {expr.name!r} does not exist in table {entry.name}."
                 )
+            if rename and expr.name in rename:
+                return F.col(rename[expr.name])
             return F.col(expr.name)
         if isinstance(expr, ast.FuncCall):
             if expr.name == "ULID":
@@ -299,8 +330,8 @@ class Engine:
         if isinstance(expr, ast.BinOp):
             if expr.op == "@":
                 return self._compile_distance(entry, expr)
-            left = self._compile(entry, expr.left, extra_cols)
-            right = self._compile(entry, expr.right, extra_cols)
+            left = self._compile(entry, expr.left, extra_cols, rename)
+            right = self._compile(entry, expr.right, extra_cols, rename)
             ops = {
                 "=": lambda a, b: a == b,
                 "!=": lambda a, b: a != b,

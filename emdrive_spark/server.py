@@ -63,8 +63,25 @@ def make_handler(engine: Engine):
                 body = json.dumps(exc.to_json())
                 code = 400
             except Exception as exc:  # server-class error (errors.rs:28-34)
-                body = json.dumps({"type": "server", "message": str(exc)})
-                code = 500
+                # First line only (r4 review): a Py4J error's str() is a
+                # full JVM stack trace with internal class names and
+                # paths — never ship that to a client. Analysis errors
+                # escaping the lazy plan (they surface at collect time)
+                # are user-input problems → 400 validation, like the
+                # engine's own eager wrapping.
+                first = str(exc).strip().splitlines()[0] if str(exc).strip() else repr(exc)
+                try:
+                    from pyspark.errors import AnalysisException
+
+                    is_analysis = isinstance(exc, AnalysisException)
+                except ImportError:  # pragma: no cover
+                    is_analysis = False
+                if is_analysis:
+                    body = json.dumps({"type": "validation", "message": first})
+                    code = 400
+                else:
+                    body = json.dumps({"type": "server", "message": first})
+                    code = 500
             elapsed_us = (time.perf_counter_ns() - t0) // 1000
             log.debug("finished request ID %s in %d µs", request_id, elapsed_us)
             self._respond(code, body, elapsed_us, request_id)
@@ -82,8 +99,19 @@ def make_handler(engine: Engine):
             self.wfile.write(data)
 
         def do_POST(self):  # noqa: N802
-            length = int(self.headers.get("Content-Length", 0))
-            sql = self.rfile.read(length).decode()
+            # Malformed framing (non-numeric Content-Length, non-UTF-8
+            # body) must produce a typed 400, not an uncaught exception
+            # that kills the handler thread and drops the connection
+            # with no response at all (r4 review).
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                sql = self.rfile.read(length).decode()
+            except (ValueError, UnicodeDecodeError) as exc:
+                body = json.dumps(
+                    {"type": "validation", "message": f"Malformed request: {exc}"}
+                )
+                self._respond(400, body, 0, ulid())
+                return
             self._run(sql, read_only=False)
 
         def do_GET(self):  # noqa: N802
@@ -128,7 +156,12 @@ def serve(
 
         spark = get_spark("emdrive-server")
     engine = Engine(spark, data_directory=data_directory if explicit else None)
-    if os.path.exists(os.path.join(data_directory, "_catalog.json")):
+    # Restore ONLY when durability is engaged (r4 review): restoring
+    # from the implicit default path while _persist() is a no-op would
+    # boot old data yet never save new inserts — the server would look
+    # durable while silently reverting to the stale snapshot at every
+    # restart.
+    if explicit and os.path.exists(os.path.join(data_directory, "_catalog.json")):
         engine.catalog.restore(data_directory)
     httpd = _DrainingHTTPServer((host, port), make_handler(engine))
     httpd.engine = engine  # type: ignore[attr-defined]

@@ -86,6 +86,14 @@ class CreateTable:
                 f"Table {self.name} must have exactly one PRIMARY KEY column, "
                 f"found {len(pks)}."
             )
+        pk = next(c for c in self.columns if c.primary_key)
+        if pk.etype.nullable:
+            # SQL NULL never equals NULL, so the left-semi PK clash
+            # check cannot see duplicate NULL keys — a NULLABLE PK would
+            # quietly break the uniqueness contract (r4 review).
+            raise EmdriveValidationError(
+                f"PRIMARY KEY column {pk.name!r} must not be NULLABLE."
+            )
 
 
 @dataclass(frozen=True)

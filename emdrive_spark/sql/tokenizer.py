@@ -8,6 +8,13 @@ eagerly, ``;`` terminates the statement. We add ``@ < > <= >=`` as
 operator tokens (the ``@`` distance operator is declared at
 README.md:67-71; comparison beyond ``=`` is needed for the declared
 ``WHERE distance < 4`` query shape).
+
+No SQL comment syntax, BY DESIGN (reference parity): the reference
+tokenizer has no ``--``/``/* */`` handling either (tokenizer.rs —
+only strings and backslash escapes are lexically opaque), so a
+dialect statement containing ``--`` fails with the unary-minus
+error exactly as it would there. ANSI-passthrough statements get
+full comment support from Spark's own parser.
 """
 
 from __future__ import annotations

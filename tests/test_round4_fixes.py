@@ -73,3 +73,49 @@ def test_keyword_extract_rank_exact_top3(spark):
     n_docs = load(spark, SF_SMOKE, "documents").count()
     assert per_doc.count() == n_docs
     assert per_doc.filter(F.col("count") != 3).count() == 0
+
+
+def test_select_alias_cannot_clobber_base_column(spark):
+    """'SELECT <expr> AS <existing-col>, <existing-col>' must return the
+    expr under the alias AND the untouched base column (r4 review: the
+    old withColumn-by-alias destroyed the base column silently)."""
+    from emdrive_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.execute("CREATE TABLE r4_alias (id UINT32 PRIMARY KEY, w UINT32)")
+    eng.execute("INSERT INTO r4_alias (id, w) VALUES (1, 100), (2, 200)")
+    out = eng.execute("SELECT w AS id, id FROM r4_alias ORDER BY id")
+    rows = out.collect()
+    assert out.columns == ["id", "id"]
+    # first output column carries w's values, second the real ids —
+    # ORDER BY id resolves to the ALIAS (alias-in-scope contract)
+    assert [(r[0], r[1]) for r in rows] == [(100, 1), (200, 2)]
+
+
+def test_nullable_primary_key_rejected(spark):
+    from emdrive_spark.engine import Engine
+    from emdrive_spark.sql.errors import EmdriveValidationError
+
+    import pytest
+
+    eng = Engine(spark)
+    with pytest.raises(EmdriveValidationError, match="must not be NULLABLE"):
+        eng.execute(
+            "CREATE TABLE r4_nullpk (id NULLABLE(UINT32) PRIMARY KEY, v UINT8)"
+        )
+
+
+def test_insert_bad_value_is_validation_error(spark):
+    """A type-mismatched INSERT value must surface as the 400 validation
+    taxonomy, not an untyped 500 (r4 review)."""
+    from emdrive_spark.engine import Engine
+    from emdrive_spark.sql.errors import EmdriveValidationError
+
+    import pytest
+
+    eng = Engine(spark)
+    eng.execute("CREATE TABLE r4_badval (id UINT32 PRIMARY KEY, at TIMESTAMP)")
+    with pytest.raises(EmdriveValidationError, match="Invalid value"):
+        eng.execute(
+            "INSERT INTO r4_badval (id, at) VALUES (1, 'not-a-timestamp')"
+        )
