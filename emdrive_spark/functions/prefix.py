@@ -25,11 +25,26 @@ def global_prefix_sum(
 ) -> DataFrame:
     """Add ``out_col`` = sum of ``weight_col`` over all rows strictly
     before this one in ``order_col`` order (i.e. each row's exclusive
-    global running total). Input columns pass through unchanged."""
+    global running total). Input columns pass through unchanged.
+
+    PRECONDITION: ``order_col`` values must be unique (both consumers
+    key on a PK) — ties would get an arbitrary order inside the
+    ROWS-frame window, making tied rows' offsets nondeterministic
+    across runs (r4 review; documented rather than tiebroken so the
+    helper stays a drop-in for any single sort key).
+
+    Availability note (r4 review): the eager localCheckpoint is what
+    pins spark_partition_id across the two actions — correctness can
+    never silently drift — but checkpoint blocks are not recomputable,
+    so losing an executor mid-op fails the query rather than degrading
+    it. On a preemption-heavy cluster swap localCheckpoint for a
+    reliable checkpoint dir (same two-action shape)."""
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     part = (
+        # No sortWithinPartitions here (r4 review): the window below
+        # re-sorts after its own __pid exchange anyway, so a pre-sort
+        # is a full pass of wasted work.
         df.repartitionByRange(nparts, order_col)
-        .sortWithinPartitions(order_col)
         .withColumn("__pid", F.spark_partition_id())
         # Pin the partition assignment: two actions follow (subtotal
         # collect, final compute) and both must see identical pids.
@@ -39,7 +54,9 @@ def global_prefix_sum(
     offsets, run = [], 0
     for r in sorted(subtotals, key=lambda r: r["__pid"]):  # range parts are ordered
         offsets.append((r["__pid"], run))
-        run += r["sub"]
+        # sum() over an all-NULL partition is NULL — skip it like the
+        # window's sum does, instead of crashing the driver loop
+        run += r["sub"] if r["sub"] is not None else 0
     off = spark.createDataFrame(offsets, "__pid int, __offset long")
     w = W.partitionBy("__pid").orderBy(order_col).rowsBetween(W.unboundedPreceding, W.currentRow)
     return (

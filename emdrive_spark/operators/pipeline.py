@@ -121,7 +121,8 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT doc_id,
              CAST(len(toks) AS BIGINT) AS n_tokens,
-             round(CAST(n_alpha AS DOUBLE) / nullif(len(toks), 0), 4) AS mean_word_len,
+             floor(CAST(n_alpha AS DOUBLE) / nullif(len(toks), 0) * 10000 + 0.5)
+               / 10000 AS mean_word_len,
              len(list_filter(toks, x -> x = 'the')) > 0 AS has_stopword
       FROM t
     )
@@ -147,10 +148,18 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
-        F.round(
-            F.length(F.regexp_replace("text", " ", "")).cast("double")
-            / F.nullif(F.size(toks), F.lit(0)),
-            4,
+        # floor(x*1e4+0.5)/1e4, not F.round (r4 review): Spark and
+        # DuckDB half-up policies diverge at exact decimal midpoints
+        # (65 chars / 32 toks = 2.03125), and this value also decides
+        # the 2.0..8.0 band -> passed/reasons.
+        (
+            F.floor(
+                F.length(F.regexp_replace("text", " ", "")).cast("double")
+                / F.nullif(F.size(toks), F.lit(0))
+                * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
         ).alias("mean_word_len"),
         (F.size(F.filter(toks, lambda t: t == "the")) > 0).alias("has_stopword"),
     )
@@ -205,8 +214,8 @@ _BENCH_SOURCE = "src0"
     SELECT t.doc_id,
            CAST(len(t.sh) AS BIGINT) AS n_shingles,
            CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
-           round(CAST(coalesce(o.n_overlap, 0) AS DOUBLE)
-                 / nullif(len(t.sh), 0), 4) AS contamination
+           floor(CAST(coalesce(o.n_overlap, 0) AS DOUBLE)
+                 / nullif(len(t.sh), 0) * 10000 + 0.5) / 10000 AS contamination
     FROM sh t LEFT JOIN overlap o ON t.doc_id = o.doc_id
     WHERE t.source <> '{_BENCH_SOURCE}'
     """,
@@ -239,10 +248,16 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = ex.join(F.broadcast(bench.withColumn("hit", F.lit(1))), "s", "left")
     return hit.groupBy("doc_id", "n_shingles").agg(
         F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_overlap"),
-        F.round(
-            F.coalesce(F.sum("hit"), F.lit(0)).cast("double")
-            / F.nullif(F.first("n_shingles"), F.lit(0)),
-            4,
+        # portable floor-rounding, same rationale as mean_word_len
+        # (1 overlap / 32 shingles = 0.03125, an exact midpoint)
+        (
+            F.floor(
+                F.coalesce(F.sum("hit"), F.lit(0)).cast("double")
+                / F.nullif(F.first("n_shingles"), F.lit(0))
+                * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
         ).alias("contamination"),
     )
 
