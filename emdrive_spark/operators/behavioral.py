@@ -173,7 +173,8 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_cohort_ltv",
     oracle="""
     WITH cohort AS (
-      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
     ),
     daily AS (
       SELECT CAST(cohort.cohort_day AS VARCHAR) AS cohort_day,
@@ -191,17 +192,24 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value curves: cumulative purchase revenue per
-    signup cohort by day offset — the growth-analytics companion to
-    events_retention. Revenue aggregates as exact DECIMAL before the
-    running window (frame sums accumulate in ORDER BY order —
-    deterministic), so every point on every curve is engine-exact. Two
-    user_id-keyed steps then a per-cohort ordered pass over the tiny
-    (cohort x offset) table."""
+    SIGNUP cohort by day offset — the growth-analytics companion to
+    events_retention. The cohort day is the user's first SIGNUP event
+    (r4 review: an unfiltered min(ts) silently computed first-ACTIVITY
+    cohorts — 130/150 fixture users' first event is not a signup —
+    and the oracle mirrored the deviation, so the gate could not see
+    it); users who never sign up carry no cohort and drop from the
+    curves, matching events_funnel/user_time_to_convert. Revenue
+    aggregates as exact DECIMAL before the running window (frame sums
+    accumulate in ORDER BY order — deterministic), so every point on
+    every curve is engine-exact. Two user_id-keyed steps then a
+    per-cohort ordered pass over the tiny (cohort x offset) table."""
     from pyspark.sql import Window as W
 
     ev = load(spark, sf_dir, "events")
-    cohort = ev.groupBy("user_id").agg(
-        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("cohort_day"))
     )
     daily = (
         ev.filter(F.col("event_type") == "purchase")
@@ -251,9 +259,13 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     business-rule cut points — the scale-clean form: quantile-based
     cuts need a global ntile (single-partition window) or an
     approx-percentile pre-pass; fixed cuts keep segmentation a pure
-    per-user aggregate + projection at any corpus size. Monetary is an
-    exact DECIMAL sum, recency is integer day arithmetic against a
-    fixed anchor, so every user lands in the same segment on every
+    per-user aggregate + projection at any corpus size. THESE cut
+    values (<=2 days, >=13 purchases, >=590.0, anchor 2024-02-01) are
+    calibrated to the fixture's 30-day window (r4 review) — a real
+    deployment derives them once per period from approx_percentile and
+    injects them as literals, keeping this exact plan shape. Monetary
+    is an exact DECIMAL sum, recency is integer day arithmetic against
+    a fixed anchor, so every user lands in the same segment on every
     engine."""
     ev = load(spark, sf_dir, "events")
     is_p = F.col("event_type") == "purchase"

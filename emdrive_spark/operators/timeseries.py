@@ -81,7 +81,7 @@ def events_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, event_id, value,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                          > INTERVAL '30 minutes'
+                          >= INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ),
@@ -97,9 +97,13 @@ def events_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch sessionization: lag-gap > 30 min starts a new session;
-    cumulative sum of the flag numbers the sessions. One shuffle on
-    user_id; the streaming twin is F.session_window (see streaming/)."""
+    """Batch sessionization: lag-gap >= 30 min starts a new session;
+    cumulative sum of the flag numbers the sessions. Inclusive >=, not
+    strict > (r4 review): F.session_window — the streaming twin this op
+    claims identical semantics with — ends a session at ts+gap
+    EXCLUSIVE, so an event exactly gap later opens a new session; the
+    old strict > disagreed at that boundary on both engine and oracle
+    sides, invisible to the gate. One shuffle on user_id."""
     order = W.partitionBy("user_id").orderBy("ts", "event_id")
     # Microsecond-exact gap via native timestamp subtraction (works on
     # NTZ and LTZ alike, no unix_micros — that builtin rejects NTZ):
@@ -108,7 +112,7 @@ def events_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap = F.col("ts") - F.lag(F.col("ts")).over(order)
     flagged = load(spark, sf_dir, "events").withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > F.expr("INTERVAL 30 MINUTES")), 1).otherwise(0),
+        F.when(gap.isNull() | (gap >= F.expr("INTERVAL 30 MINUTES")), 1).otherwise(0),
     )
     sessions = flagged.withColumn(
         "session_idx",
@@ -379,11 +383,11 @@ def json_roundtrip_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
            arg_min(value, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
-                          || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+                          || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS open,
            round(max(value), 2) AS high,
            round(min(value), 2) AS low,
            arg_max(value, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
-                          || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+                          || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS close,
            count(*) AS n
     FROM events
     GROUP BY 1, 2
@@ -398,10 +402,14 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     # DuckDB arg_min/arg_max take only scalar sort keys, so the
     # (ts, event_id) composite rides as a fixed-width lexicographic
-    # string — micros-precision timestamp then zero-padded id.
+    # string — micros-precision timestamp then zero-padded id. Width
+    # 20, not 12 (r4 review): both engines' lpad TRUNCATES beyond the
+    # width, so a 12-char pad misorders/collides ids >= 1e12 — reached
+    # at exactly the event scale the module documents; 20 covers the
+    # full signed-64-bit digit count.
     order_key = F.concat(
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
     )
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -662,72 +670,129 @@ def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_cusum",
     oracle="""
     WITH stats AS (
-      SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mu
+      SELECT sum(CAST(value AS DECIMAL(24,2))) AS s_tot,
+             CAST(count(*) AS BIGINT) AS n_tot
       FROM events
     ),
-    series AS (
-      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-             list(value ORDER BY ts, event_id) AS xs
-      FROM events GROUP BY user_id
+    seq AS (
+      SELECT user_id, ts, event_id,
+             sum(4 * n_tot * CAST(value AS DECIMAL(24,2)) - 4 * s_tot - n_tot)
+               OVER w AS rup,
+             sum(4 * s_tot - 4 * n_tot * CAST(value AS DECIMAL(24,2)) - n_tot)
+               OVER w AS rdn,
+             n_tot
+      FROM events, stats
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
     ),
-    folded AS (
-      SELECT user_id, n_events,
-             list_reduce(list_prepend(0.0, xs),
-                         (acc, x) -> greatest(0.0, acc + (x - mu - 0.25))) AS sp,
-             list_reduce(list_prepend(0.0, xs),
-                         (acc, x) -> greatest(0.0, acc + (mu - x - 0.25))) AS sn
-      FROM series, stats
+    scored AS (
+      SELECT user_id, ts, event_id, n_tot,
+             CAST((rup - least(CAST(0 AS DECIMAL(38,2)), min(rup) OVER w)) * 100
+                  AS BIGINT) AS du,
+             CAST((rdn - least(CAST(0 AS DECIMAL(38,2)), min(rdn) OVER w)) * 100
+                  AS BIGINT) AS dn
+      FROM seq
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
     )
-    SELECT user_id, n_events,
-           floor(sp * 1000000 + 0.5) / 1000000 AS s_pos,
-           floor(sn * 1000000 + 0.5) / 1000000 AS s_neg,
-           sp > 5.0 AS drift_up,
-           sn > 5.0 AS drift_down
-    FROM folded
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST((arg_max(du, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                             || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+                 * 20000 + 4 * any_value(n_tot)) // (8 * any_value(n_tot))
+                AS DOUBLE) / 1000000 AS s_pos,
+           CAST((arg_max(dn, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                             || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+                 * 20000 + 4 * any_value(n_tot)) // (8 * any_value(n_tot))
+                AS DOUBLE) / 1000000 AS s_neg,
+           max(du) > 2000 * any_value(n_tot) AS drift_up,
+           max(dn) > 2000 * any_value(n_tot) AS drift_down
+    FROM scored GROUP BY user_id
     """,
 )
 def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM drift detection per user: two one-sided cumulative sums
-    (slack k=0.25, threshold h=5) folded over the user's event-time-
-    ordered values against the DECIMAL-exact corpus mean — the classic
-    sequential changepoint statistic. Both engines seed the fold at 0
-    (list_prepend / explicit zero) and apply the identical
-    ``greatest(0, acc + dev)`` recurrence left-to-right, so the final
-    statistics are bit-equal. One user_id shuffle carrying (ts-ordered
-    values); each series folds in O(n) with O(1) state — the same
-    recurrence runs incrementally in the stream_ewma-style stateful
-    operator at deployment scale."""
+    (slack k=0.25, threshold h=5) over the user's event-time-ordered
+    values against the DECIMAL-exact corpus mean — the classic
+    sequential changepoint statistic. s_pos/s_neg report the
+    END-OF-WINDOW statistics; drift_up/drift_down alarm on the RUNNING
+    MAX of the recurrence (r4 review: the old final-value-only test
+    missed a drift that crossed h mid-window and then decayed — a
+    textbook alarm both engine and oracle agreed to ignore because
+    they shared the fold). The clamped walk has the exact identity
+    s_t = P_t - min(0, min_{j<=t} P_j) over plain prefix sums, so the
+    whole thing is two window passes; scaling the per-event deviation
+    by 4N (x_i -> 4N*x_i - 4S - N, mu = S/N, k = 1/4) keeps every
+    prefix DECIMAL-exact, making the statistics identical across
+    engines independent of summation order. One user_id shuffle; O(n)
+    per series."""
     ev = load(spark, sf_dir, "events")
     stats = ev.agg(
-        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("*")).alias(
-            "mu"
-        )
+        F.sum(F.col("value").cast("decimal(24,2)")).alias("s_tot"),
+        F.count("*").alias("n_tot"),
     )
-    series = ev.groupBy("user_id").agg(
+    base = ev.crossJoin(F.broadcast(stats))
+    wseq = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    x = F.col("value").cast("decimal(24,2)")
+    dup = 4 * F.col("n_tot") * x - 4 * F.col("s_tot") - F.col("n_tot")
+    ddn = 4 * F.col("s_tot") - 4 * F.col("n_tot") * x - F.col("n_tot")
+    seq = base.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(dup).over(wseq).alias("rup"),
+        F.sum(ddn).over(wseq).alias("rdn"),
+        F.col("n_tot"),
+    )
+    # Integer-exact rounding and thresholding (r4): s = D/(4N) with D
+    # an exact hundredths decimal lands EXACTLY on 1e-6 midpoints for
+    # many (D, N), and the two engines' double divisions round such a
+    # midpoint to opposite sides. round(s, 6) half-up == the integer
+    # division (100D*20000 + 4N) div (8N), and s > 5 == 100D > 2000N —
+    # no float enters either path. (BIGINT carriers are exact to ~9e18,
+    # far past the compare scales; the decimal prefixes above stay the
+    # scale path.)
+    zero = F.lit(0).cast("decimal(38,2)")
+    scored = seq.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("n_tot"),
+        ((F.col("rup") - F.least(zero, F.min("rup").over(wseq))) * 100)
+        .cast("long")
+        .alias("du"),
+        ((F.col("rdn") - F.least(zero, F.min("rdn").over(wseq))) * 100)
+        .cast("long")
+        .alias("dn"),
+    )
+    last_key = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+    agg = scored.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
-            lambda s: s["value"],
-        ).alias("xs"),
+        F.max_by("du", last_key).alias("du_last"),
+        F.max_by("dn", last_key).alias("dn_last"),
+        F.max("du").alias("du_max"),
+        F.max("dn").alias("dn_max"),
+        F.first("n_tot").alias("n_tot"),
     )
-    j = series.crossJoin(F.broadcast(stats))
-    sp = F.aggregate(
-        F.col("xs"),
-        F.lit(0.0),
-        lambda acc, x: F.greatest(F.lit(0.0), acc + (x - F.col("mu") - F.lit(0.25))),
-    )
-    sn = F.aggregate(
-        F.col("xs"),
-        F.lit(0.0),
-        lambda acc, x: F.greatest(F.lit(0.0), acc + (F.col("mu") - x - F.lit(0.25))),
-    )
-    return j.select(
+    return agg.select(
         "user_id",
         "n_events",
-        (F.floor(sp * 1000000 + F.lit(0.5)) / 1000000).alias("s_pos"),
-        (F.floor(sn * 1000000 + F.lit(0.5)) / 1000000).alias("s_neg"),
-        (sp > 5.0).alias("drift_up"),
-        (sn > 5.0).alias("drift_down"),
+        (
+            F.expr("(du_last * 20000 + 4 * n_tot) div (8 * n_tot)").cast("double")
+            / 1000000
+        ).alias("s_pos"),
+        (
+            F.expr("(dn_last * 20000 + 4 * n_tot) div (8 * n_tot)").cast("double")
+            / 1000000
+        ).alias("s_neg"),
+        (F.col("du_max") > 2000 * F.col("n_tot")).alias("drift_up"),
+        (F.col("dn_max") > 2000 * F.col("n_tot")).alias("drift_down"),
     )
 
 

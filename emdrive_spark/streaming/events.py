@@ -313,7 +313,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, event_id, value,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                          > INTERVAL '30 minutes'
+                          >= INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ),

@@ -119,3 +119,44 @@ def test_insert_bad_value_is_validation_error(spark):
         eng.execute(
             "INSERT INTO r4_badval (id, at) VALUES (1, 'not-a-timestamp')"
         )
+
+
+def test_cusum_alarms_on_mid_window_drift(spark):
+    """The drift flag must fire when the CUSUM crosses h=5 at ANY point,
+    not only at window end (r4 review: a drift that crossed h and then
+    decayed back to 0 was silently ignored by BOTH engine and oracle,
+    since they shared the final-value fold). Synthetic series: values
+    climb the positive CUSUM well past h, then a long run below the
+    mean clamps it back to ~0 — drift_up must still be True."""
+    import datetime
+
+    from emdrive_spark.operators.timeseries import events_cusum
+    from emdrive_spark.sources import tables
+
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)
+    # one user; corpus mean will sit low because of the tail run
+    vals = [10.0] * 12 + [0.0] * 48  # head: +CUSUM climbs; tail: clamps to 0
+    for i, v in enumerate(vals):
+        rows.append((i, t0 + datetime.timedelta(minutes=i), 1, "x", v, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    orig = tables.load
+    try:
+        tables.load = lambda _s, _d, _n: df  # the op loads only `events`
+        import emdrive_spark.operators.timeseries as ts_mod
+
+        ts_orig = ts_mod.load
+        ts_mod.load = tables.load
+        try:
+            out = {r.user_id: r for r in events_cusum(spark, "ignored").collect()}
+        finally:
+            ts_mod.load = ts_orig
+    finally:
+        tables.load = orig
+    r = out[1]
+    # mean = 2.0; head deviation per event = 10-2-0.25 = 7.75 -> crosses 5
+    # within the first events; end state clamps back toward 0
+    assert r.drift_up, r
+    assert r.s_pos < 5.0, r  # final state decayed below the threshold
