@@ -87,6 +87,12 @@ HEADLINE = (
     "zorder_cluster",          # Morton interleave + range repartition
     "merge_scd2",              # SCD-2 history merge
     "mm_shard_pack",           # size-bounded media shard assignment
+    # round 5 addition — SQL statement lifecycle (parse -> rewrite ->
+    # catalog -> execute, the reference's per-request path whose µs log
+    # is its only perf artifact, server/mod.rs:97,132-136). Timing is
+    # statement latency (CREATE+INSERT+SELECT on a 3-row table), not
+    # scan throughput — it measures dialect overhead.
+    "sql_select_at_distance",
 )
 
 

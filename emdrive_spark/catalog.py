@@ -242,6 +242,19 @@ class Catalog:
                     os.rename(path, old)
                 os.rename(tmp, path)
                 shutil.rmtree(old, ignore_errors=True)
+                # Re-point the live entry at the snapshot just written
+                # (r4 advisor, medium): a restored table's entry.df has
+                # lineage over the OLD part-files at this path
+                # (InMemoryFileIndex caches leaf files at restore time),
+                # so the swap above just deleted the files it would
+                # scan — the next action (SELECT, or the PK semi-join
+                # of the next INSERT) threw FileNotFoundException.
+                # Re-reading also truncates the union lineage a string
+                # of INSERTs accretes, so save() doubles as the same
+                # checkpoint Catalog.insert applies periodically.
+                e.df = self.spark.read.schema(spark_schema(e.columns)).parquet(path)
+                e.df.createOrReplaceTempView(e.name)
+                e.inserts = 0
                 meta[e.name] = {
                     "schema_name": e.schema_name,
                     "columns": [

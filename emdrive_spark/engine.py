@@ -329,7 +329,7 @@ class Engine:
             raise EmdriveValidationError(f"Unknown function {expr.name}().")
         if isinstance(expr, ast.BinOp):
             if expr.op == "@":
-                return self._compile_distance(entry, expr)
+                return self._compile_distance(entry, expr, extra_cols, rename)
             left = self._compile(entry, expr.left, extra_cols, rename)
             right = self._compile(entry, expr.right, extra_cols, rename)
             ops = {
@@ -345,7 +345,13 @@ class Engine:
             return ops[expr.op](left, right)
         raise EmdriveValidationError(f"Unsupported expression {expr!r}.")
 
-    def _compile_distance(self, entry: TableEntry, expr: ast.BinOp) -> Column:
+    def _compile_distance(
+        self,
+        entry: TableEntry,
+        expr: ast.BinOp,
+        extra_cols: list[str] | None = None,
+        rename: dict[str, str] | None = None,
+    ) -> Column:
         """``col @ operand`` — distance under the column's METRIC KEY
         metric (README.md:67-78). The metric comes from the DDL
         declaration; a ``@`` on a column without one is a validation
@@ -354,6 +360,18 @@ class Engine:
         if not isinstance(expr.left, ast.Ident):
             raise EmdriveValidationError(
                 "Left side of @ must be a METRIC KEY column."
+            )
+        if rename and expr.left.name in rename:
+            # Alias-shadows-base is the documented WHERE contract for
+            # plain comparisons, but `@` binds a DDL-declared METRIC KEY
+            # column — an aliased expression has no metric, so silently
+            # binding the base here while `<`/`=` next to it bind the
+            # alias would make the same name mean two columns in one
+            # predicate (r4 advisor). Reject explicitly.
+            raise EmdriveValidationError(
+                f"Alias {expr.left.name!r} shadows METRIC KEY column "
+                f"{expr.left.name!r}; '@' binds the declared metric column, "
+                f"so rename the alias or drop it from the SELECT list."
             )
         cdef = entry.column(expr.left.name)
         if cdef.metric is None:
@@ -372,9 +390,9 @@ class Engine:
                 ):
                     right = F.lit(expr.right.value.to_bytes(16, "big"))
                 else:
-                    right = self._compile(entry, expr.right)
+                    right = self._compile(entry, expr.right, extra_cols, rename)
                 return D.hamming_binary(left, right)
-            right = self._compile(entry, expr.right)
+            right = self._compile(entry, expr.right, extra_cols, rename)
             if cdef.etype.base in ("UINT64", "UINT128"):
                 # decimal-backed hashes: limb-split popcount — a plain
                 # cast("long") overflows for values ≥ 2⁶³.
@@ -382,7 +400,7 @@ class Engine:
                     left, right, nlimbs=4 if cdef.etype.base == "UINT128" else 2
                 )
             return metric_fn(left.cast("long"), right.cast("long")).cast("long")
-        right = self._compile(entry, expr.right)
+        right = self._compile(entry, expr.right, extra_cols, rename)
         return metric_fn(left, right)
 
 

@@ -42,6 +42,29 @@ def _doubled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(shifted)
 
 
+def band_members(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig_arr[8]) → (doc_id, bkt): the shared 4-band × 2-lane
+    LSH bucket membership used by dedup_lsh_verified, dedup_components,
+    and the skew profiler (tools/stress_dedup.py). One definition so the
+    candidate generator and its diagnostics can never drift apart."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}|"),
+                        F.col("sig_arr")[2 * b],
+                        F.lit("|"),
+                        F.col("sig_arr")[2 * b + 1],
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bkt"),
+    )
+
+
 @register(
     "dedup_exact",
     oracle=f"""
@@ -449,22 +472,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
 
-    member = corpus.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.concat(
-                        F.lit(f"{b}|"),
-                        F.col("sig_arr")[2 * b],
-                        F.lit("|"),
-                        F.col("sig_arr")[2 * b + 1],
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bkt"),
-    ).localCheckpoint()
+    member = band_members(corpus).localCheckpoint()
 
     labels = corpus.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint()
     for _ in range(12):  # ceil(diameter/2) bound; dup clusters are shallow
@@ -650,22 +658,7 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = corpus.select(
         "doc_id", "sh", minhash_sig_array(F.col("sh")).alias("sig_arr")
     )
-    member = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.concat(
-                        F.lit(f"{b}|"),
-                        F.col("sig_arr")[2 * b],
-                        F.lit("|"),
-                        F.col("sig_arr")[2 * b + 1],
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bkt"),
-    )
+    member = band_members(sigs)
     a = member.alias("a")
     b = member.alias("b")
     cand = (

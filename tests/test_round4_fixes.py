@@ -32,19 +32,25 @@ def test_staging_root_removed_at_exit():
     import subprocess
     import sys
 
+    # Repo root / fixture dir via argv, not hardcoded (r4 advisor: the
+    # literal '/root/repo' broke any other checkout location).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     code = (
-        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "import sys; sys.path.insert(0, sys.argv[1])\n"
         "from emdrive_spark.session import get_spark\n"
         "from emdrive_spark import registry\n"
         "registry.load_all()\n"
         "s = get_spark('staging-exit-test')\n"
-        "registry.REGISTRY['source_csv_roundtrip'].fn(s, '/root/testdata/sf0.001').count()\n"
+        "registry.REGISTRY['source_csv_roundtrip'].fn(s, sys.argv[2]).count()\n"
         "from emdrive_spark.sources.tables import staging_dir\n"
         "print('ROOT=' + staging_dir(s))\n"
         "s.stop()\n"
     )
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+        [sys.executable, "-c", code, repo_root, SF_SMOKE],
+        capture_output=True,
+        text=True,
+        timeout=300,
     )
     roots = [l[5:] for l in out.stdout.splitlines() if l.startswith("ROOT=")]
     assert roots, out.stderr[-500:]

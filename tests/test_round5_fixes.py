@@ -1,0 +1,125 @@
+"""Round-5 advisor fixes, pinned as regressions (ADVICE.md r4):
+restored-table durability across save(), negative Content-Length
+framing, and alias-shadows-METRIC-KEY rejection for `@`."""
+
+from __future__ import annotations
+
+import pytest
+
+from emdrive_spark.engine import Engine
+from emdrive_spark.sql.errors import EmdriveValidationError
+
+CREATE = """
+CREATE TABLE rt5 (
+    hash UINT8 METRIC KEY USING mtree(hamming),
+    url STRING(2048) PRIMARY KEY,
+    width UINT32
+)
+"""
+
+
+def test_restore_insert_save_select_insert(engine_factory, tmp_path):
+    """The r4 advisor's medium finding: a restored table's entry.df
+    scans the saved part-files, so the next save()'s atomic swap
+    deleted the very files that lineage references — every later
+    action on the table (SELECT, or the PK semi-join of the next
+    INSERT) threw FileNotFoundException until restart. save() now
+    re-points each entry at the snapshot it just wrote."""
+    root = str(tmp_path / "cat")
+    a = engine_factory()
+    a.execute(CREATE)
+    a.execute("INSERT INTO rt5 (hash, url, width) VALUES (5, 'u1', 100)")
+    a.catalog.save(root)
+
+    b = engine_factory()
+    assert b.catalog.restore(root) == 1
+    b.execute("INSERT INTO rt5 (hash, url, width) VALUES (9, 'u2', 300)")
+    b.catalog.save(root)  # pre-fix: deletes files b's lineage still reads
+    rows = b.execute("SELECT url, width FROM rt5 WHERE hash = 9").collect()
+    assert [(r["url"], r["width"]) for r in rows] == [("u2", 300)]
+    # the PK-uniqueness semi-join reads the table too — must not 500
+    b.execute("INSERT INTO rt5 (hash, url, width) VALUES (7, 'u3', 1)")
+    b.catalog.save(root)
+    assert b.execute("SELECT url FROM rt5").count() == 3
+
+    # and a second restore sees everything the saves persisted
+    c = engine_factory()
+    c.catalog.restore(root)
+    assert c.execute("SELECT url FROM rt5").count() == 3
+
+
+def test_save_while_never_restored_still_queryable(engine_factory, tmp_path):
+    """Same swap path for an in-memory (never restored) catalog: two
+    consecutive saves must not invalidate the live entry either."""
+    root = str(tmp_path / "cat2")
+    a = engine_factory()
+    a.execute(CREATE)
+    a.execute("INSERT INTO rt5 (hash, url, width) VALUES (5, 'u1', 100)")
+    a.catalog.save(root)
+    a.catalog.save(root)  # second swap: reads snapshot 1, writes snapshot 2
+    assert a.execute("SELECT url FROM rt5").count() == 1
+
+
+def test_alias_shadowing_metric_column_rejected(engine_factory):
+    """`@` binds the DDL-declared METRIC KEY column while plain
+    comparisons bind a same-named alias (alias-shadows-base is the WHERE
+    contract) — one name meaning two columns inside one predicate is
+    rejected, not silently split (r4 advisor low)."""
+    e = engine_factory()
+    e.execute(CREATE)
+    e.execute("INSERT INTO rt5 (hash, url, width) VALUES (3, 'u1', 10)")
+    with pytest.raises(EmdriveValidationError, match="shadows METRIC KEY"):
+        e.execute("SELECT width AS hash FROM rt5 WHERE hash @ 0b1 < 4")
+    # non-shadowing aliases keep the README flagship behavior
+    rows = e.execute(
+        "SELECT url, hash @ 0b00000001 AS distance FROM rt5 WHERE distance < 4"
+    ).collect()
+    assert [(r["url"], r["distance"]) for r in rows] == [("u1", 1)]
+
+
+def test_at_right_operand_sees_alias(engine_factory):
+    """The right side of `@` resolves aliases like any other WHERE
+    reference (rename threading is symmetric, not left-only)."""
+    e = engine_factory()
+    e.execute(CREATE)
+    e.execute("INSERT INTO rt5 (hash, url, width) VALUES (3, 'u1', 1)")
+    rows = e.execute(
+        "SELECT url, width AS probe FROM rt5 WHERE hash @ probe = 1"
+    ).collect()
+    assert [(r["url"], r["probe"]) for r in rows] == [("u1", 1)]
+
+
+@pytest.fixture()
+def engine_factory(spark):
+    def make() -> Engine:
+        return Engine(spark)
+
+    return make
+
+
+def test_negative_content_length_is_typed_400(spark):
+    """int('-5') parses, and rfile.read(-5) reads to EOF — on keep-alive
+    that hangs the handler thread. The framing guard now rejects
+    negative lengths with the typed 400 (r4 advisor low)."""
+    import http.client
+    import json
+    import threading
+
+    from emdrive_spark.server import serve
+
+    httpd = serve(spark, host="127.0.0.1", port=18831)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", 18831, timeout=30)
+        conn.putrequest("POST", "/")
+        conn.putheader("Content-Length", "-5")
+        conn.endheaders()
+        resp = conn.getresponse()
+        body = json.loads(resp.read())
+        assert resp.status == 400
+        assert body["type"] == "validation"
+        assert "Content-Length" in body["message"]
+        conn.close()
+    finally:
+        httpd.shutdown()
