@@ -41,6 +41,13 @@ class TableEntry:
     columns: tuple[ast.ColumnDef, ...]
     df: DataFrame
     inserts: int = 0  # since last lineage truncation (see Catalog.insert)
+    # Mutated since the last save() to the current save root. New and
+    # inserted-into tables are dirty; restore() marks entries clean
+    # (their on-disk snapshot IS the restore root). save() skips clean
+    # tables, so per-statement durability cost is O(changed table), not
+    # O(whole catalog) — the difference between a server whose INSERT
+    # latency is constant and one that rewrites every table per write.
+    dirty: bool = True
 
     @property
     def pk(self) -> ast.ColumnDef:
@@ -53,6 +60,25 @@ class TableEntry:
         raise EmdriveValidationError(
             f"Column {name!r} does not exist in table {self.name}."
         )
+
+
+def _entry_meta(e: TableEntry) -> dict:
+    """The _catalog.json record for one table (DDL metadata Spark's
+    parquet footer can't carry: PK, metric, defaults, nullability)."""
+    return {
+        "schema_name": e.schema_name,
+        "columns": [
+            {
+                "name": c.name,
+                "type": c.etype.render(),
+                "primary_key": c.primary_key,
+                "metric": c.metric,
+                "index_kind": c.index_kind,
+                "default": _default_to_json(c.default),
+            }
+            for c in e.columns
+        ],
+    }
 
 
 def spark_schema(columns: tuple[ast.ColumnDef, ...]) -> T.StructType:
@@ -90,6 +116,9 @@ class Catalog:
         import threading
 
         self._write_lock = threading.Lock()
+        # Root of the last save()/restore(); save() to the same root
+        # may skip clean tables (see TableEntry.dirty).
+        self._saved_root: str | None = None
         # SQL-queryable from session start, like the reference's
         # bootstrap (system.rs:5-91): the system relations exist (empty)
         # before the first CREATE TABLE.
@@ -175,6 +204,7 @@ class Catalog:
             # materializes only this table's rows, and the PK anti-join
             # above already reads the data each INSERT anyway.
             entry.inserts += 1
+            entry.dirty = True  # next save() must rewrite this table
             if entry.inserts % _CHECKPOINT_EVERY_INSERTS == 0:
                 entry.df = entry.df.localCheckpoint(eager=True)
             entry.df.createOrReplaceTempView(entry.name)
@@ -225,15 +255,26 @@ class Catalog:
         committed data BEFORE rewriting, so a crash mid-save lost every
         previously persisted row; restore() falls back to the __old dir
         if a crash lands in the tiny rename window — and the metadata
-        json is published via temp-file + os.replace (atomic)."""
+        json is published via temp-file + os.replace (atomic).
+
+        Incremental: a table whose ``dirty`` flag is clear (last saved
+        to THIS root, untouched since) is skipped — its on-disk
+        snapshot is already current — so a server persisting after
+        every statement pays O(changed table) per INSERT, not
+        O(catalog). A different ``root`` than the last save forces a
+        full pass (nothing at the new root can be assumed current)."""
         import json
         import os
         import shutil
 
         with self._write_lock:
+            full = root != getattr(self, "_saved_root", None)
             meta = {}
             for e in self.tables.values():
                 path = os.path.join(root, e.schema_name, e.name)
+                if not full and not e.dirty and os.path.exists(path):
+                    meta[e.name] = _entry_meta(e)
+                    continue
                 tmp, old = path + "__tmp", path + "__old"
                 shutil.rmtree(tmp, ignore_errors=True)
                 e.df.sortWithinPartitions(e.pk.name).write.mode("overwrite").parquet(tmp)
@@ -255,25 +296,14 @@ class Catalog:
                 e.df = self.spark.read.schema(spark_schema(e.columns)).parquet(path)
                 e.df.createOrReplaceTempView(e.name)
                 e.inserts = 0
-                meta[e.name] = {
-                    "schema_name": e.schema_name,
-                    "columns": [
-                        {
-                            "name": c.name,
-                            "type": c.etype.render(),
-                            "primary_key": c.primary_key,
-                            "metric": c.metric,
-                            "index_kind": c.index_kind,
-                            "default": _default_to_json(c.default),
-                        }
-                        for c in e.columns
-                    ],
-                }
+                e.dirty = False
+                meta[e.name] = _entry_meta(e)
             os.makedirs(root, exist_ok=True)
             tmp_json = os.path.join(root, "_catalog.json.tmp")
             with open(tmp_json, "w") as f:
                 json.dump(meta, f, indent=2)
             os.replace(tmp_json, os.path.join(root, "_catalog.json"))
+            self._saved_root = root
 
     def restore(self, root: str) -> int:
         """Load a saved catalog: re-register every table (schema from
@@ -307,11 +337,19 @@ class Catalog:
                     os.rename(path + "__old", path)
                 df = self.spark.read.schema(spark_schema(columns)).parquet(path)
                 entry = TableEntry(
-                    name=name, schema_name=t["schema_name"], columns=columns, df=df
+                    name=name,
+                    schema_name=t["schema_name"],
+                    columns=columns,
+                    df=df,
+                    # the snapshot just read IS this root's current
+                    # state — the next save() to the same root may
+                    # skip it until a mutation re-dirties it
+                    dirty=False,
                 )
                 self.tables[name] = entry
                 df.createOrReplaceTempView(name)
             self.refresh_system_views()
+            self._saved_root = root
         return len(meta)
 
     def refresh_system_views(self) -> None:

@@ -89,6 +89,44 @@ def test_at_right_operand_sees_alias(engine_factory):
     assert [(r["url"], r["probe"]) for r in rows] == [("u1", 1)]
 
 
+def test_incremental_save_skips_clean_tables(engine_factory, tmp_path):
+    """save() rewrites only tables mutated since the last save to the
+    same root — per-statement durability is O(changed table), not
+    O(catalog). A different root forces a full pass."""
+    import os
+
+    root = str(tmp_path / "cat3")
+    e = engine_factory()
+    e.execute(CREATE)
+    e.execute(CREATE.replace("rt5", "rt5b"))
+    e.execute("INSERT INTO rt5 (hash, url, width) VALUES (5, 'u1', 100)")
+    e.execute("INSERT INTO rt5b (hash, url, width) VALUES (5, 'v1', 100)")
+    e.catalog.save(root)
+
+    def snapshot_files(tbl):
+        d = os.path.join(root, "main", tbl)
+        return sorted(os.path.join(d, f) for f in os.listdir(d) if f.startswith("part-"))
+
+    b_before = snapshot_files("rt5b")
+    e.execute("INSERT INTO rt5 (hash, url, width) VALUES (9, 'u2', 300)")
+    e.catalog.save(root)
+    # rt5b untouched -> identical part-files survive the save
+    assert snapshot_files("rt5b") == b_before
+    # rt5 was rewritten and the saved state is complete
+    f = engine_factory()
+    f.catalog.restore(root)
+    assert f.execute("SELECT url FROM rt5").count() == 2
+    assert f.execute("SELECT url FROM rt5b").count() == 1
+
+    # a NEW root gets a full pass: both tables land there
+    root2 = str(tmp_path / "cat4")
+    e.catalog.save(root2)
+    g = engine_factory()
+    g.catalog.restore(root2)
+    assert g.execute("SELECT url FROM rt5").count() == 2
+    assert g.execute("SELECT url FROM rt5b").count() == 1
+
+
 @pytest.fixture()
 def engine_factory(spark):
     def make() -> Engine:
