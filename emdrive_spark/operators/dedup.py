@@ -20,6 +20,8 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -238,8 +240,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to the positive scale factor, so no normalization is needed first.
 
 _EMB_DIM = 64  # fixture contract (TESTDATA.md: embeddings.embedding)
-_SIGN_BITS = 32
-_SIGN_BANDS = 4  # 4 bands × 8 bits; identical vectors always collide
+# 12 bands × 16 bits (round 5; was 4 × 8). Identical vectors still
+# collide with p = 1 in every band (equal quantized inputs ⇒ equal
+# bits). For cos 0.95 pairs (per-bit agreement 1 − θ/π ≈ 0.899) the
+# whole-band hit rate is 0.899¹⁶ ≈ 0.18, so ≥1 of 12 bands fires with
+# p ≈ 0.91 — the same documented recall trade as before (0.89). The
+# win is the FALSE-candidate rate: near-orthogonal pairs collide per
+# band at 2⁻¹⁶ ≈ 1.5e-5 instead of 2⁻⁸, which cut measured candidates
+# at sf0.1 from 149,624 pairs (7.5% of all pairs — effectively
+# quadratic) to ~the true-duplicate count, and the exact-cosine rerank
+# only ever pays for candidates.
+_BAND_BITS = 16
+_SIGN_BANDS = 12
+_SIGN_BITS = _BAND_BITS * _SIGN_BANDS  # 192 hyperplanes
 
 
 def _rademacher(h: int, dim: int = _EMB_DIM) -> list[int]:
@@ -258,14 +271,53 @@ _W_SQL = "list_transform(v, x -> floor(x * 1000000 + 0.5))"
 
 def _band_key_sql(b: int) -> str:
     bits = []
-    for h in range(8):
-        plane = _PLANES[8 * b + h]
+    for h in range(_BAND_BITS):
+        plane = _PLANES[_BAND_BITS * b + h]
         arr = "[" + ", ".join(str(c) for c in plane) + "]"
         bits.append(
             f"(CASE WHEN list_dot_product(w, {arr}::DOUBLE[]) >= 0 "
             f"THEN {1 << h} ELSE 0 END)"
         )
     return " + ".join(bits)
+
+
+def _sign_keys_udf():
+    """All 12 band keys in one vectorized Arrow pass: quantize, multiply
+    by the (64 × 192) ±1 plane matrix as an exact int64 numpy matmul,
+    threshold to sign bits, pack 16 bits per band.
+
+    Why Python here, in an engine that keeps hot paths JVM-side: a
+    dense 192-plane projection has no compact Catalyst form. The
+    higher-order aggregate/zip_with fold is interpreted per element
+    (~2 s at sf0.1 for a QUARTER of these planes), and unrolling the
+    signed sums into 12k expression nodes made Catalyst
+    analysis/codegen the bottleneck (minutes per plan). The
+    Arrow-batched matmul is the documented exception for dense linear
+    algebra — compute is |corpus| × 12k fused int multiply-adds at
+    numpy speed, transfer is one 64-double column in, 12 longs out.
+    Bit-identical to the DuckDB oracle: both floor-quantize the same
+    doubles and sum the same exact integers (|Σ| < 2⁵³), so a sign can
+    never diverge."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.array(_PLANES, dtype=np.int64).T  # (dim, planes)
+
+    @pandas_udf("array<bigint>")
+    def sign_keys(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(v.to_numpy())  # (batch, dim) float64
+        wq = np.floor(m * 1000000.0 + 0.5).astype(np.int64)
+        bits = (wq @ mat) >= 0  # (batch, planes)
+        shifts = np.arange(_BAND_BITS, dtype=np.int64)
+        keys = np.empty((bits.shape[0], _SIGN_BANDS), dtype=np.int64)
+        for b in range(_SIGN_BANDS):
+            band = bits[:, b * _BAND_BITS : (b + 1) * _BAND_BITS]
+            keys[:, b] = (band.astype(np.int64) << shifts).sum(axis=1)
+        return pd.Series(list(keys))
+
+    return sign_keys
 
 
 _EMB_COSINE_ORACLE = f"""
@@ -339,52 +391,32 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1/√d, so cells wide enough to guarantee the 0.3162 chord at
     cos 0.95 barely discriminate — measured effectively quadratic at
     sf0.1. Sign-LSH discriminates where geometry actually varies (the
-    angle): orthogonal pairs collide on an 8-bit band with p≈1/256,
+    angle): orthogonal pairs collide on a 16-bit band with p≈2⁻¹⁶,
     identical/duplicate vectors collide with p=1 (equal quantized
-    inputs ⇒ equal bits), and cos-0.95 pairs are caught by ≥1 of 4
-    bands with p≈0.89 — the documented LSH recall trade, exactly as in
-    dedup_minhash. Exact duplicates can NEVER be missed (pinned by
-    pytest against the brute-force twin).
+    inputs ⇒ equal bits), and cos-0.95 pairs are caught by ≥1 of 12
+    bands with p≈0.91 — the documented LSH recall trade, exactly as in
+    dedup_minhash (band-width rationale at _BAND_BITS). Exact
+    duplicates can NEVER be missed (pinned by pytest against the
+    brute-force twin).
 
-    Scale shape: signature = 32 exact integer dot products per row
-    (codegen), shuffle on (band, key), rerank cost ~ collisions — no
-    cartesian product anywhere (pinned by tests)."""
+    Scale shape: signature = 192 exact integer signed sums per row
+    (codegen — the planes are ±1), shuffle on (band, key), rerank cost
+    ~ collisions — no cartesian product anywhere (pinned by tests)."""
     from emdrive_spark.functions.distance import cosine_similarity
 
     corpus = _embedding_corpus(spark, sf_dir)
-    # bind the quantized vector ONCE (higher-order exprs get no codegen
-    # CSE — inlining w into all 32 bit folds would requantize 32×)
-    w = F.transform(F.col("v"), lambda x: F.floor(x * 1000000 + 0.5))
-    quant = corpus.select("vec_id", "v", w.alias("w"))
-
-    def band_key(b: int):
-        key = F.lit(0)
-        for h in range(8):
-            plane = F.array(*[F.lit(float(c)) for c in _PLANES[8 * b + h]])
-            d = F.aggregate(
-                F.zip_with(F.col("w"), plane, lambda x, r: x * r),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            key = key + F.when(d >= 0, F.lit(1 << h)).otherwise(F.lit(0))
-        return key
-
     # Bands carry IDS ONLY and are materialized once (localCheckpoint):
-    # a lazy self-join would re-evaluate all 32 signature folds on both
+    # a lazy self-join would re-evaluate the signature pass on both
     # sides, and carrying the 64-double payload through the collision
     # shuffle + distinct costs far more than re-fetching vectors by id
-    # afterwards (measured 6.2s → 1.7s at sf0.1).
-    bands = quant.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_key(b).alias("key"))
-                    for b in range(_SIGN_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")).localCheckpoint()
+    # afterwards (measured 6.2s → 1.7s at sf0.1). Keys come from the
+    # Arrow matmul (_sign_keys_udf — see its docstring for why this is
+    # the one deliberate Python node in a dedup hot path).
+    bands = (
+        corpus.select("vec_id", _sign_keys_udf()(F.col("v")).alias("keys"))
+        .select("vec_id", F.posexplode("keys").alias("band", "key"))
+        .localCheckpoint()
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -541,8 +573,9 @@ def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unlike the text version (which propagates through BUCKET nodes —
     its 64-bit minhash band keys are selective enough to treat a bucket
     as a clique), embedding clusters propagate over the RERANKED edge
-    list: 8-bit sign bands collide freely on near-orthogonal vectors,
-    so bucket-cliques would merge unrelated clusters; after the exact
+    list: sign bands still collide on near-orthogonal vectors (2⁻¹⁶
+    per band), so bucket-cliques would merge unrelated clusters at
+    corpus scale; after the exact
     cosine rerank the edge list is sparse (~true duplicates), making
     edge propagation linear. Per round: one join + two key-shuffled
     min-aggs; localCheckpoint keeps lineage flat. Oracle = recursive
