@@ -25,11 +25,18 @@ import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from emdrive_spark.functions.layout import spread
 from emdrive_spark.operators.text import minhash_lane_sql, shingles, tokens
 from emdrive_spark.registry import register
 from emdrive_spark.sources.tables import load
 
 _SHIFT = 1_000_000  # id offset for the duplicated copy
+
+# Buckets up to this size expand to pairs via one in-row array
+# expression (worst case cap²/2 ≈ 524k structs ≈ 8 MB per row); larger
+# buckets — stop-shingle territory — take the AQE-splittable self-join
+# path instead. See dedup_edit_verified.
+_BUCKET_CAP = 1024
 
 _DOUBLED_SQL = f"""
     SELECT doc_id, text FROM documents
@@ -499,7 +506,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-pass array once instead of letting projection pushdown
     # recompute the shingle pipeline per band.
     corpus = (
-        _doubled(spark, sf_dir)
+        spread(_doubled(spark, sf_dir))  # few-split scan, ~100× amplification
         .select("doc_id", minhash_sig_array(sh).alias("sig_arr"))
         .localCheckpoint(eager=False)
     )
@@ -684,7 +691,7 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expensive projection — recomputing it per consumer doubles the
     # dominant cost).
     corpus = (
-        _doubled(spark, sf_dir)
+        spread(_doubled(spark, sf_dir))  # few-split scan, ~100× amplification
         .select("doc_id", F.array_distinct(shingles(F.col("text"))).alias("sh"))
         .localCheckpoint()
     )
@@ -753,7 +760,9 @@ def dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emdrive_spark.operators.text import minhash_sig_array, shingles
 
     sh = F.array_distinct(shingles(F.col("text")))
-    mid = _doubled(spark, sf_dir).select("doc_id", minhash_sig_array(sh).alias("sig_arr"))
+    mid = spread(_doubled(spark, sf_dir)).select(
+        "doc_id", minhash_sig_array(sh).alias("sig_arr")
+    )
     corpus = mid.select("doc_id", *[F.col("sig_arr")[j].alias(f"sig{j}") for j in range(8)])
     return corpus.groupBy(*[f"sig{j}" for j in range(8)]).agg(
         F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_count")
@@ -956,23 +965,63 @@ def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the string: the candidate shuffle carries 8-byte ints (the same
     # key the oracle computes, so any hash collision is seen by both
     # engines and exactness is preserved)
-    sh = corpus.select(
+    sh = spread(corpus).select(
         "doc_id", F.explode(shingles(F.col("text"))).alias("shingle")
     ).select(
         "doc_id",
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long").alias("sh_key"),
     )
+    # Pair generation is bucket-local, not a self-join: group the keyed
+    # rows by sh_key and expand each bucket's member list into ordered
+    # pairs with one codegen'd array expression — ONE shuffle of the
+    # 8-byte keys instead of two join shuffles plus a pair shuffle, and
+    # the shingle projection evaluates once instead of once per join
+    # side (measured 2.1× on the sf0.1 corpus). Oversized buckets
+    # (stop-shingles shared by >_BUCKET_CAP docs) fall back to the
+    # equality self-join, whose m² pair output spreads across m rows —
+    # AQE's skew splitter can break THAT up, while a single
+    # collect_list row exploding m² structs cannot be split. The two
+    # paths partition the buckets, so pair multiplicity — and the
+    # count(*) >= 5 floor below — is exactly the self-join's.
+    # localCheckpoint: the bucket frame feeds BOTH branches below —
+    # without it each branch recomputes the shingle projection + key
+    # shuffle, and the duplicated stages race (measured 16.9 s tail vs
+    # 4.1 s max with the checkpoint; medians equal).
+    buckets = (
+        sh.groupBy("sh_key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .localCheckpoint()
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "filter(transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(least(x, y) AS id_a, greatest(x, y) AS id_b)), "
+        "p -> p.id_a <> p.id_b)))"
+    )
+    pairs_small = (
+        buckets.filter(F.size("ids") <= _BUCKET_CAP)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
+    )
+    hot = buckets.filter(F.size("ids") > _BUCKET_CAP).select(
+        "sh_key", F.explode("ids").alias("doc_id")
+    )
+    pairs_hot = (
+        hot.alias("a")
+        .join(
+            hot.alias("b"),
+            (F.col("a.sh_key") == F.col("b.sh_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
     # >= 5 shared shingles (every perturbed twin clears it; measured
     # min twin overlap = 5) — drops 48.7k loose 1-shingle collisions to
     # 600 candidates, keeping the O(len^2) verifier off random pairs.
     cand = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.sh_key") == F.col("b.sh_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        pairs_small.unionByName(pairs_hot)
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("common"))
         .filter(F.col("common") >= 5)
         .select("id_a", "id_b")

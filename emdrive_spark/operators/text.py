@@ -137,13 +137,18 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 digest + a 31-ary polynomial rolling
     hash over characters (the Rabin-Karp shape), both as codegen'd
     expressions — no UDF."""
+    from emdrive_spark.functions.layout import spread
+
     chars = F.split(F.col("text"), "")
     roll = F.aggregate(
         F.transform(chars, lambda c: F.ascii(c).cast("long")),
         F.lit(7).cast("long"),
         lambda acc, x: (acc * 31 + x) % _ROLL_MOD,
     )
-    return load(spark, sf_dir, "documents").select(
+    # A pure projection never exchanges, so without the rebalance the
+    # per-character fold runs at scan parallelism (1 task per row
+    # group) — see functions/layout.py.
+    return spread(load(spark, sf_dir, "documents").select("doc_id", "text")).select(
         "doc_id",
         F.md5(F.lower(F.trim(F.col("text")))).alias("fp_md5"),
         roll.alias("fp_roll"),
