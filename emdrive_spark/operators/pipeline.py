@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from emdrive_spark.functions.layout import spread
 from emdrive_spark.operators.text import shingles, tokens
 from emdrive_spark.registry import register
 from emdrive_spark.sources.tables import load
@@ -229,7 +230,17 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast semi-probe + a per-doc count — the 100 TB side shuffles
     only (doc_id, partial count) pairs."""
     d = load(spark, sf_dir, "documents")
-    sh = d.select("doc_id", "source", shingles(F.col("text")).alias("sh"))
+    # The shingle frame feeds two branches (benchmark vocabulary +
+    # training probe) that Spark would otherwise each recompute from
+    # the few-split scan; rebalance the narrow input, then materialize
+    # the shingled frame once (quiet-load A/B at sf0.1: 1.09 → 0.80 s
+    # median, 7.4 s branch-race tail eliminated). See
+    # functions/layout.py for when spread() applies.
+    sh = (
+        spread(d.select("doc_id", "source", "text"))
+        .select("doc_id", "source", shingles(F.col("text")).alias("sh"))
+        .localCheckpoint()
+    )
     bench = (
         sh.filter(F.col("source") == _BENCH_SOURCE)
         .select(F.explode("sh").alias("s"))

@@ -205,3 +205,25 @@ def test_negative_content_length_is_typed_400(spark):
         conn.close()
     finally:
         httpd.shutdown()
+
+
+def test_edit_dedup_hybrid_paths_equal_selfjoin(spark, monkeypatch):
+    """The bucket-local pair expansion (small buckets) and the
+    self-join fallback (hot buckets) must produce the SAME candidate
+    multiset as the original all-self-join: force the cap to 0 so
+    EVERY bucket takes the hot path, then to a huge value so every
+    bucket takes the array path, and require identical final rows."""
+    import emdrive_spark.operators.dedup as dd
+
+    from .conftest import SF_SMOKE
+
+    def run():
+        df = dd.dedup_edit_verified(spark, SF_SMOKE)
+        return sorted((r["id_a"], r["id_b"], r["edit_dist"]) for r in df.collect())
+
+    monkeypatch.setattr(dd, "_BUCKET_CAP", 1_000_000)
+    all_small = run()
+    monkeypatch.setattr(dd, "_BUCKET_CAP", 0)
+    all_hot = run()
+    assert all_small == all_hot
+    assert len(all_small) > 0  # perturbed twins must survive the verifier
