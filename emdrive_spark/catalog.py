@@ -48,6 +48,14 @@ class TableEntry:
     # O(whole catalog) — the difference between a server whose INSERT
     # latency is constant and one that rewrites every table per write.
     dirty: bool = True
+    # Root of THIS entry's last successful write/restore. The skip in
+    # save() requires saved_root == root, not just a clean dirty flag:
+    # a save to a DIFFERENT root that clears dirty flags and then
+    # throws midway must not let a later save to the original root
+    # trust those flags and skip rewriting — that would publish a
+    # _catalog.json pointing at a stale snapshot (silent loss of
+    # acknowledged inserts; round-5 review finding).
+    saved_root: str | None = None
     # True only while the table PROVABLY has no rows (fresh CREATE,
     # nothing inserted). Lets the first INSERT skip the PK-uniqueness
     # semi-join — a whole Spark job spent proving a 0-row table has no
@@ -123,9 +131,6 @@ class Catalog:
         import threading
 
         self._write_lock = threading.Lock()
-        # Root of the last save()/restore(); save() to the same root
-        # may skip clean tables (see TableEntry.dirty).
-        self._saved_root: str | None = None
         # SQL-queryable from session start, like the reference's
         # bootstrap (system.rs:5-91): the system relations exist (empty)
         # before the first CREATE TABLE.
@@ -315,22 +320,25 @@ class Catalog:
         if a crash lands in the tiny rename window — and the metadata
         json is published via temp-file + os.replace (atomic).
 
-        Incremental: a table whose ``dirty`` flag is clear (last saved
-        to THIS root, untouched since) is skipped — its on-disk
-        snapshot is already current — so a server persisting after
-        every statement pays O(changed table) per INSERT, not
-        O(catalog). A different ``root`` than the last save forces a
-        full pass (nothing at the new root can be assumed current)."""
+        Incremental: a table that is clean AND whose last successful
+        write landed at THIS root (``entry.saved_root == root``) is
+        skipped — its on-disk snapshot is already current — so a
+        server persisting after every statement pays O(changed table)
+        per INSERT, not O(catalog). The skip keys on the per-entry
+        root, not a catalog-level "last root": a save to a different
+        root that clears dirty flags and then fails midway leaves
+        those entries pointing at the half-written root, so the next
+        save to the original root rewrites them instead of trusting a
+        stale snapshot."""
         import json
         import os
         import shutil
 
         with self._write_lock:
-            full = root != getattr(self, "_saved_root", None)
             meta = {}
             for e in self.tables.values():
                 path = os.path.join(root, e.schema_name, e.name)
-                if not full and not e.dirty and os.path.exists(path):
+                if not e.dirty and e.saved_root == root and os.path.exists(path):
                     meta[e.name] = _entry_meta(e)
                     continue
                 tmp, old = path + "__tmp", path + "__old"
@@ -355,13 +363,13 @@ class Catalog:
                 e.df.createOrReplaceTempView(e.name)
                 e.inserts = 0
                 e.dirty = False
+                e.saved_root = root
                 meta[e.name] = _entry_meta(e)
             os.makedirs(root, exist_ok=True)
             tmp_json = os.path.join(root, "_catalog.json.tmp")
             with open(tmp_json, "w") as f:
                 json.dump(meta, f, indent=2)
             os.replace(tmp_json, os.path.join(root, "_catalog.json"))
-            self._saved_root = root
 
     def restore(self, root: str) -> int:
         """Load a saved catalog: re-register every table (schema from
@@ -403,11 +411,11 @@ class Catalog:
                     # state — the next save() to the same root may
                     # skip it until a mutation re-dirties it
                     dirty=False,
+                    saved_root=root,
                 )
                 self.tables[name] = entry
                 df.createOrReplaceTempView(name)
             self.refresh_system_views()
-            self._saved_root = root
         return len(meta)
 
     def refresh_system_views(self) -> None:

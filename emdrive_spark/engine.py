@@ -367,12 +367,20 @@ class Engine:
             # column — an aliased expression has no metric, so silently
             # binding the base here while `<`/`=` next to it bind the
             # alias would make the same name mean two columns in one
-            # predicate (r4 advisor). Reject explicitly.
-            raise EmdriveValidationError(
-                f"Alias {expr.left.name!r} shadows METRIC KEY column "
-                f"{expr.left.name!r}; '@' binds the declared metric column, "
-                f"so rename the alias or drop it from the SELECT list."
+            # predicate (r4 advisor). Reject explicitly — but ONLY when
+            # the name really is a declared metric column (round-5
+            # review: an alias that matches no column, or a non-metric
+            # one, must fall through to the accurate "does not exist" /
+            # "has no METRIC KEY" errors, not a bogus shadow message).
+            shadowed = next(
+                (c for c in entry.columns if c.name == expr.left.name), None
             )
+            if shadowed is not None and shadowed.metric is not None:
+                raise EmdriveValidationError(
+                    f"Alias {expr.left.name!r} shadows METRIC KEY column "
+                    f"{expr.left.name!r}; '@' binds the declared metric column, "
+                    f"so rename the alias or drop it from the SELECT list."
+                )
         cdef = entry.column(expr.left.name)
         if cdef.metric is None:
             raise EmdriveValidationError(

@@ -406,8 +406,10 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates can NEVER be missed (pinned by pytest against the
     brute-force twin).
 
-    Scale shape: signature = 192 exact integer signed sums per row
-    (codegen — the planes are ±1), shuffle on (band, key), rerank cost
+    Scale shape: signature = 192 exact integer signed sums per row via
+    ONE Arrow-batched numpy matmul (_sign_keys_udf — the deliberate
+    Python node in this hot path; the 192-column codegen expansion it
+    replaced was measured slower), shuffle on (band, key), rerank cost
     ~ collisions — no cartesian product anywhere (pinned by tests)."""
     from emdrive_spark.functions.distance import cosine_similarity
 

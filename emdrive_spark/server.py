@@ -47,6 +47,18 @@ def _rows_json(df) -> str:
 
 def make_handler(engine: Engine):
     class Handler(BaseHTTPRequestHandler):
+        # Connection timeout (StreamRequestHandler.setup applies it to
+        # the socket): a client that promises more body bytes than it
+        # sends would otherwise block rfile.read() forever — the same
+        # thread-pinning hang as the negative-length case, from the
+        # positive side (round-5 review). A stalled read now raises
+        # TimeoutError → typed 408 below.
+        timeout = 30
+        # Statement-size ceiling; a Content-Length beyond it is
+        # rejected up front (413) instead of buffering an arbitrary
+        # body into memory.
+        max_body_bytes = 16 * 1024 * 1024
+
         def _run(self, sql: str, read_only: bool) -> None:
             t0 = time.perf_counter_ns()
             request_id = ulid()
@@ -111,7 +123,26 @@ def make_handler(engine: Engine):
                     # the handler thread forever instead of answering
                     # (r4 advisor). Reject before touching the socket.
                     raise ValueError(f"negative Content-Length: {length}")
+                if length > self.max_body_bytes:
+                    body = json.dumps(
+                        {
+                            "type": "validation",
+                            "message": f"Request body of {length} bytes exceeds "
+                            f"the {self.max_body_bytes}-byte statement limit.",
+                        }
+                    )
+                    self._respond(413, body, 0, ulid())
+                    return
                 sql = self.rfile.read(length).decode()
+            except TimeoutError:
+                # Client sent fewer bytes than Content-Length promised
+                # and went quiet; the socket timeout fired mid-read.
+                body = json.dumps(
+                    {"type": "validation", "message": "Request body read timed out."}
+                )
+                self._respond(408, body, 0, ulid())
+                self.close_connection = True
+                return
             except (ValueError, UnicodeDecodeError) as exc:
                 body = json.dumps(
                     {"type": "validation", "message": f"Malformed request: {exc}"}

@@ -227,3 +227,115 @@ def test_edit_dedup_hybrid_paths_equal_selfjoin(spark, monkeypatch):
     all_hot = run()
     assert all_small == all_hot
     assert len(all_small) > 0  # perturbed twins must survive the verifier
+
+
+def test_failed_save_to_second_root_does_not_poison_first(engine_factory, tmp_path, monkeypatch):
+    """Round-5 review (top finding): save(A); INSERT; save(B) clears
+    the dirty flag then dies on a later table; save(A) must NOT trust
+    the flag and skip the rewrite — that would publish a _catalog.json
+    at A whose snapshot misses the acknowledged INSERT. The skip now
+    keys on the per-entry saved_root, so the interrupted save(B) leaves
+    the entry pointing at B and save(A) rewrites it."""
+    root_a = str(tmp_path / "rootA")
+    root_b = str(tmp_path / "rootB")
+    e = engine_factory()
+    e.execute(CREATE)
+    e.execute(CREATE.replace("rt5", "rt5z"))
+    e.execute("INSERT INTO rt5 (hash, url, width) VALUES (5, 'u1', 100)")
+    e.execute("INSERT INTO rt5z (hash, url, width) VALUES (5, 'z1', 100)")
+    e.catalog.save(root_a)
+    e.execute("INSERT INTO rt5 (hash, url, width) VALUES (9, 'u2', 300)")
+
+    # save(B): let rt5 write cleanly, then blow up on rt5z's write by
+    # making the metadata serialization of its entry fail mid-loop.
+    import emdrive_spark.catalog as cat
+
+    real_meta = cat._entry_meta
+
+    def exploding_meta(entry):
+        if entry.name == "rt5z":
+            raise RuntimeError("disk full (simulated)")
+        return real_meta(entry)
+
+    monkeypatch.setattr(cat, "_entry_meta", exploding_meta)
+    with pytest.raises(RuntimeError):
+        e.catalog.save(root_b)
+    monkeypatch.setattr(cat, "_entry_meta", real_meta)
+
+    # rt5 is clean but saved at B; save(A) must rewrite it at A.
+    e.catalog.save(root_a)
+    f = engine_factory()
+    f.catalog.restore(root_a)
+    assert f.execute("SELECT url FROM rt5").count() == 2  # both inserts
+
+
+def test_alias_of_nonmetric_name_gets_accurate_at_error(engine_factory):
+    """Round-5 review: an alias left of '@' that shadows NO metric
+    column must produce the accurate 'does not exist' error, not a
+    bogus 'shadows METRIC KEY column' message."""
+    e = engine_factory()
+    e.execute(CREATE)
+    with pytest.raises(EmdriveValidationError, match="does not exist"):
+        e.execute("SELECT width AS d FROM rt5 WHERE d @ 3 < 4")
+    # and an alias shadowing a NON-metric column reports no-metric
+    with pytest.raises(EmdriveValidationError, match="METRIC KEY"):
+        e.execute("SELECT url AS width FROM rt5 WHERE width @ 3 < 4")
+    # the true shadow case still rejects explicitly
+    with pytest.raises(EmdriveValidationError, match="shadows"):
+        e.execute("SELECT url AS hash FROM rt5 WHERE hash @ 3 < 4")
+
+
+def test_stalled_body_read_times_out_with_408(spark, monkeypatch):
+    """Round-5 review: a client promising more body bytes than it sends
+    must not pin the handler thread forever; the socket timeout turns
+    the stalled read into a typed 408."""
+    import http.client
+    import json
+    import threading
+
+    import emdrive_spark.server as srv
+
+    httpd = srv.serve(spark, host="127.0.0.1", port=18832)
+    # shrink the read timeout for the test (class attr on the handler)
+    httpd.RequestHandlerClass.timeout = 2
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", 18832, timeout=30)
+        conn.putrequest("POST", "/")
+        conn.putheader("Content-Length", "1000")
+        conn.endheaders()
+        conn.send(b"SELECT")  # 6 of the promised 1000 bytes, then silence
+        resp = conn.getresponse()
+        body = json.loads(resp.read())
+        assert resp.status == 408
+        assert body["type"] == "validation"
+        conn.close()
+    finally:
+        httpd.shutdown()
+
+
+def test_oversized_content_length_rejected_413(spark):
+    """A Content-Length above the statement ceiling is refused up
+    front instead of buffering an arbitrary body."""
+    import http.client
+    import json
+    import threading
+
+    from emdrive_spark.server import serve
+
+    httpd = serve(spark, host="127.0.0.1", port=18833)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", 18833, timeout=30)
+        conn.putrequest("POST", "/")
+        conn.putheader("Content-Length", str(1 << 30))
+        conn.endheaders()
+        resp = conn.getresponse()
+        body = json.loads(resp.read())
+        assert resp.status == 413
+        assert body["type"] == "validation"
+        conn.close()
+    finally:
+        httpd.shutdown()

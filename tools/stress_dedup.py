@@ -42,17 +42,19 @@ BASE = "/root/testdata/sf0.1"
 N_BASE = 5000  # sf0.1 documents rows; offsets keep ids < dedup._SHIFT
 
 
-def dup_copies(doc_id: int) -> int:
-    """Cluster-size law: 0.1% of base docs get 50 exact copies, 2% get
-    10, 10% get 3, the rest stay unique across replicas — a heavy tail
-    without being all-pairs-degenerate."""
-    if doc_id % 1000 == 0:
-        return 50
-    if doc_id % 50 == 0:
-        return 10
-    if doc_id % 10 == 0:
-        return 3
-    return 1
+# Cluster-size law: 0.1% of base docs get 50 exact copies, 2% get 10,
+# 10% get 3, the rest stay unique across replicas — a heavy tail
+# without being all-pairs-degenerate. Single source of truth for the
+# staging expression below (a Python twin of this ladder drifted once;
+# round-5 review).
+_CLUSTER_LAW = ((1000, 50), (50, 10), (10, 3))
+
+
+def _copies_expr():
+    expr = F.lit(1)
+    for modulus, n in reversed(_CLUSTER_LAW):
+        expr = F.when(F.col("doc_id") % modulus == 0, F.lit(n)).otherwise(expr)
+    return expr
 
 
 def stage(spark, rep: int) -> str:
@@ -61,13 +63,8 @@ def stage(spark, rep: int) -> str:
         return out
     shutil.rmtree(out, ignore_errors=True)
     base = spark.read.parquet(f"{BASE}/documents.parquet")
-    # dup_copies as a SQL expression so staging never collects
-    copies = (
-        F.when(F.col("doc_id") % 1000 == 0, F.lit(50))
-        .when(F.col("doc_id") % 50 == 0, F.lit(10))
-        .when(F.col("doc_id") % 10 == 0, F.lit(3))
-        .otherwise(F.lit(1))
-    )
+    # the cluster law as a SQL expression so staging never collects
+    copies = _copies_expr()
     parts = []
     for i in range(rep):
         mutated = F.when(
@@ -125,6 +122,18 @@ def bucket_profile(spark, sf_dir: str) -> dict:
 
 def main() -> None:
     rep = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    from emdrive_spark.operators.dedup import _SHIFT
+
+    # Staged ids live in [0, rep*N_BASE); _doubled() adds _SHIFT for
+    # the duplicated copy — overlap would silently corrupt every pair
+    # count and the skew profile (round-5 review: the invariant was a
+    # comment, now it's enforced).
+    if rep * N_BASE > _SHIFT:
+        sys.exit(
+            f"REP={rep} stages doc_ids up to {rep * N_BASE - 1}, colliding "
+            f"with _doubled()'s +{_SHIFT} id space; max supported REP is "
+            f"{_SHIFT // N_BASE}."
+        )
     spark = get_spark("emdrive-stress")
     t0 = time.perf_counter()
     sf_dir = stage(spark, rep)
