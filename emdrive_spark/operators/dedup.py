@@ -51,6 +51,54 @@ def _doubled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(shifted)
 
 
+def _bucket_pairs(sh: DataFrame) -> DataFrame:
+    """(doc_id, key) rows → (id_a, id_b) candidate pairs with EXACTLY
+    the multiplicity of the equality self-join ``a.key = b.key AND
+    a.doc_id < b.doc_id`` (one row per same-key row combination), but
+    generated bucket-locally: ONE shuffle of the keys instead of two
+    join shuffles, and each bucket's member list expands to ordered
+    pairs in a single codegen'd array expression. Buckets larger than
+    _BUCKET_CAP — stop-shingle territory, where one collect_list row
+    would explode m² structs that AQE cannot split — fall back to the
+    real self-join, whose m² output spreads across m rows and IS
+    AQE-splittable. The two paths partition the buckets, so downstream
+    pair counts are identical to the pure self-join (pytest-pinned by
+    forcing the cap to 0 and to ∞). The bucket frame is checkpointed:
+    both branches read it, and un-materialized they would recompute
+    the upstream projection and race (measured 16.9 s tail vs 4.1 s)."""
+    key = next(c for c in sh.columns if c != "doc_id")
+    buckets = (
+        sh.groupBy(key)
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .localCheckpoint()
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "filter(transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(least(x, y) AS id_a, greatest(x, y) AS id_b)), "
+        "p -> p.id_a <> p.id_b)))"
+    )
+    pairs_small = (
+        buckets.filter(F.size("ids") <= _BUCKET_CAP)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
+    )
+    hot = buckets.filter(F.size("ids") > _BUCKET_CAP).select(
+        key, F.explode("ids").alias("doc_id")
+    )
+    pairs_hot = (
+        hot.alias("a")
+        .join(
+            hot.alias("b"),
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return pairs_small.unionByName(pairs_hot)
+
+
 def band_members(sigs: DataFrame) -> DataFrame:
     """(doc_id, sig_arr[8]) → (doc_id, bkt): the shared 4-band × 2-lane
     LSH bucket membership used by dedup_lsh_verified, dedup_components,
@@ -973,56 +1021,14 @@ def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long").alias("sh_key"),
     )
-    # Pair generation is bucket-local, not a self-join: group the keyed
-    # rows by sh_key and expand each bucket's member list into ordered
-    # pairs with one codegen'd array expression — ONE shuffle of the
-    # 8-byte keys instead of two join shuffles plus a pair shuffle, and
-    # the shingle projection evaluates once instead of once per join
-    # side (measured 2.1× on the sf0.1 corpus). Oversized buckets
-    # (stop-shingles shared by >_BUCKET_CAP docs) fall back to the
-    # equality self-join, whose m² pair output spreads across m rows —
-    # AQE's skew splitter can break THAT up, while a single
-    # collect_list row exploding m² structs cannot be split. The two
-    # paths partition the buckets, so pair multiplicity — and the
-    # count(*) >= 5 floor below — is exactly the self-join's.
-    # localCheckpoint: the bucket frame feeds BOTH branches below —
-    # without it each branch recomputes the shingle projection + key
-    # shuffle, and the duplicated stages race (measured 16.9 s tail vs
-    # 4.1 s max with the checkpoint; medians equal).
-    buckets = (
-        sh.groupBy("sh_key")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") >= 2)
-        .localCheckpoint()
-    )
-    pair_expr = F.expr(
-        "flatten(transform(ids, (x, i) -> "
-        "filter(transform(slice(ids, i + 2, size(ids) - i - 1), "
-        "y -> struct(least(x, y) AS id_a, greatest(x, y) AS id_b)), "
-        "p -> p.id_a <> p.id_b)))"
-    )
-    pairs_small = (
-        buckets.filter(F.size("ids") <= _BUCKET_CAP)
-        .select(F.explode(pair_expr).alias("p"))
-        .select("p.id_a", "p.id_b")
-    )
-    hot = buckets.filter(F.size("ids") > _BUCKET_CAP).select(
-        "sh_key", F.explode("ids").alias("doc_id")
-    )
-    pairs_hot = (
-        hot.alias("a")
-        .join(
-            hot.alias("b"),
-            (F.col("a.sh_key") == F.col("b.sh_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-    )
+    # Candidates come from the shared bucket-local pair generator
+    # (_bucket_pairs: one key shuffle, in-row pair expansion, hot-bucket
+    # self-join fallback — measured 2.1× over the plain self-join here).
     # >= 5 shared shingles (every perturbed twin clears it; measured
     # min twin overlap = 5) — drops 48.7k loose 1-shingle collisions to
     # 600 candidates, keeping the O(len^2) verifier off random pairs.
     cand = (
-        pairs_small.unionByName(pairs_hot)
+        _bucket_pairs(sh)
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("common"))
         .filter(F.col("common") >= 5)
@@ -1036,4 +1042,99 @@ def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tb, F.col("id_b") == F.col("tb.doc_id"))
         .filter(dist <= 30)
         .select("id_a", "id_b", dist.cast("long").alias("edit_dist"))
+    )
+
+
+@register(
+    "dedup_containment",
+    oracle=rf"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_SHIFT} AS doc_id,
+             array_to_string(toks[1:greatest(len(toks) // 2, 1)], ' ') AS text
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents)
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS sh_key
+      FROM (
+        SELECT doc_id,
+               unnest(list_distinct(
+                 list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM corpus)
+      )
+    ),
+    n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.sh_key = b.sh_key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT id_a, id_b,
+           floor(CAST(common AS DOUBLE) / least(na.n, nb.n) * 10000 + 0.5)
+             / 10000 AS containment
+    FROM cand
+    JOIN n na ON na.doc_id = id_a
+    JOIN n nb ON nb.doc_id = id_b
+    WHERE CAST(common AS DOUBLE) / least(na.n, nb.n) >= 0.9
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-verified near-dup (asymmetric Jaccard): shingle-key
+    candidates, then C(A,B) = |sh(A) ∩ sh(B)| / min(|sh(A)|, |sh(B)|)
+    >= 0.9 on the survivors. Symmetric Jaccard MISSES excerpt/quote
+    duplication — a doc fully contained in a 4× longer one scores
+    J ≈ 0.25 but C = 1.0 — and containment is the standard gate for
+    "this page quotes that page" dedup in web-corpus pipelines. The
+    fixture has no organic excerpts, so the corpus gains a half-length
+    prefix twin per doc (C = 1.0 against its source, J ≈ 0.5).
+
+    Scale shape: identical to dedup_edit_verified's candidate stage
+    (one 8-byte-key shuffle, bucket-local pair counts, >= 5-shingle
+    floor), then two id-keyed joins against the per-doc shingle counts
+    (one narrow (id, n) row per doc; at 100 TB the count frame
+    shuffles on id like any dim) — the verifier is pure arithmetic on
+    the candidate rows, no second pass over text. The threshold
+    compares the SAME raw double in both engines; only the reported
+    value is floor-rounded."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    half = F.array_join(
+        F.slice(toks, 1, F.greatest(F.floor(F.size(toks) / 2).cast("int"), F.lit(1))),
+        " ",
+    )
+    twin = docs.select((F.col("doc_id") + _SHIFT).alias("doc_id"), half.alias("text"))
+    corpus = docs.unionByName(twin)
+    sh = (
+        spread(corpus)
+        .select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long").alias("sh_key"),
+        )
+        .localCheckpoint()  # feeds the bucket pass AND the per-doc counts
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cand = (
+        _bucket_pairs(sh)
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= 5)
+    )
+    na = counts.alias("na")
+    nb = counts.alias("nb")
+    ratio = F.col("common").cast("double") / F.least(F.col("na.n"), F.col("nb.n"))
+    return (
+        cand.join(na, F.col("id_a") == F.col("na.doc_id"))
+        .join(nb, F.col("id_b") == F.col("nb.doc_id"))
+        .filter(ratio >= 0.9)
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(ratio * 1e4 + F.lit(0.5)) / 1e4).alias("containment"),
+        )
     )

@@ -791,3 +791,64 @@ def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fixed(1.0 / (1.0 + F.exp(-F.col("raw"))), 3).alias("score"),
         (F.col("raw") >= 0).alias("keep"),
     )
+
+
+_CHUNK_W = 64  # tokens per chunk
+_CHUNK_S = 48  # stride (16-token overlap between consecutive chunks)
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(range(0, (greatest(len(toks) - {_CHUNK_W}, 0)
+                              + {_CHUNK_S} - 1) // {_CHUNK_S} + 1)) AS chunk_id
+      FROM t
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(toks[chunk_id * {_CHUNK_S} + 1
+                         : chunk_id * {_CHUNK_S} + {_CHUNK_W}]) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(
+             toks[chunk_id * {_CHUNK_S} + 1
+                  : chunk_id * {_CHUNK_S} + {_CHUNK_W}], ' ') AS chunk_text
+    FROM c
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (64-token chunks, 48-token
+    stride → 16-token overlap): the retrieval/RAG and
+    long-context-training prep step that turns each document into
+    overlapping token windows, with the last window allowed short.
+    Chunk COUNT is pure integer arithmetic (ceil((n-W)/S)+1 via
+    (n-W+S-1) DIV S — portable, no float division), expansion is one
+    codegen'd posexplode over a sequence, and slicing clamps at the
+    document tail identically in both engines. One projection + one
+    explode — no shuffle at all: chunking a 100 TB corpus is a pure
+    map stage that AQE never has to touch."""
+    toks = tokens(F.col("text"))
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("toks")
+    )
+    n_extra = F.expr(
+        f"(greatest(size(toks) - {_CHUNK_W}, 0) + {_CHUNK_S} - 1) DIV {_CHUNK_S}"
+    )
+    chunks = d.select(
+        "doc_id",
+        "toks",
+        F.posexplode(F.sequence(F.lit(0), n_extra)).alias("chunk_id", "_start"),
+    )
+    window = F.slice(
+        F.col("toks"), F.col("chunk_id") * _CHUNK_S + 1, F.lit(_CHUNK_W)
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(window).cast("long").alias("n_chunk_tokens"),
+        F.array_join(window, " ").alias("chunk_text"),
+    )

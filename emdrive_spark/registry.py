@@ -134,9 +134,11 @@ _ROUND_WINDOW = (
     "tpch_q1",
     "tpch_q3",
     "tpch_q6",
-    "join_asof",
     "events_session_agg",
-    "window_rank",
+    # (d) the two ops ADDED in round 5 — first-time certification beats
+    # re-certifying another long-green §2 core op for the last slots
+    "dedup_containment",
+    "text_chunk_overlap",
 )
 
 _loaded = False
