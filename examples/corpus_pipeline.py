@@ -85,6 +85,11 @@ def main() -> None:
     fuzzy = q["dedup_edit_verified"].fn(spark, sf_dir)
     print(f"edit-distance near-dup pairs (lev <= 30 on candidates): {fuzzy.count()}")
 
+    # 4g. Excerpt/quote containment: asymmetric Jaccard catches a doc
+    # embedded in a longer one that symmetric Jaccard scores ~0.25
+    contained = q["dedup_containment"].fn(spark, sf_dir)
+    print(f"containment pairs (C >= 0.9 on candidates): {contained.count()}")
+
     # 4e. Boilerplate removal: corpus-wide duplicate-chunk dedup
     lines = q["dedup_lines_global"].fn(spark, sf_dir)
     removed = lines.agg(
@@ -114,6 +119,15 @@ def main() -> None:
         F.count("*").alias("n_seqs"),
         F.min("seq_tokens").alias("min"),
         F.max("seq_tokens").alias("max"),
+    ).show()
+
+    # 7b. RAG prep: overlapping retrieval chunks instead of packed bins
+    chunks = q["text_chunk_overlap"].fn(spark, sf_dir)
+    print("== retrieval chunks (64-token windows, 48 stride) ==")
+    chunks.agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.avg("n_chunk_tokens").alias("avg_tokens"),
     ).show()
 
     spark.stop()
