@@ -503,3 +503,110 @@ def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= 3)
     )
+
+
+_LANG_PROFILE_K = 40  # trigrams kept per language profile
+
+
+def _char_trigrams(text_col):
+    """Distinct character 3-grams of the lowercased text, as a codegen
+    array (let-bound via the single-element-transform idiom — see
+    shingles() — so lower() evaluates once, not once per position)."""
+
+    def _tg(t):
+        k = F.length(t) - 2
+        grams = F.transform(F.sequence(F.lit(1), k), lambda i: F.substring(t, i, 3))
+        # sequence(1, k) with k < 1 would *descend*; guard short docs.
+        return F.array_distinct(
+            F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
+        )
+
+    return F.transform(F.array(F.lower(text_col)), _tg)[0]
+
+
+@register(
+    "lang_id_ngram",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, lang, lower(text) AS tl FROM documents
+    ),
+    tg AS (
+      SELECT doc_id, lang, unnest(list_distinct(
+        list_transform(range(1, greatest(length(tl) - 2, 0) + 1),
+                       i -> substr(tl, i, 3)))) AS g
+      FROM t
+    ),
+    prof AS (
+      SELECT lang AS plang, g FROM (
+        SELECT lang, g,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY count(*) DESC, g ASC) AS rk
+        FROM tg GROUP BY lang, g
+      ) WHERE rk <= {_LANG_PROFILE_K}
+    ),
+    hits AS (
+      SELECT tg.doc_id, prof.plang, count(*) AS n_hits
+      FROM tg JOIN prof ON tg.g = prof.g
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT doc_id, plang, n_hits,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY n_hits DESC, plang ASC) AS rk
+      FROM hits
+    )
+    SELECT t.doc_id, t.lang,
+           coalesce(b.plang, 'unknown') AS lang_pred,
+           CAST(coalesce(b.n_hits, 0) AS BIGINT) AS n_hits
+    FROM t LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+      ON t.doc_id = b.doc_id
+    """,
+)
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram-profile language ID — the textcat/fastText-
+    style shape the stopword-marker `lang_id` demo stands in for:
+    build a top-40 char-trigram profile per language from the labeled
+    corpus (document frequency, ties broken lexically), broadcast the
+    profile table, score every doc by distinct-trigram hits per
+    profile, and predict the argmax (ties lexical, zero hits →
+    'unknown'). All-integer scoring, so both engines agree bit-for-bit.
+
+    Scale shape: profiles aggregate (lang, trigram) — bounded by
+    vocabulary, not corpus — and collapse to K rows per language,
+    which BROADCAST; the corpus side is one codegen trigram explode,
+    one broadcast probe, and two doc_id-keyed shuffles. On a real
+    deployment the profile table is trained offline once and the scan
+    side is identical."""
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tg = d.select(
+        "doc_id", "lang", F.explode(_char_trigrams(F.col("text"))).alias("g")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.desc("df"), F.asc("g"))
+    )
+    profile = (
+        tg.groupBy("lang", "g")
+        .agg(F.count("*").alias("df"))
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= _LANG_PROFILE_K)
+        .select(F.col("lang").alias("plang"), "g")
+    )
+    hits = (
+        tg.join(F.broadcast(profile), "g")
+        .groupBy("doc_id", "plang")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    best = hits.withColumn(
+        "brk",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("plang"))
+        ),
+    ).filter(F.col("brk") == 1)
+    return d.select("doc_id", "lang").join(best, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce(F.col("plang"), F.lit("unknown")).alias("lang_pred"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+    )

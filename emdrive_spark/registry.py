@@ -134,11 +134,13 @@ _ROUND_WINDOW = (
     "tpch_q1",
     "tpch_q3",
     "tpch_q6",
-    "events_session_agg",
-    # (d) the two ops ADDED in round 5 — first-time certification beats
-    # re-certifying another long-green §2 core op for the last slots
+    # (d) the three ops ADDED in round 5 — first-time certification
+    # beats re-certifying more long-green §2 core ops for the last
+    # slots (the displaced re-certs — join_asof, window_rank,
+    # events_session_agg — are driver-green since r1/r3)
     "dedup_containment",
     "text_chunk_overlap",
+    "lang_id_ngram",
 )
 
 _loaded = False
