@@ -339,3 +339,20 @@ def test_oversized_content_length_rejected_413(spark):
         conn.close()
     finally:
         httpd.shutdown()
+
+
+def test_spread_widens_few_split_scan(spark):
+    """spread() must lift a single-split scan to full-cluster
+    parallelism (the fixture files have one row group each, so the
+    scan is 1 task and everything before the first exchange
+    serializes — see functions/layout.py)."""
+    from emdrive_spark.functions.layout import spread
+    from emdrive_spark.sources.tables import load
+
+    from .conftest import SF_SMOKE
+
+    d = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    assert d.rdd.getNumPartitions() <= 2  # the premise: few-split scan
+    n = spark.sparkContext.defaultParallelism
+    assert spread(d).rdd.getNumPartitions() == n
+    assert spread(d, "doc_id").rdd.getNumPartitions() == n
