@@ -743,7 +743,7 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dominant cost).
     corpus = (
         spread(_doubled(spark, sf_dir))  # few-split scan, ~100× amplification
-        .select("doc_id", F.array_distinct(shingles(F.col("text"))).alias("sh"))
+        .select("doc_id", shingles(F.col("text")).alias("sh"))  # already distinct
         .localCheckpoint()
     )
     sigs = corpus.select(

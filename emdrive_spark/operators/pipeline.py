@@ -832,6 +832,10 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode — no shuffle at all: chunking a 100 TB corpus is a pure
     map stage that AQE never has to touch."""
     toks = tokens(F.col("text"))
+    # No spread() here, unlike the shingle/trigram ops: the window
+    # expansion mostly re-serializes the same text (~1.3× bytes, no
+    # per-element hashing), and the A/B at sf0.1 measured a wash
+    # (0.45 vs 0.44 s median) — the rebalance shuffle buys nothing.
     d = load(spark, sf_dir, "documents").select(
         "doc_id", toks.alias("toks")
     )
@@ -841,7 +845,7 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = d.select(
         "doc_id",
         "toks",
-        F.posexplode(F.sequence(F.lit(0), n_extra)).alias("chunk_id", "_start"),
+        F.explode(F.sequence(F.lit(0), n_extra)).alias("chunk_id"),
     )
     window = F.slice(
         F.col("toks"), F.col("chunk_id") * _CHUNK_S + 1, F.lit(_CHUNK_W)

@@ -579,8 +579,16 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is identical."""
     from pyspark.sql.window import Window as W
 
+    from emdrive_spark.functions.layout import spread
+
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    tg = d.select(
+    # spread: the trigram explode is ~length× amplification off a
+    # few-split scan (A/B at sf0.1: 4.26 → 1.37 s median). A
+    # localCheckpoint on tg measured WORSE (1.60 s) — materializing
+    # the ~5M-row exploded frame costs more than recomputing it from
+    # the 32-way input for the second consumer — so tg is deliberately
+    # left lazy for both the profile and scoring branches.
+    tg = spread(d).select(
         "doc_id", "lang", F.explode(_char_trigrams(F.col("text"))).alias("g")
     )
     rk = F.row_number().over(
