@@ -356,3 +356,58 @@ def test_spread_widens_few_split_scan(spark):
     n = spark.sparkContext.defaultParallelism
     assert spread(d).rdd.getNumPartitions() == n
     assert spread(d, "doc_id").rdd.getNumPartitions() == n
+
+
+def test_bucket_pairs_multiset_property(spark):
+    """Property test for _bucket_pairs: on adversarial small inputs
+    (key collisions, duplicate (doc, key) rows — the md5-prefix
+    collision analog — and every cap regime including caps that split
+    the buckets across BOTH paths), the emitted pair multiset must
+    equal the equality self-join's, computed independently in
+    Python."""
+    from collections import Counter
+    from itertools import combinations
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import emdrive_spark.operators.dedup as dd
+
+    rows_strategy = st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 4)), min_size=0, max_size=24
+    )
+
+    @given(rows_strategy)
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def check(rows):
+        expected = Counter()
+        by_key: dict[int, list[int]] = {}
+        for doc, key in rows:
+            by_key.setdefault(key, []).append(doc)
+        for members in by_key.values():
+            for x, y in combinations(members, 2):
+                if x != y:
+                    expected[(min(x, y), max(x, y))] += 1
+
+        df = spark.createDataFrame(
+            [(int(d), int(k)) for d, k in rows] or [(0, 0)],
+            "doc_id long, sh_key long",
+        )
+        if not rows:
+            df = df.filter("doc_id < 0")
+        orig = dd._BUCKET_CAP
+        try:
+            for cap in (0, 2, 1_000_000):
+                dd._BUCKET_CAP = cap
+                got = Counter(
+                    (r["id_a"], r["id_b"]) for r in dd._bucket_pairs(df).collect()
+                )
+                assert got == expected, (cap, rows)
+        finally:
+            dd._BUCKET_CAP = orig
+
+    check()
