@@ -811,3 +811,97 @@ def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.filter(F.col("_corrupt").isNull()).select(
         "o_orderkey", "o_totalprice"
     )
+
+
+_PR_SCALE = 10**12  # fixed-point scale for integer-exact PageRank
+_PR_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-iteration PageRank oracle: recursive CTEs cannot
+    aggregate in the recursive member (standard SQL), so the fixed
+    iteration count is unrolled as chained CTEs generated here — the
+    SAME integer recurrence the Spark loop runs."""
+    its = [
+        f"it0 AS (SELECT src AS node, CAST({_PR_SCALE} AS BIGINT) // (SELECT n FROM nn) AS rank FROM deg)"
+    ]
+    for i in range(_PR_ITERS):
+        its.append(
+            f"""it{i + 1} AS (
+      SELECT e.dst AS node,
+             CAST((15 * (CAST({_PR_SCALE} AS BIGINT) // (SELECT n FROM nn))) // 100
+                  + (85 * sum(r.rank // dg.d)) // 100 AS BIGINT) AS rank
+      FROM edges e
+      JOIN it{i} r ON r.node = e.src
+      JOIN deg dg ON dg.src = e.src
+      GROUP BY e.dst
+    )"""
+        )
+    return rf"""
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.pk AS src, b.pk AS dst
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+    ),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM deg),
+    {', '.join(its)}
+    SELECT node AS part_id, rank AS pagerank FROM it{_PR_ITERS}
+    """
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (parts are linked when
+    they appear in the same order — the product-graph shape of domain/
+    page ranking for crawl prioritization), 5 fixed iterations of the
+    damped recurrence r' = 0.15/N + 0.85·Σ r_u/d_u.
+
+    Arithmetic is FIXED-POINT INTEGER (ranks scaled by 1e12, every
+    division a truncating bigint DIV): float PageRank sums in
+    partition order and drifts a few ulps per iteration, compounding
+    across rounds — integer truncation makes every engine and every
+    partitioning produce byte-identical ranks, so an iterative
+    numeric algorithm gets a full value-hash oracle (the only other
+    iterative op with one is dedup_components). The oracle unrolls
+    the 5 iterations as chained CTEs (recursive members cannot
+    aggregate).
+
+    Scale shape: the pair expansion self-joins on the ORDER key —
+    work is Σ basket², never |lineitem|² (same bound as
+    basket_pair_lift); the edge list and degree table are
+    checkpointed once and each iteration is one broadcast-augmented
+    projection + one dst-keyed shuffle. Co-purchase edges are
+    symmetric, so every node has out- and in-degree ≥ 1 — no
+    dangling-mass term needed."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+        .localCheckpoint()  # reused every iteration
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint()
+    ntab = deg.agg(F.count("*").alias("n"))  # 1-row scalar, broadcast below
+    ranks = deg.crossJoin(F.broadcast(ntab)).select(
+        F.col("src").alias("node"),
+        F.expr(f"CAST({_PR_SCALE} AS BIGINT) DIV n").alias("rank"),
+    )
+    for _ in range(_PR_ITERS):
+        contrib = ranks.join(deg, ranks["node"] == deg["src"]).select(
+            "src", F.expr("rank DIV d").alias("c")
+        )
+        s = edges.join(contrib, "src").groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = s.crossJoin(F.broadcast(ntab)).select(
+            F.col("dst").alias("node"),
+            F.expr(
+                f"(15 * (CAST({_PR_SCALE} AS BIGINT) DIV n)) DIV 100"
+                " + (85 * s) DIV 100"
+            ).alias("rank"),
+        )
+    return ranks.select(F.col("node").alias("part_id"), F.col("rank").alias("pagerank"))

@@ -133,14 +133,14 @@ _ROUND_WINDOW = (
     "text_search_bm25",
     "tpch_q1",
     "tpch_q3",
-    "tpch_q6",
-    # (d) the three ops ADDED in round 5 — first-time certification
+    # (d) the four ops ADDED in round 5 — first-time certification
     # beats re-certifying more long-green §2 core ops for the last
     # slots (the displaced re-certs — join_asof, window_rank,
-    # events_session_agg — are driver-green since r1/r3)
+    # events_session_agg, tpch_q6 — are driver-green since r1/r3)
     "dedup_containment",
     "text_chunk_overlap",
     "lang_id_ngram",
+    "graph_pagerank",
 )
 
 _loaded = False

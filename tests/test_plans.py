@@ -448,6 +448,9 @@ _SCALE_MARKER_ALLOWLIST = {
     "text_search_bm25": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
     "text_perplexity_bucket": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
     "ann_recall": {"BroadcastNestedLoopJoin"},  # k-row recall compare
+    # node-count scalar broadcast into each PageRank iteration (1-row
+    # agg, same two-phase-scalar shape as the tpch entries above)
+    "graph_pagerank": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
     # -- BroadcastNestedLoopJoin of a broadcast-tiny query/probe set
     #    (the intended plan for bulk distance scoring):
     "vector_dot": {"BroadcastNestedLoopJoin"},
