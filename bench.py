@@ -107,6 +107,9 @@ HEADLINE = (
     # statement latency (CREATE+INSERT+SELECT on a 3-row table), not
     # scan throughput — it measures dialect overhead.
     "sql_select_at_distance",
+    # round 5 addition — iterative graph analytics (totals not
+    # comparable across this boundary; per-query keys are)
+    "graph_pagerank",       # 5-iteration integer-exact PageRank
 )
 
 
