@@ -132,15 +132,16 @@ _ROUND_WINDOW = (
     "quality_filter_gopher",
     "text_search_bm25",
     "tpch_q1",
-    "tpch_q3",
-    # (d) the four ops ADDED in round 5 — first-time certification
+    # (d) the ops ADDED in round 5 — first-time certification
     # beats re-certifying more long-green §2 core ops for the last
     # slots (the displaced re-certs — join_asof, window_rank,
-    # events_session_agg, tpch_q6 — are driver-green since r1/r3)
+    # events_session_agg, tpch_q6, tpch_q3 — are driver-green since
+    # r1/r3)
     "dedup_containment",
     "text_chunk_overlap",
     "lang_id_ngram",
     "graph_pagerank",
+    "graph_triangle_count",
 )
 
 _loaded = False
