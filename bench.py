@@ -110,6 +110,7 @@ HEADLINE = (
     # round 5 addition — iterative graph analytics (totals not
     # comparable across this boundary; per-query keys are)
     "graph_pagerank",       # 5-iteration integer-exact PageRank
+    "graph_triangle_count",  # degree-oriented wedge-join triangles
 )
 
 
