@@ -60,6 +60,8 @@ FLAGSHIPS = {
     "window_islands": "island key from the user-partitioned window; rollups reuse the partitioning",
     "events_detect_gaps": "hour-bucketed global lag: every windowspecdefinition pid-keyed; SinglePartition only above the one-row-per-bucket bounds frame",
     "mm_shard_pack": "two-phase prefix sum over (doc_id, n_bytes); payloads never shuffle, no SinglePartition",
+    "graph_pagerank": "edge list hash-partitioned once and checkpointed; per-iteration shuffle carries (node, contrib) only",
+    "graph_triangle_count": "degree-oriented wedge self-join + (v, w) closure equi-join; no CartesianProduct/BNLJ",
 }
 
 
