@@ -131,17 +131,17 @@ _ROUND_WINDOW = (
     "dedup_lines_global",
     "quality_filter_gopher",
     "text_search_bm25",
-    "tpch_q1",
     # (d) the ops ADDED in round 5 — first-time certification
     # beats re-certifying more long-green §2 core ops for the last
     # slots (the displaced re-certs — join_asof, window_rank,
-    # events_session_agg, tpch_q6, tpch_q3 — are driver-green since
-    # r1/r3)
+    # events_session_agg, tpch_q6, tpch_q3, tpch_q1 — are
+    # driver-green since r1/r3)
     "dedup_containment",
     "text_chunk_overlap",
     "lang_id_ngram",
     "graph_pagerank",
     "graph_triangle_count",
+    "dedup_incremental",
 )
 
 _loaded = False
