@@ -90,6 +90,15 @@ def main() -> None:
     contained = q["dedup_containment"].fn(spark, sf_dir)
     print(f"containment pairs (C >= 0.9 on candidates): {contained.count()}")
 
+    # 4h. Incremental ingest: the NEXT batch dedupes against this
+    # corpus's stored bands only — no history x history re-pairing
+    ingest = q["dedup_incremental"].fn(spark, sf_dir)
+    verdicts = {r["is_dup"]: r["count"] for r in ingest.groupBy("is_dup").count().collect()}
+    print(
+        f"ingest batch: {verdicts.get(True, 0)} rejected as history dups, "
+        f"{verdicts.get(False, 0)} accepted"
+    )
+
     # 4e. Boilerplate removal: corpus-wide duplicate-chunk dedup
     lines = q["dedup_lines_global"].fn(spark, sf_dir)
     removed = lines.agg(
