@@ -111,6 +111,7 @@ HEADLINE = (
     # comparable across this boundary; per-query keys are)
     "graph_pagerank",       # 5-iteration integer-exact PageRank
     "graph_triangle_count",  # degree-oriented wedge-join triangles
+    "dedup_incremental",    # batch-vs-history ingest dedup
 )
 
 
