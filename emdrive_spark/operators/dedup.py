@@ -1286,3 +1286,127 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("jscore"), F.lit(0)).cast("long").alias("jscore"),
         )
     )
+
+
+# --- substring-level exact dedup -------------------------------------
+
+_SPAN_K = 8  # tokens per gram: long enough that a match means reuse
+
+
+@register(
+    "dedup_spans_exact",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             CAST(('0x' || substr(md5(
+               array_to_string(t[i : i + {_SPAN_K} - 1], ' ')), 1, 15)) AS BIGINT) AS gk
+      FROM toks, unnest(generate_series(1, greatest(len(t) - {_SPAN_K} + 1, 0))) AS u(i)
+    ),
+    dup AS (SELECT gk FROM grams GROUP BY gk HAVING count(DISTINCT doc_id) > 1),
+    hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gk)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       > {_SPAN_K} THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, island, max(pos) - min(pos) + {_SPAN_K} AS span_tokens
+      FROM isl2 GROUP BY doc_id, island
+    ),
+    perdoc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_spans, p.dup_tokens,
+           CAST(len(t.t) AS BIGINT) AS n_tokens
+    FROM perdoc p JOIN toks t USING (doc_id)
+    ORDER BY p.doc_id
+    """,
+)
+def dedup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup: find the maximal token spans of each
+    document that also occur verbatim in ANOTHER document, by flagging
+    every whitespace-token 8-gram whose hash appears in >= 2 distinct
+    docs and merging overlapping/adjacent flagged positions into spans.
+    Doc-level dedup misses this entirely — two unique articles quoting
+    the same paragraph both keep it; span dedup reports exactly which
+    token ranges are corpus-repeated (the signal used to CUT duplicated
+    text out of training data rather than drop whole documents).
+
+    Scale shape: grams are one codegen projection (token array is
+    let-bound once — higher-order lambdas get no CSE); the corpus-wide
+    duplicate test is a groupBy on an 8-byte portable md5-prefix key
+    (both engines hash identically, so oracle exactness survives while
+    the shuffle never carries gram text); the join back touches only
+    duplicated keys (AQE handles boilerplate hot grams); span merging
+    is a per-doc window — partitioned by doc_id, no global sort. The
+    gram frame is localCheckpointed so the dup-key agg and the
+    position probe share one tokenization pass."""
+    from pyspark.sql import Window as W
+
+    K = _SPAN_K
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+
+    def _grams(t):
+        n = F.size(t) - (K - 1)
+        return F.when(
+            n >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n),  # guarded: sequence descends for n < 1
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.conv(
+                        F.substring(
+                            F.md5(F.array_join(F.slice(t, i, K), " ")), 1, 15
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("long")
+                    .alias("gk"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:int,gk:bigint>>"))
+
+    gram_arr = F.transform(F.array(toks), _grams)[0]
+    grams = (
+        d.select("doc_id", F.explode(gram_arr).alias("x"))
+        .select("doc_id", F.col("x.pos").alias("pos"), F.col("x.gk").alias("gk"))
+        .localCheckpoint()
+    )
+    dup_keys = (
+        grams.groupBy("gk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gk")
+    )
+    hits = grams.join(dup_keys, "gk").select("doc_id", "pos")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > K, 1).otherwise(0)
+    isl = hits.select("doc_id", "pos", brk.alias("brk"))
+    isl2 = isl.select("doc_id", "pos", F.sum("brk").over(w).alias("island"))
+    spans = isl2.groupBy("doc_id", "island").agg(
+        (F.max("pos") - F.min("pos") + K).alias("span_tokens")
+    )
+    perdoc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+    )
+    ntok = d.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+    return (
+        perdoc.join(ntok, "doc_id")
+        .select("doc_id", "n_spans", "dup_tokens", "n_tokens")
+        .orderBy("doc_id")
+    )
