@@ -112,6 +112,7 @@ HEADLINE = (
     "graph_pagerank",       # 5-iteration integer-exact PageRank
     "graph_triangle_count",  # degree-oriented wedge-join triangles
     "dedup_incremental",    # batch-vs-history ingest dedup
+    "dedup_spans_exact",    # corpus-repeated token-span detection
 )
 
 

@@ -1382,7 +1382,8 @@ def dedup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     gram_arr = F.transform(F.array(toks), _grams)[0]
     grams = (
-        d.select("doc_id", F.explode(gram_arr).alias("x"))
+        spread(d.select("doc_id", "text"))
+        .select("doc_id", F.explode(gram_arr).alias("x"))
         .select("doc_id", F.col("x.pos").alias("pos"), F.col("x.gk").alias("gk"))
         .localCheckpoint()
     )

@@ -224,6 +224,16 @@ def test_dedup_lines_global_no_python_no_single_partition(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_dedup_spans_exact_no_python_no_cartesian(spark):
+    # gram dedup is a groupBy on the 8-byte key + join back on
+    # duplicated keys only; span merge is a doc_id-partitioned window —
+    # nothing may serialize the corpus or fall back to a nested loop
+    plan = _plan(spark, "dedup_spans_exact")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_text_repetition_no_python_no_single_partition(spark):
     plan = _plan(spark, "text_repetition")
     assert "SinglePartition" not in plan

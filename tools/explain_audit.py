@@ -62,6 +62,7 @@ FLAGSHIPS = {
     "mm_shard_pack": "two-phase prefix sum over (doc_id, n_bytes); payloads never shuffle, no SinglePartition",
     "graph_pagerank": "edge list hash-partitioned once and checkpointed; per-iteration shuffle carries (node, contrib) only",
     "graph_triangle_count": "degree-oriented wedge self-join + (v, w) closure equi-join; no CartesianProduct/BNLJ",
+    "dedup_spans_exact": "8-byte gram-key groupBy; join back touches duplicated keys only; per-doc window merge, no Python eval",
 }
 
 
