@@ -1292,10 +1292,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_K = 8  # tokens per gram: long enough that a match means reuse
 
-
-@register(
-    "dedup_spans_exact",
-    oracle=rf"""
+# Shared oracle CTE block: tokenize -> position-keyed 8-gram hashes ->
+# corpus-duplicated keys -> flagged positions -> merged maximal spans.
+# One definition so the detect op and the cut op can never drift.
+_SPAN_CTES = rf"""
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
       FROM documents
@@ -1320,39 +1320,26 @@ _SPAN_K = 8  # tokens per gram: long enough that a match means reuse
       FROM isl
     ),
     spans AS (
-      SELECT doc_id, island, max(pos) - min(pos) + {_SPAN_K} AS span_tokens
+      SELECT doc_id, island, min(pos) AS s, max(pos) + {_SPAN_K} - 1 AS e
       FROM isl2 GROUP BY doc_id, island
-    ),
-    perdoc AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-             CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
-      FROM spans GROUP BY doc_id
     )
-    SELECT p.doc_id, p.n_spans, p.dup_tokens,
-           CAST(len(t.t) AS BIGINT) AS n_tokens
-    FROM perdoc p JOIN toks t USING (doc_id)
-    ORDER BY p.doc_id
-    """,
-)
-def dedup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring-level exact dedup: find the maximal token spans of each
-    document that also occur verbatim in ANOTHER document, by flagging
-    every whitespace-token 8-gram whose hash appears in >= 2 distinct
-    docs and merging overlapping/adjacent flagged positions into spans.
-    Doc-level dedup misses this entirely — two unique articles quoting
-    the same paragraph both keep it; span dedup reports exactly which
-    token ranges are corpus-repeated (the signal used to CUT duplicated
-    text out of training data rather than drop whole documents).
+"""
 
-    Scale shape: grams are one codegen projection (token array is
-    let-bound once — higher-order lambdas get no CSE); the corpus-wide
-    duplicate test is a groupBy on an 8-byte portable md5-prefix key
-    (both engines hash identically, so oracle exactness survives while
-    the shuffle never carries gram text); the join back touches only
-    duplicated keys (AQE handles boilerplate hot grams); span merging
-    is a per-doc window — partitioned by doc_id, no global sort. The
-    gram frame is localCheckpointed so the dup-key agg and the
-    position probe share one tokenization pass."""
+
+def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal corpus-duplicated token spans, one row per (doc, span):
+    (doc_id, span_start, span_end), 1-based inclusive token positions.
+
+    Every whitespace-token 8-gram is keyed by a portable md5-prefix
+    BIGINT (both engines hash identically, so oracle exactness survives
+    while the corpus-wide duplicate groupBy shuffles 8-byte keys, never
+    gram text); positions of grams appearing in >= 2 distinct docs are
+    merged into maximal spans by a doc_id-partitioned window (two
+    flagged positions belong to one span when their 8-gram windows
+    touch or overlap). The gram frame is localCheckpointed so the
+    dup-key agg and the position probe share one tokenization pass;
+    spread() parallelizes the high-amplification gram projection past
+    the fixture's single input split."""
     from pyspark.sql import Window as W
 
     K = _SPAN_K
@@ -1398,16 +1385,132 @@ def dedup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     brk = F.when(F.col("pos") - F.lag("pos").over(w) > K, 1).otherwise(0)
     isl = hits.select("doc_id", "pos", brk.alias("brk"))
     isl2 = isl.select("doc_id", "pos", F.sum("brk").over(w).alias("island"))
-    spans = isl2.groupBy("doc_id", "island").agg(
-        (F.max("pos") - F.min("pos") + K).alias("span_tokens")
+    return isl2.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + K - 1).alias("span_end"),
     )
-    perdoc = spans.groupBy("doc_id").agg(
+
+
+@register(
+    "dedup_spans_exact",
+    oracle=_SPAN_CTES
+    + """
+    , perdoc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_spans, p.dup_tokens,
+           CAST(len(t.t) AS BIGINT) AS n_tokens
+    FROM perdoc p JOIN toks t USING (doc_id)
+    ORDER BY p.doc_id
+    """,
+)
+def dedup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup, detection side: per document, the
+    maximal token spans that also occur verbatim in ANOTHER document.
+    Doc-level dedup misses this entirely — two unique articles quoting
+    the same paragraph both keep it; span dedup reports exactly which
+    token ranges are corpus-repeated. See _dup_spans for the
+    construction and scale shape; dedup_spans_cut is the transform
+    twin that removes the spans."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sp = _dup_spans(spark, sf_dir)
+    perdoc = sp.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_spans"),
-        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("dup_tokens"),
     )
     ntok = d.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
     return (
         perdoc.join(ntok, "doc_id")
         .select("doc_id", "n_spans", "dup_tokens", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_spans_cut",
+    oracle=_SPAN_CTES
+    + """
+    , pos AS (
+      SELECT doc_id, i AS p, t[i] AS tok
+      FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+    ),
+    keep AS (
+      SELECT p.doc_id, p.p, p.tok
+      FROM pos p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = p.doc_id AND p.p BETWEEN s.s AND s.e
+      )
+    )
+    SELECT t.doc_id,
+           CAST(max(len(t.t)) AS BIGINT) AS n_tokens,
+           CAST(max(len(t.t)) - count(k.p) AS BIGINT) AS n_cut,
+           coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text
+    FROM toks t LEFT JOIN keep k USING (doc_id)
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def dedup_spans_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup, transform side: rebuild every
+    document with its corpus-repeated token spans REMOVED (the Lee et
+    al. exact-substring regime — cut the duplicated range, keep the
+    host document). Like dedup_lines_global's chunk contract, a
+    repeated span is dropped from EVERY occurrence: the boilerplate
+    reading of span duplication, and the only deterministic choice
+    that needs no global canonical-copy election (keep-one-occurrence
+    requires ranking the host docs; at scale that is one extra
+    min(doc_id)-per-component join over the span table).
+
+    Scale shape: detection is _dup_spans (8-byte key groupBy + window
+    merge); the rebuild collects each doc's few spans into ONE array
+    row, joins them back at doc cardinality, and filters token
+    positions IN-ROW with a nested higher-order exists — the corpus
+    text crosses the wire once for the join and never explodes to
+    token rows."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sparr = (
+        _dup_spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("span_start", "span_end")).alias("spans"))
+    )
+    joined = (
+        spread(d.select("doc_id", "text"))
+        .join(sparr, "doc_id", "left")
+        .select(
+            "doc_id",
+            "text",
+            F.coalesce(
+                "spans",
+                F.array().cast("array<struct<span_start:int,span_end:int>>"),
+            ).alias("spans"),
+        )
+    )
+
+    def _clean(t):
+        keep = F.filter(
+            F.sequence(F.lit(1), F.size(t)),
+            lambda i: ~F.exists(
+                "spans",
+                lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+            ),
+        )
+        return F.struct(
+            F.size(t).cast("long").alias("n_tokens"),
+            (F.size(t) - F.size(keep)).cast("long").alias("n_cut"),
+            F.array_join(
+                F.transform(keep, lambda i: F.element_at(t, i)), " "
+            ).alias("clean_text"),
+        )
+
+    return (
+        joined.select("doc_id", F.transform(F.array(toks), _clean)[0].alias("c"))
+        .select("doc_id", "c.n_tokens", "c.n_cut", "c.clean_text")
         .orderBy("doc_id")
     )
