@@ -99,6 +99,19 @@ def main() -> None:
         f"{verdicts.get(False, 0)} accepted"
     )
 
+    # 4i. Substring-level dedup: cut corpus-repeated token spans out of
+    # otherwise-unique docs instead of dropping the docs
+    span_stats = (
+        q["dedup_spans_cut"]
+        .fn(spark, sf_dir)
+        .agg(F.sum("n_cut").alias("tokens_cut"), F.sum("n_tokens").alias("tokens_total"))
+        .collect()[0]
+    )
+    print(
+        f"duplicated-span tokens cut: {span_stats['tokens_cut']} "
+        f"of {span_stats['tokens_total']}"
+    )
+
     # 4e. Boilerplate removal: corpus-wide duplicate-chunk dedup
     lines = q["dedup_lines_global"].fn(spark, sf_dir)
     removed = lines.agg(

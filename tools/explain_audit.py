@@ -63,6 +63,7 @@ FLAGSHIPS = {
     "graph_pagerank": "edge list hash-partitioned once and checkpointed; per-iteration shuffle carries (node, contrib) only",
     "graph_triangle_count": "degree-oriented wedge self-join + (v, w) closure equi-join; no CartesianProduct/BNLJ",
     "dedup_spans_exact": "8-byte gram-key groupBy; join back touches duplicated keys only; per-doc window merge, no Python eval",
+    "dedup_spans_cut": "spans collect to one array row per doc; in-row position filter rebuilds text — no token-row explosion",
 }
 
 

@@ -141,7 +141,16 @@ def main() -> None:
 
     qs = registry.queries()
     timings = {}
-    for name in ("dedup_lsh_verified", "dedup_components"):
+    # span ops run on the staged corpus directly (no _doubled): the
+    # exact-copy clusters make every cluster member one whole-doc span,
+    # and the replica-suffixed filler shares no 8-gram — so the dup-key
+    # join's fan-out is exactly the cluster law's collision mass
+    for name in (
+        "dedup_lsh_verified",
+        "dedup_components",
+        "dedup_spans_exact",
+        "dedup_spans_cut",
+    ):
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 1)
