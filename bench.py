@@ -113,6 +113,7 @@ HEADLINE = (
     "graph_triangle_count",  # degree-oriented wedge-join triangles
     "dedup_incremental",    # batch-vs-history ingest dedup
     "dedup_spans_exact",    # corpus-repeated token-span detection
+    "dedup_spans_cut",      # rebuild docs with repeated spans removed
 )
 
 

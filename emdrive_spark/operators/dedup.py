@@ -1494,20 +1494,27 @@ def dedup_spans_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _clean(t):
-        keep = F.filter(
+        # the kept-position array is referenced 2× (size + rebuild):
+        # let-bind it through a second single-element transform, the
+        # same no-CSE-for-higher-order-lambdas fix as shingles()
+        # (A/B at the 250k-doc stress corpus: ~2× faster let-bound)
+        keep_expr = F.filter(
             F.sequence(F.lit(1), F.size(t)),
             lambda i: ~F.exists(
                 "spans",
                 lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
             ),
         )
-        return F.struct(
-            F.size(t).cast("long").alias("n_tokens"),
-            (F.size(t) - F.size(keep)).cast("long").alias("n_cut"),
-            F.array_join(
-                F.transform(keep, lambda i: F.element_at(t, i)), " "
-            ).alias("clean_text"),
-        )
+        return F.transform(
+            F.array(keep_expr),
+            lambda keep: F.struct(
+                F.size(t).cast("long").alias("n_tokens"),
+                (F.size(t) - F.size(keep)).cast("long").alias("n_cut"),
+                F.array_join(
+                    F.transform(keep, lambda i: F.element_at(t, i)), " "
+                ).alias("clean_text"),
+            ),
+        )[0]
 
     return (
         joined.select("doc_id", F.transform(F.array(toks), _clean)[0].alias("c"))

@@ -411,3 +411,26 @@ def test_bucket_pairs_multiset_property(spark):
             dd._BUCKET_CAP = orig
 
     check()
+
+
+def test_span_detect_and_cut_agree(spark):
+    # the detect op (dedup_spans_exact) and the transform op
+    # (dedup_spans_cut) share _dup_spans; this pins the pair to each
+    # other so a refactor of either side cannot silently diverge:
+    # every doc's dup_tokens must equal the tokens the rebuild cut,
+    # docs without spans must cut nothing, and the rebuilt text must
+    # contain exactly n_tokens - n_cut tokens
+    from .conftest import SF_SMOKE
+    from emdrive_spark.operators import dedup as dd
+
+    exact = {
+        r["doc_id"]: r
+        for r in dd.dedup_spans_exact(spark, SF_SMOKE).collect()
+    }
+    cut = dd.dedup_spans_cut(spark, SF_SMOKE).collect()
+    assert len(cut) > len(exact) > 0  # cut covers ALL docs
+    for r in cut:
+        e = exact.get(r["doc_id"])
+        assert r["n_cut"] == (e["dup_tokens"] if e else 0), r["doc_id"]
+        rebuilt = r["clean_text"].split() if r["clean_text"] else []
+        assert len(rebuilt) == r["n_tokens"] - r["n_cut"], r["doc_id"]
