@@ -124,8 +124,6 @@ _ROUND_WINDOW = (
     "dedup_embedding",
     "dedup_components",
     "dedup_minhash",
-    "dedup_exact",
-    "knn_topk",
     "knn_join",
     "pack_sequences",
     "dedup_lines_global",
@@ -142,6 +140,13 @@ _ROUND_WINDOW = (
     "graph_pagerank",
     "graph_triangle_count",
     "dedup_incremental",
+    # session-3 additions: substring-level span dedup, detect + cut.
+    # Seated by displacing two redundant re-certs — knn_topk (its
+    # tier-1 alias topk_by_distance runs the identical fn and oracle
+    # this same round) and dedup_exact (driver-green since r1,
+    # internals frozen since r4)
+    "dedup_spans_exact",
+    "dedup_spans_cut",
 )
 
 _loaded = False
