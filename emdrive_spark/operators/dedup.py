@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from emdrive_spark.functions.layout import spread
-from emdrive_spark.operators.text import minhash_lane_sql, shingles, tokens
+from emdrive_spark.operators.text import (
+    minhash_lane_sql,
+    minhash_sig_array,
+    shingles,
+    tokens,
+)
 from emdrive_spark.registry import register
 from emdrive_spark.sources.tables import load
 
@@ -1137,9 +1142,72 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_incremental",
-    oracle=rf"""
+def _ingest_batch(docs):
+    """The fixture's deterministic ingest batch: the corpus re-ingested
+    with ids shifted by _SHIFT and a doc_id-dependent fraction (0-40%,
+    doc_id % 5) of LEADING TOKENS DROPPED — heavily truncated docs fall
+    below the Jaccard threshold, lightly truncated ones stay above it,
+    so the verdict mix is non-degenerate and fully deterministic."""
+    toks = tokens(F.col("text"))
+    k = F.floor((F.size(toks) * (F.col("doc_id") % 5)) / 10).cast("int")
+    dropped = F.array_join(
+        F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0))), " "
+    )
+    return docs.select((F.col("doc_id") + _SHIFT).alias("doc_id"), dropped.alias("text"))
+
+
+def _ingest_verdicts(
+    batch_sh: DataFrame, hist_sh: DataFrame, hist_bands: DataFrame
+) -> DataFrame:
+    """Verdict rows for ONE ingest batch against the stored history:
+    the batch's band keys join the history band table (batch x history
+    only — the history x history quadratic term never exists),
+    survivors verify with the candidate-bounded array_intersect, and
+    every batch doc gets exactly one row (is_dup under exact Jaccard
+    >= 0.8, best-match history doc with ties to the smallest id, and
+    the integer DIV score — no float compare anywhere).
+
+    batch_sh: (doc_id, sh); hist_sh: (id_h, sh_h); hist_bands:
+    (id_h, bkt). A doc's verdict depends ONLY on the static history,
+    never on other batch members — so any micro-batch split of the
+    same ingest set produces identical rows (the property
+    stream_ingest_dedup's full value-hash oracle rests on)."""
+    sigs = batch_sh.select("doc_id", minhash_sig_array(F.col("sh")).alias("sig_arr"))
+    bb = band_members(sigs).select(F.col("doc_id").alias("id_b"), "bkt")
+    cand = bb.join(hist_bands, "bkt").select("id_b", "id_h").distinct()
+    B = batch_sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    common = F.size(F.array_intersect("sh_b", "sh_h"))
+    denom = F.size("sh_b") + F.size("sh_h") - common
+    kept = (
+        cand.join(B, "id_b")
+        .join(hist_sh, "id_h")
+        .filter(5 * common >= 4 * denom)
+        .select("id_b", "id_h", common.alias("common"), denom.alias("denom"))
+        .select(
+            "id_b",
+            "id_h",
+            F.expr("CAST(common * 1000000 DIV denom AS BIGINT)").alias("jscore"),
+        )
+    )
+    best = kept.groupBy("id_b").agg(F.max("jscore").alias("jscore"))
+    pick = (
+        kept.join(best, ["id_b", "jscore"])
+        .groupBy("id_b", "jscore")
+        .agg(F.min("id_h").alias("dup_of"))
+    )
+    return (
+        batch_sh.select("doc_id")
+        .join(pick, F.col("doc_id") == pick["id_b"], "left")
+        .select(
+            "doc_id",
+            F.col("id_b").isNotNull().alias("is_dup"),
+            F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
+            F.coalesce(F.col("jscore"), F.lit(0)).cast("long").alias("jscore"),
+        )
+    )
+
+
+_INGEST_ORACLE = rf"""
     WITH hist AS (SELECT doc_id, text FROM documents),
     batch AS (
       SELECT doc_id + {_SHIFT} AS doc_id,
@@ -1195,8 +1263,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(coalesce(p.jscore, 0) AS BIGINT) AS jscore
     FROM (SELECT doc_id FROM batch) d
     LEFT JOIN pick p ON p.id_b = d.doc_id
-    """,
-)
+    """
+
+
+@register("dedup_incremental", oracle=_INGEST_ORACLE)
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup: an incoming BATCH is near-dup-checked
     against the HISTORICAL corpus only — the production shape every
@@ -1222,70 +1292,93 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_members (the shared 4-band x 2-lane construction); the
     verifier is the candidate-bounded array_intersect of
     dedup_lsh_verified."""
-    from emdrive_spark.operators.text import minhash_sig_array
-
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = tokens(F.col("text"))
-    k = F.floor((F.size(toks) * (F.col("doc_id") % 5)) / 10).cast("int")
-    dropped = F.array_join(
-        F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0))), " "
-    )
-    batch_docs = docs.select(
-        (F.col("doc_id") + _SHIFT).alias("doc_id"), dropped.alias("text")
-    )
+    batch_docs = _ingest_batch(docs)
     # shingle frame feeds signatures AND the verify join: materialize once
     corpus = (
         spread(docs.unionByName(batch_docs))
         .select("doc_id", shingles(F.col("text")).alias("sh"))
         .localCheckpoint()
     )
-    sigs = corpus.select(
-        "doc_id", minhash_sig_array(F.col("sh")).alias("sig_arr")
+    batch_sh = corpus.filter(F.col("doc_id") >= _SHIFT)
+    hist = corpus.filter(F.col("doc_id") < _SHIFT)
+    hist_sh = hist.select(F.col("doc_id").alias("id_h"), F.col("sh").alias("sh_h"))
+    hist_bands = band_members(
+        hist.select("doc_id", minhash_sig_array(F.col("sh")).alias("sig_arr"))
+    ).select(F.col("doc_id").alias("id_h"), "bkt")
+    return _ingest_verdicts(batch_sh, hist_sh, hist_bands)
+
+
+@register("stream_ingest_dedup", oracle=_INGEST_ORACLE)
+def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of dedup_incremental: the SAME ingest
+    set arrives as four file-per-trigger micro-batches, each
+    foreachBatch verifies against the SAME static history band table,
+    and each epoch writes its verdicts to its own epoch_id=N directory
+    with overwrite (the at-least-once idempotence recipe of
+    stream_foreach_upsert — a redelivered batch re-materializes its
+    partition instead of double-emitting). Because a doc's verdict
+    depends only on the static history, never on other batch members
+    (_ingest_verdicts' documented property), the union over epochs is
+    row-identical to the one-shot batch op — a STREAMING operator
+    under the full value-hash oracle, not a rows-only check.
+
+    At 100 TB this is the production ingest topology: history shingles
+    and bands are computed once and reused across triggers (here
+    localCheckpointed; on a cluster, a band-key-bucketed table —
+    sink_bucketed_join's layout — makes the per-trigger candidate join
+    shuffle-free on the history side), each arriving micro-batch
+    probes them at batch x collision-rate cost, and accepted docs
+    append their bands for the next trigger."""
+    import os
+    import shutil
+
+    from emdrive_spark.sources.tables import staging_dir
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    stage = staging_dir(spark, "ingest_stream")
+    shutil.rmtree(stage, ignore_errors=True)  # stale epochs from a prior rep
+    in_dir = os.path.join(stage, "in")
+    out_dir = os.path.join(stage, "out")
+    _ingest_batch(docs).repartition(4).write.mode("overwrite").parquet(in_dir)
+
+    # static history: shingle frame + band table, computed ONCE and
+    # reused by every micro-batch (not re-derived per trigger)
+    hist_sh_frame = (
+        spread(docs)
+        .select("doc_id", shingles(F.col("text")).alias("sh"))
+        .localCheckpoint()
     )
-    member = band_members(sigs)
-    bb = member.filter(F.col("doc_id") >= _SHIFT).select(
-        F.col("doc_id").alias("id_b"), "bkt"
-    )
-    hh = member.filter(F.col("doc_id") < _SHIFT).select(
-        F.col("doc_id").alias("id_h"), "bkt"
-    )
-    cand = bb.join(hh, "bkt").select("id_b", "id_h").distinct()
-    B = corpus.filter(F.col("doc_id") >= _SHIFT).select(
-        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")
-    )
-    H = corpus.filter(F.col("doc_id") < _SHIFT).select(
+    hist_sh = hist_sh_frame.select(
         F.col("doc_id").alias("id_h"), F.col("sh").alias("sh_h")
     )
-    common = F.size(F.array_intersect("sh_b", "sh_h"))
-    denom = F.size("sh_b") + F.size("sh_h") - common
-    kept = (
-        cand.join(B, "id_b")
-        .join(H, "id_h")
-        .filter(5 * common >= 4 * denom)
-        .select(
-            "id_b",
-            "id_h",
-            common.alias("common"),
-            denom.alias("denom"),
+    hist_bands = band_members(
+        hist_sh_frame.select(
+            "doc_id", minhash_sig_array(F.col("sh")).alias("sig_arr")
         )
-        .select("id_b", "id_h", F.expr("CAST(common * 1000000 DIV denom AS BIGINT)").alias("jscore"))
-    )
-    best = kept.groupBy("id_b").agg(F.max("jscore").alias("jscore"))
-    pick = (
-        kept.join(best, ["id_b", "jscore"])
-        .groupBy("id_b", "jscore")
-        .agg(F.min("id_h").alias("dup_of"))
-    )
-    return (
-        batch_docs.select("doc_id")
-        .join(pick, F.col("doc_id") == pick["id_b"], "left")
-        .select(
-            "doc_id",
-            F.col("id_b").isNotNull().alias("is_dup"),
-            F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
-            F.coalesce(F.col("jscore"), F.lit(0)).cast("long").alias("jscore"),
+    ).select(F.col("doc_id").alias("id_h"), "bkt").localCheckpoint()
+
+    def verify_batch(bdf: DataFrame, epoch_id: int) -> None:
+        batch_sh = bdf.select("doc_id", shingles(F.col("text")).alias("sh"))
+        (
+            _ingest_verdicts(batch_sh, hist_sh, hist_bands)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"epoch_id={epoch_id}"))
         )
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.outputMode("append")
+        .foreachBatch(verify_batch)
+        .start()
     )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir).select("doc_id", "is_dup", "dup_of", "jscore")
 
 
 # --- substring-level exact dedup -------------------------------------

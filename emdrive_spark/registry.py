@@ -128,7 +128,6 @@ _ROUND_WINDOW = (
     "pack_sequences",
     "dedup_lines_global",
     "quality_filter_gopher",
-    "text_search_bm25",
     # (d) the ops ADDED in round 5 — first-time certification
     # beats re-certifying more long-green §2 core ops for the last
     # slots (the displaced re-certs — join_asof, window_rank,
@@ -147,6 +146,10 @@ _ROUND_WINDOW = (
     # internals frozen since r4)
     "dedup_spans_exact",
     "dedup_spans_cut",
+    # streaming ingest dedup under the FULL value-hash oracle (seated
+    # by displacing the text_search_bm25 re-cert — driver-green r4,
+    # untouched since)
+    "stream_ingest_dedup",
 )
 
 _loaded = False
