@@ -1387,8 +1387,25 @@ _SPAN_K = 8  # tokens per gram: long enough that a match means reuse
 
 # Shared oracle CTE block: tokenize -> position-keyed 8-gram hashes ->
 # corpus-duplicated keys -> flagged positions -> merged maximal spans.
-# One definition so the detect op and the cut op can never drift.
-_SPAN_CTES = rf"""
+# One builder so the detect op and both cut ops can never drift.
+# keep_first=True elects the minimal doc_id holding each duplicated
+# gram as its canonical host: the host's occurrence is NOT flagged, so
+# one verbatim copy of every duplicated gram survives corpus-wide.
+def _span_ctes(keep_first: bool) -> str:
+    if keep_first:
+        dup_hits = (
+            "dup AS (SELECT gk, min(doc_id) AS owner FROM grams\n"
+            "           GROUP BY gk HAVING count(DISTINCT doc_id) > 1),\n"
+            "    hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gk)\n"
+            "             WHERE g.doc_id <> dup.owner),"
+        )
+    else:
+        dup_hits = (
+            "dup AS (SELECT gk FROM grams GROUP BY gk"
+            " HAVING count(DISTINCT doc_id) > 1),\n"
+            "    hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gk)),"
+        )
+    return rf"""
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
       FROM documents
@@ -1399,8 +1416,7 @@ _SPAN_CTES = rf"""
                array_to_string(t[i : i + {_SPAN_K} - 1], ' ')), 1, 15)) AS BIGINT) AS gk
       FROM toks, unnest(generate_series(1, greatest(len(t) - {_SPAN_K} + 1, 0))) AS u(i)
     ),
-    dup AS (SELECT gk FROM grams GROUP BY gk HAVING count(DISTINCT doc_id) > 1),
-    hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gk)),
+    {dup_hits}
     isl AS (
       SELECT doc_id, pos,
              CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
@@ -1419,7 +1435,33 @@ _SPAN_CTES = rf"""
 """
 
 
-def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+# SQL tail shared by both rebuild ops (cut-everywhere and keep-first)
+_CUT_TAIL = """
+    , pos AS (
+      SELECT doc_id, i AS p, t[i] AS tok
+      FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+    ),
+    keep AS (
+      SELECT p.doc_id, p.p, p.tok
+      FROM pos p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = p.doc_id AND p.p BETWEEN s.s AND s.e
+      )
+    )
+    SELECT t.doc_id,
+           CAST(max(len(t.t)) AS BIGINT) AS n_tokens,
+           CAST(max(len(t.t)) - count(k.p) AS BIGINT) AS n_cut,
+           coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text
+    FROM toks t LEFT JOIN keep k USING (doc_id)
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """
+
+
+def _dup_spans(
+    spark: SparkSession, sf_dir: str, keep_first: bool = False
+) -> DataFrame:
     """Maximal corpus-duplicated token spans, one row per (doc, span):
     (doc_id, span_start, span_end), 1-based inclusive token positions.
 
@@ -1429,7 +1471,11 @@ def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram text); positions of grams appearing in >= 2 distinct docs are
     merged into maximal spans by a doc_id-partitioned window (two
     flagged positions belong to one span when their 8-gram windows
-    touch or overlap). The gram frame is localCheckpointed so the
+    touch or overlap). With keep_first=True the minimal doc_id holding
+    each duplicated gram is elected its canonical host and that host's
+    occurrence is not flagged — one verbatim copy of every duplicated
+    gram survives corpus-wide (the per-gram min is one extra column on
+    the same dup-key aggregate, no additional shuffle). The gram frame is localCheckpointed so the
     dup-key agg and the position probe share one tokenization pass;
     spread() parallelizes the high-amplification gram projection past
     the fixture's single input split."""
@@ -1467,13 +1513,19 @@ def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("x.pos").alias("pos"), F.col("x.gk").alias("gk"))
         .localCheckpoint()
     )
+    aggs = [F.countDistinct("doc_id").alias("nd")]
+    if keep_first:
+        aggs.append(F.min("doc_id").alias("owner"))
     dup_keys = (
         grams.groupBy("gk")
-        .agg(F.countDistinct("doc_id").alias("nd"))
+        .agg(*aggs)
         .filter(F.col("nd") > 1)
-        .select("gk")
+        .select("gk", *(["owner"] if keep_first else []))
     )
-    hits = grams.join(dup_keys, "gk").select("doc_id", "pos")
+    hits = grams.join(dup_keys, "gk")
+    if keep_first:
+        hits = hits.filter(F.col("doc_id") != F.col("owner"))
+    hits = hits.select("doc_id", "pos")
     w = W.partitionBy("doc_id").orderBy("pos")
     brk = F.when(F.col("pos") - F.lag("pos").over(w) > K, 1).otherwise(0)
     isl = hits.select("doc_id", "pos", brk.alias("brk"))
@@ -1486,7 +1538,7 @@ def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_spans_exact",
-    oracle=_SPAN_CTES
+    oracle=_span_ctes(False)
     + """
     , perdoc AS (
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
@@ -1524,52 +1576,16 @@ def dedup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_spans_cut",
-    oracle=_SPAN_CTES
-    + """
-    , pos AS (
-      SELECT doc_id, i AS p, t[i] AS tok
-      FROM toks, unnest(generate_series(1, len(t))) AS u(i)
-    ),
-    keep AS (
-      SELECT p.doc_id, p.p, p.tok
-      FROM pos p
-      WHERE NOT EXISTS (
-        SELECT 1 FROM spans s
-        WHERE s.doc_id = p.doc_id AND p.p BETWEEN s.s AND s.e
-      )
-    )
-    SELECT t.doc_id,
-           CAST(max(len(t.t)) AS BIGINT) AS n_tokens,
-           CAST(max(len(t.t)) - count(k.p) AS BIGINT) AS n_cut,
-           coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text
-    FROM toks t LEFT JOIN keep k USING (doc_id)
-    GROUP BY t.doc_id
-    ORDER BY t.doc_id
-    """,
-)
-def dedup_spans_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring-level exact dedup, transform side: rebuild every
-    document with its corpus-repeated token spans REMOVED (the Lee et
-    al. exact-substring regime — cut the duplicated range, keep the
-    host document). Like dedup_lines_global's chunk contract, a
-    repeated span is dropped from EVERY occurrence: the boilerplate
-    reading of span duplication, and the only deterministic choice
-    that needs no global canonical-copy election (keep-one-occurrence
-    requires ranking the host docs; at scale that is one extra
-    min(doc_id)-per-component join over the span table).
-
-    Scale shape: detection is _dup_spans (8-byte key groupBy + window
-    merge); the rebuild collects each doc's few spans into ONE array
-    row, joins them back at doc cardinality, and filters token
-    positions IN-ROW with a nested higher-order exists — the corpus
-    text crosses the wire once for the join and never explodes to
-    token rows."""
+def _cut_rebuild(spark: SparkSession, sf_dir: str, keep_first: bool) -> DataFrame:
+    """Shared rebuild for the two span-cutting ops: collect each doc's
+    few spans into ONE array row, join back at document cardinality,
+    and filter token positions IN-ROW with a nested higher-order
+    exists — the corpus text crosses the wire once for the join and
+    never explodes to token rows."""
     d = load(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     sparr = (
-        _dup_spans(spark, sf_dir)
+        _dup_spans(spark, sf_dir, keep_first=keep_first)
         .groupBy("doc_id")
         .agg(F.collect_list(F.struct("span_start", "span_end")).alias("spans"))
     )
@@ -1587,10 +1603,10 @@ def dedup_spans_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _clean(t):
-        # the kept-position array is referenced 2× (size + rebuild):
+        # the kept-position array is referenced 2x (size + rebuild):
         # let-bind it through a second single-element transform, the
         # same no-CSE-for-higher-order-lambdas fix as shingles()
-        # (A/B at the 250k-doc stress corpus: ~2× faster let-bound)
+        # (A/B at the 250k-doc stress corpus: ~2x faster let-bound)
         keep_expr = F.filter(
             F.sequence(F.lit(1), F.size(t)),
             lambda i: ~F.exists(
@@ -1614,3 +1630,36 @@ def dedup_spans_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "c.n_tokens", "c.n_cut", "c.clean_text")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_spans_cut",
+    oracle=_span_ctes(False) + _CUT_TAIL,
+)
+def dedup_spans_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup, transform side: rebuild every
+    document with its corpus-repeated token spans REMOVED. Like
+    dedup_lines_global's chunk contract, a repeated span is dropped
+    from EVERY occurrence — the boilerplate reading of span
+    duplication (dedup_spans_keep_first is the sibling that elects a
+    canonical host and keeps one copy). Scale shape: detection is
+    _dup_spans (8-byte key groupBy + window merge), rebuild is
+    _cut_rebuild (in-row position filter, no token-row explosion)."""
+    return _cut_rebuild(spark, sf_dir, keep_first=False)
+
+
+@register("dedup_spans_keep_first", oracle=_span_ctes(True) + _CUT_TAIL)
+def dedup_spans_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-occurrence span cutting — the Lee et al. regime proper:
+    for every duplicated 8-gram the minimal doc_id holding it is
+    elected canonical host, the host's occurrence is left intact, and
+    every OTHER occurrence is cut. Exactly one verbatim copy of each
+    duplicated gram survives corpus-wide (dedup_spans_cut, the
+    boilerplate reading, removes all of them). The election is the
+    per-gram min(doc_id) — one extra column on the dup-key aggregate,
+    no additional shuffle, and fully deterministic on any
+    partitioning, which is why the op keeps the full value-hash
+    oracle. Spans are merged per doc AFTER the owner filter, so a
+    position in the canonical host survives unless a DIFFERENT gram
+    owned elsewhere also covers it."""
+    return _cut_rebuild(spark, sf_dir, keep_first=True)

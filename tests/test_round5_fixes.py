@@ -434,3 +434,12 @@ def test_span_detect_and_cut_agree(spark):
         assert r["n_cut"] == (e["dup_tokens"] if e else 0), r["doc_id"]
         rebuilt = r["clean_text"].split() if r["clean_text"] else []
         assert len(rebuilt) == r["n_tokens"] - r["n_cut"], r["doc_id"]
+
+    # keep-first never cuts more than cut-everywhere (per doc), and the
+    # canonical-host election must leave strictly more text standing on
+    # a corpus that HAS duplicated spans
+    kf = {r["doc_id"]: r for r in dd.dedup_spans_keep_first(spark, SF_SMOKE).collect()}
+    assert set(kf) == {r["doc_id"] for r in cut}
+    for r in cut:
+        assert kf[r["doc_id"]]["n_cut"] <= r["n_cut"], r["doc_id"]
+    assert sum(r["n_cut"] for r in kf.values()) < sum(r["n_cut"] for r in cut)
