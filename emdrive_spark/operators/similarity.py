@@ -17,6 +17,9 @@ index artifact is an embryonic flat u128 file
 - ``ann_ivf``: IVF-style — KMeans centroids (broadcastable), probe the
   nearest cells only, exact rerank inside. The classic billion-vector
   partition-pruning layout.
+- ``ann_pq``: product quantization — 4-bit subspace codes (64x
+  compression) scored by ADC table lookups, exact rerank on the
+  candidate set. The in-memory-serving member of the ANN trio.
 
 Float determinism for oracles: arrays are cast to double on BOTH sides
 so every product/add is IEEE double in the same sequence; ranking keys
@@ -622,4 +625,112 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean"),
         F.min("x").cast("double").alias("min_v"),
         F.max("x").cast("double").alias("max_v"),
+    )
+
+
+@register("ann_pq", oracle=None)  # approximate: PQ-compressed distances
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the third standard family next to
+    the LSH (knn_topk_lsh) and IVF (ann_ivf) paths, and the one that
+    makes billion-vector serving fit in memory: the 64-d vector is
+    split into 8 subspaces of 8 dims, each subspace k-means-quantized
+    to 16 centroids, so a vector stores as 8 four-bit codes (4 bytes
+    vs 256 — 64x). Queries score by ADC (asymmetric distance
+    computation): one 8x16 lookup table of query-to-centroid
+    distances, approx distance = sum of 8 table lookups per vector —
+    a sequential scan of the code table, no float math per dimension.
+    Top-50 ADC candidates rerank with exact L2; top-10 returned.
+
+    Determinism (why rows-only still re-runs byte-identical on any
+    partitioning/core count): codebooks train DRIVER-SIDE in numpy on
+    a deterministic sample (vec_id % 2 == 0, collected ORDER BY
+    vec_id) with evenly-spaced deterministic seeding and fixed Lloyd
+    iterations, then enter the plan as literals — per-row encode and
+    ADC sums are fixed-order folds. No oracle because the codebook
+    cannot be re-derived in SQL; tests/test_round5_fixes.py pins
+    recall@10 vs the exact top-10 instead (the ann_recall pattern).
+
+    100 TB shape: training touches a bounded sample (here half the
+    fixture; in production a few 100k vectors) — never a full pass;
+    ENCODE is the one distributed scan an index build pays; serving
+    reads 4-byte codes, so the working set is 64x smaller than the
+    raw vectors and the exact rerank touches only the candidate ids."""
+    import numpy as np
+
+    m, dsub, k_cent, n_cand, k = 8, 8, 16, 50, 10
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    sample = np.array(
+        emb.filter(F.col("vec_id") % 2 == 0)
+        .orderBy("vec_id")
+        .select("e")
+        .collect()
+    )[:, 0, :]
+    query = np.array(
+        emb.filter(F.col("vec_id") == 0).select("e").collect()[0][0]
+    )
+
+    def lloyd(pts: "np.ndarray") -> "np.ndarray":
+        # evenly-spaced deterministic seeding + 10 fixed iterations;
+        # an emptied cluster keeps its previous centroid
+        idx = np.linspace(0, len(pts) - 1, k_cent).astype(int)
+        cents = pts[idx].copy()
+        for _ in range(10):
+            d2 = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k_cent):
+                sel = pts[assign == j]
+                if len(sel):
+                    cents[j] = sel.mean(axis=0)
+        return cents
+
+    approx_terms = []
+    code_cols = []
+    for s in range(m):
+        cents = lloyd(sample[:, s * dsub : (s + 1) * dsub])
+        # bare float literals parse as DECIMAL in Spark SQL — the D
+        # suffix keeps every centroid/ADC constant a double so the
+        # distance folds never detour through decimal arithmetic
+        cent_lits = ", ".join(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")" for c in cents
+        )
+        dists = F.expr(
+            f"transform(array({cent_lits}), c -> "
+            f"aggregate(zip_with(slice(e, {s * dsub + 1}, {dsub}), c, "
+            f"(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v))"
+        )
+        code = (
+            F.array_position(dists, F.array_min(dists)).cast("int").alias(f"c{s}")
+        )
+        code_cols.append(code)
+        adc = (
+            ((query[s * dsub : (s + 1) * dsub] - cents) ** 2).sum(axis=1)
+        )
+        adc_lit = "array(" + ", ".join(f"{float(x)!r}D" for x in adc) + ")"
+        # element_at is 1-based, matching array_position's 1-based code
+        approx_terms.append(F.element_at(F.expr(adc_lit), F.col(f"c{s}")))
+
+    coded = emb.select("vec_id", "e", *code_cols)
+    approx = sum(approx_terms[1:], approx_terms[0])
+    cand = (
+        coded.select("vec_id", "e", approx.alias("pq_d2"))
+        .orderBy("pq_d2", "vec_id")
+        .limit(n_cand)
+    )
+    q_lit = F.expr("array(" + ", ".join(f"{float(x)!r}D" for x in query) + ")")
+    exact = F.aggregate(
+        F.zip_with("e", q_lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return (
+        cand.select(
+            "vec_id",
+            F.round("pq_d2", 6).alias("pq_d2"),
+            F.round(exact, 6).alias("l2_d2"),
+        )
+        .orderBy("l2_d2", "vec_id")
+        .limit(k)
     )

@@ -443,3 +443,46 @@ def test_span_detect_and_cut_agree(spark):
     for r in cut:
         assert kf[r["doc_id"]]["n_cut"] <= r["n_cut"], r["doc_id"]
     assert sum(r["n_cut"] for r in kf.values()) < sum(r["n_cut"] for r in cut)
+
+
+def test_ann_pq_recall_and_determinism(spark):
+    # PQ-ADC recall@10 vs exact brute force (the ann_recall pattern for
+    # the rows-only PQ path), plus byte-stable re-execution: codebooks
+    # are driver-side numpy from a deterministic ordered sample, so two
+    # runs must agree exactly
+    from .conftest import SF_SMOKE
+    from emdrive_spark import registry
+    from pyspark.sql import functions as F
+    from emdrive_spark.sources.tables import load
+
+    q = registry.queries()["ann_pq"]
+    got = [tuple(r) for r in q(spark, SF_SMOKE).collect()]
+    again = [tuple(r) for r in q(spark, SF_SMOKE).collect()]
+    assert got == again
+    assert len(got) == 10
+
+    emb = load(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("e")
+    exact = (
+        emb.crossJoin(F.broadcast(qvec.select(F.col("e").alias("qe"))))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with("e", "qe", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ).alias("d2"),
+        )
+        .orderBy("d2", "vec_id")
+        .limit(10)
+        .collect()
+    )
+    exact_ids = {r["vec_id"] for r in exact}
+    pq_ids = {r[0] for r in got}
+    recall = len(exact_ids & pq_ids) / 10
+    # the query's own vector is always found (ADC distance 0 at its own
+    # codes is near-minimal); 16 centroids over 8 subspaces keep the
+    # neighborhood coarse but far better than chance
+    assert recall >= 0.5, recall

@@ -7,6 +7,7 @@ Usage: python tools/explain_audit.py  (writes PLANS.md at repo root)
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -64,6 +65,8 @@ FLAGSHIPS = {
     "graph_triangle_count": "degree-oriented wedge self-join + (v, w) closure equi-join; no CartesianProduct/BNLJ",
     "dedup_spans_exact": "8-byte gram-key groupBy; join back touches duplicated keys only; per-doc window merge, no Python eval",
     "dedup_spans_cut": "spans collect to one array row per doc; in-row position filter rebuilds text — no token-row explosion",
+    "dedup_spans_keep_first": "canonical host = min(doc_id) on the SAME dup-key aggregate; owner filter before the window merge",
+    "ann_pq": "codebooks/ADC tables enter the plan as literals; encode+score is one codegen projection, TakeOrdered top-k, no Python",
 }
 
 
@@ -80,6 +83,12 @@ def main() -> None:
         df = registry.REGISTRY[name].fn(spark, SF)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
+        )
+        # collapse giant literal constants (ann_pq inlines its 8x16
+        # codebook/ADC doubles) so the audit stays about plan SHAPE
+        num = r"-?\d+\.\d+(?:E-?\d+)?"
+        plan = re.sub(
+            rf"(?:{num},){{4}}(?:{num},?)+", "<doubles elided>,", plan
         )
         out.append(f"\n## {name}\n\n**Expected property:** {expect}\n")
         out.append("```\n" + plan.strip() + "\n```\n")
