@@ -111,6 +111,16 @@ def main() -> None:
         f"duplicated-span tokens cut: {span_stats['tokens_cut']} "
         f"of {span_stats['tokens_total']}"
     )
+    kf_stats = (
+        q["dedup_spans_keep_first"]
+        .fn(spark, sf_dir)
+        .agg(F.sum("n_cut").alias("tokens_cut"))
+        .collect()[0]
+    )
+    print(
+        f"  keep-first variant cuts only {kf_stats['tokens_cut']} "
+        f"(one canonical copy of every span survives)"
+    )
 
     # 4e. Boilerplate removal: corpus-wide duplicate-chunk dedup
     lines = q["dedup_lines_global"].fn(spark, sf_dir)
