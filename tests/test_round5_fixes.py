@@ -486,3 +486,67 @@ def test_ann_pq_recall_and_determinism(spark):
     # codes is near-minimal); 16 centroids over 8 subspaces keep the
     # neighborhood coarse but far better than chance
     assert recall >= 0.5, recall
+
+
+def test_span_family_edge_cases(spark, tmp_path):
+    # the span ops vs their own DuckDB oracles on an adversarial tiny
+    # corpus the fixture can't produce: a doc shorter than one gram, an
+    # empty doc, in-doc-only repetition (no cross-doc dup), three
+    # identical docs (whole-doc spans + owner election), and a partial
+    # mid-doc overlap
+    import duckdb
+    import pandas as pd
+
+    import tools.verify_local as vl
+    from emdrive_spark import registry
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6, 7],
+            "text": [
+                "a b",
+                "",
+                "x " * 11 + "x",  # 12 identical tokens, single doc
+                "one two three four five six seven eight nine ten",
+                "one two three four five six seven eight nine ten",
+                "one two three four five six seven eight nine ten",
+                "pre one two three four five six seven eight post tail",
+            ],
+        }
+    )
+    docs["lang"] = "en"
+    docs["source"] = "src"
+    docs["n_chars"] = docs["text"].str.len()
+    docs.to_parquet(tmp_path / "documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path / 'documents.parquet'}'"
+    )
+    registry.load_all()
+    for name in ("dedup_spans_exact", "dedup_spans_cut", "dedup_spans_keep_first"):
+        spec = registry.REGISTRY[name]
+        sdf = spec.fn(spark, str(tmp_path)).toPandas()
+        odf = con.execute(spec.oracle).fetchdf()
+        assert not vl.compare(name, sdf, odf), (name, sdf, odf)
+
+    # semantic spot checks: the identical triple is fully duplicated,
+    # the minimal doc_id keeps its text under keep-first, and the
+    # partial overlap cuts only the shared run
+    cut = {
+        r["doc_id"]: r
+        for r in registry.REGISTRY["dedup_spans_cut"].fn(spark, str(tmp_path)).collect()
+    }
+    kf = {
+        r["doc_id"]: r
+        for r in registry.REGISTRY["dedup_spans_keep_first"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert cut[4]["n_cut"] == 10 and cut[4]["clean_text"] == ""
+    assert kf[4]["n_cut"] == 0  # canonical host keeps the whole doc
+    assert kf[5]["n_cut"] == 10 and kf[6]["n_cut"] == 10
+    assert cut[1]["n_cut"] == 0 and cut[3]["n_cut"] == 0  # no cross-doc dup
+    assert cut[7]["clean_text"].startswith("pre") and cut[7]["clean_text"].endswith(
+        "post tail"
+    )
