@@ -1021,3 +1021,128 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("tri_cnt"),
         )
     )
+
+
+_KCORE_K = 80  # the fixture's degree median is ~90-120: k=80 cascades
+_KCORE_ROUNDS = 8  # fixpoint by round 5 at every fixture SF
+
+
+@register(
+    "graph_kcore",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+    ),
+    n0 AS (SELECT DISTINCT u AS pid FROM e),
+    a1 AS (
+      SELECT e.u AS pid FROM e
+      WHERE e.u IN (SELECT pid FROM n0) AND e.v IN (SELECT pid FROM n0)
+      GROUP BY e.u HAVING count(*) >= 80
+    ),
+    a2 AS (
+      SELECT e.u AS pid FROM e
+      WHERE e.u IN (SELECT pid FROM a1) AND e.v IN (SELECT pid FROM a1)
+      GROUP BY e.u HAVING count(*) >= 80
+    ),
+    a3 AS (
+      SELECT e.u AS pid FROM e
+      WHERE e.u IN (SELECT pid FROM a2) AND e.v IN (SELECT pid FROM a2)
+      GROUP BY e.u HAVING count(*) >= 80
+    ),
+    a4 AS (
+      SELECT e.u AS pid FROM e
+      WHERE e.u IN (SELECT pid FROM a3) AND e.v IN (SELECT pid FROM a3)
+      GROUP BY e.u HAVING count(*) >= 80
+    ),
+    a5 AS (
+      SELECT e.u AS pid FROM e
+      WHERE e.u IN (SELECT pid FROM a4) AND e.v IN (SELECT pid FROM a4)
+      GROUP BY e.u HAVING count(*) >= 80
+    ),
+    a6 AS (
+      SELECT e.u AS pid FROM e
+      WHERE e.u IN (SELECT pid FROM a5) AND e.v IN (SELECT pid FROM a5)
+      GROUP BY e.u HAVING count(*) >= 80
+    ),
+    a7 AS (
+      SELECT e.u AS pid FROM e
+      WHERE e.u IN (SELECT pid FROM a6) AND e.v IN (SELECT pid FROM a6)
+      GROUP BY e.u HAVING count(*) >= 80
+    ),
+    a8 AS (
+      SELECT e.u AS pid FROM e
+      WHERE e.u IN (SELECT pid FROM a7) AND e.v IN (SELECT pid FROM a7)
+      GROUP BY e.u HAVING count(*) >= 80
+    ),
+    core_deg AS (
+      SELECT e.u AS pid, count(*) AS d FROM e
+      WHERE e.u IN (SELECT pid FROM a8) AND e.v IN (SELECT pid FROM a8)
+      GROUP BY e.u
+    )
+    SELECT n0.pid AS part_id,
+           (cd.pid IS NOT NULL) AS in_kcore,
+           CAST(coalesce(cd.d, 0) AS BIGINT) AS core_deg
+    FROM n0 LEFT JOIN core_deg cd ON cd.pid = n0.pid
+    """,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (8 fixed peeling rounds, k=80) over
+    the part co-purchase graph — the density-community primitive behind
+    spam-farm and boilerplate-cluster detection on document/link
+    graphs. Each round removes every node whose degree AMONG SURVIVORS
+    is below k; the semantics are exactly N rounds (not
+    run-to-convergence), so the oracle unrolls the same N rounds as
+    chained CTEs and both engines produce byte-identical integer rows
+    on ANY partitioning — the graph_pagerank recipe applied to an
+    iterative pruning algorithm (the fixture reaches the true fixpoint
+    by round 5 at every SF, pytest-pinned).
+
+    Scale shape: each round is two left-semi joins of the checkpointed
+    edge list against the (shrinking) survivor set plus one map-side
+    partial count — the edge payload never moves; survivors are
+    localCheckpointed per round so lineage stays flat across the loop
+    (the dedup_components recipe). Peeling deletes cascade: a node can
+    survive round 1 and die in round 4 only because its neighbors
+    died in between — the property the per-round semi-join re-check
+    captures."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = und.select("src").distinct().localCheckpoint()
+    alive = nodes
+    for _ in range(_KCORE_ROUNDS):
+        e_alive = und.join(alive, "src", "semi").join(
+            alive.select(F.col("src").alias("dst")), "dst", "semi"
+        )
+        alive = (
+            e_alive.groupBy("src")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("src")
+            .localCheckpoint()
+        )
+    core_deg = (
+        und.join(alive, "src", "semi")
+        .join(alive.select(F.col("src").alias("dst")), "dst", "semi")
+        .groupBy("src")
+        .agg(F.count("*").alias("d"))
+    )
+    return (
+        nodes.join(core_deg, "src", "left")
+        .select(
+            F.col("src").alias("part_id"),
+            F.col("d").isNotNull().alias("in_kcore"),
+            F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("core_deg"),
+        )
+    )

@@ -550,3 +550,16 @@ def test_span_family_edge_cases(spark, tmp_path):
     assert cut[7]["clean_text"].startswith("pre") and cut[7]["clean_text"].endswith(
         "post tail"
     )
+
+
+def test_kcore_fixpoint_reached_within_round_budget(spark, monkeypatch):
+    # graph_kcore's semantics are "exactly N peeling rounds"; this pins
+    # that N=8 is past the true fixpoint on the fixture (7 and 8 rounds
+    # agree), so the fixed-round contract equals the converged k-core
+    from .conftest import SF_SMOKE
+    from emdrive_spark.operators import analytics as an
+
+    eight = sorted(map(tuple, an.graph_kcore(spark, SF_SMOKE).collect()))
+    monkeypatch.setattr(an, "_KCORE_ROUNDS", 7)
+    seven = sorted(map(tuple, an.graph_kcore(spark, SF_SMOKE).collect()))
+    assert eight == seven

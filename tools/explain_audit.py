@@ -67,6 +67,7 @@ FLAGSHIPS = {
     "dedup_spans_cut": "spans collect to one array row per doc; in-row position filter rebuilds text — no token-row explosion",
     "dedup_spans_keep_first": "canonical host = min(doc_id) on the SAME dup-key aggregate; owner filter before the window merge",
     "ann_pq": "codebooks/ADC tables enter the plan as literals; encode+score is one codegen projection, TakeOrdered top-k, no Python",
+    "graph_kcore": "per-round: two semi-joins vs the survivor set + map-side partial count; edge payload never moves",
 }
 
 

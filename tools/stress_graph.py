@@ -62,7 +62,7 @@ def main() -> None:
 
     result: dict[str, object] = {"copies": copies}
     q = registry.queries()
-    for name in ("graph_triangle_count", "graph_pagerank"):
+    for name in ("graph_triangle_count", "graph_pagerank", "graph_kcore"):
         t0 = time.time()
         result[f"{name}_rows"] = q[name](spark, staged).count()
         result[f"{name}_wall_s"] = round(time.time() - t0, 1)
