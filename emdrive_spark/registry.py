@@ -124,8 +124,6 @@ _ROUND_WINDOW = (
     "dedup_embedding",
     "dedup_components",
     "dedup_minhash",
-    "knn_join",
-    "pack_sequences",
     "dedup_lines_global",
     "quality_filter_gopher",
     # (d) the ops ADDED in round 5 — first-time certification
@@ -150,6 +148,11 @@ _ROUND_WINDOW = (
     # by displacing the text_search_bm25 re-cert — driver-green r4,
     # untouched since)
     "stream_ingest_dedup",
+    # late session-3 full-oracle ops, seated over the knn_join /
+    # pack_sequences re-certs (driver-green r2/r3, untouched this
+    # round; ann_pq stays out — its rows-only row can wait for r6)
+    "dedup_spans_keep_first",
+    "graph_kcore",
 )
 
 _loaded = False
