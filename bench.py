@@ -114,6 +114,7 @@ HEADLINE = (
     "dedup_incremental",    # batch-vs-history ingest dedup
     "dedup_spans_exact",    # corpus-repeated token-span detection
     "dedup_spans_cut",      # rebuild docs with repeated spans removed
+    "graph_kcore",          # fixed-round k-core peeling
 )
 
 
