@@ -563,3 +563,63 @@ def test_kcore_fixpoint_reached_within_round_budget(spark, monkeypatch):
     monkeypatch.setattr(an, "_KCORE_ROUNDS", 7)
     seven = sorted(map(tuple, an.graph_kcore(spark, SF_SMOKE).collect()))
     assert eight == seven
+
+
+def test_ingest_dedup_edge_cases(spark, tmp_path):
+    # dedup_incremental + stream_ingest_dedup vs the shared oracle on a
+    # corpus the fixture never produces: docs below the 3-token shingle
+    # threshold (empty shingle sets -> null minhash lanes -> null band
+    # keys, which must match NOTHING in both engines), an exact pair,
+    # and a doc whose truncated batch twin drops below the threshold
+    import duckdb
+    import pandas as pd
+
+    import tools.verify_local as vl
+    from emdrive_spark import registry
+
+    docs = pd.DataFrame(
+        {
+            # doc_id % 5 drives the batch truncation: %5==0 keeps all
+            # tokens (exact twin), %5==3 drops 30%, %5==4 drops 40%
+            "doc_id": [10, 11, 20, 13, 14],
+            "text": [
+                "solo",                                   # 1 token: no shingles
+                "two tokens",                             # 2 tokens: no shingles
+                "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+                "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+                "lone pair here",                         # 3 tokens -> batch twin has 2
+            ],
+        }
+    )
+    docs["lang"] = "en"
+    docs["source"] = "src"
+    docs["n_chars"] = docs["text"].str.len()
+    docs.to_parquet(tmp_path / "documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path / 'documents.parquet'}'"
+    )
+    registry.load_all()
+    for name in ("dedup_incremental", "stream_ingest_dedup"):
+        spec = registry.REGISTRY[name]
+        sdf = spec.fn(spark, str(tmp_path)).toPandas()
+        odf = con.execute(spec.oracle).fetchdf()
+        assert not vl.compare(name, sdf, odf), (name, sdf, odf)
+
+    rows = {
+        r["doc_id"]: r
+        for r in registry.REGISTRY["dedup_incremental"].fn(spark, str(tmp_path)).collect()
+    }
+    shift = 1_000_000
+    # id 20 (%5==0): untruncated batch twin, exact match against BOTH
+    # history copies (13 and 20) — jscore 1.0, ties to the smaller id
+    assert rows[20 + shift]["is_dup"] and rows[20 + shift]["dup_of"] == 13
+    assert rows[20 + shift]["jscore"] == 1_000_000
+    # id 13 (%5==3): 3 of 10 leading tokens dropped -> 5 of 8 shingles
+    # survive -> Jaccard 5/8 = 0.625 < 0.8 -> correctly NOT a dup
+    assert not rows[13 + shift]["is_dup"]
+    # shingle-less docs can never be dups (null band keys match nothing)
+    assert not rows[10 + shift]["is_dup"]
+    assert not rows[11 + shift]["is_dup"]
+    assert not rows[14 + shift]["is_dup"]
