@@ -916,6 +916,54 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("node").alias("part_id"), F.col("rank").alias("pagerank"))
 
 
+def _copurchase_triangles(spark: SparkSession, sf_dir: str):
+    """Shared co-purchase triangle machinery: returns (und, deg, tri)
+    where und is the both-direction edge list, deg the undirected
+    degree table (checkpointed), and tri one row per triangle
+    (tri_u, v, w; vertex order is degree-oriented, NOT id-ordered).
+    graph_triangle_count counts per node; graph_edge_jaccard counts
+    per edge. See graph_triangle_count for the degree-orientation
+    O(m^1.5) bound."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+    )
+    # Both directions are present, so out-degree here IS the undirected
+    # degree, and deg's key set IS the node set.
+    deg = und.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint()
+    ds = deg.select(F.col("src").alias("u_"), F.struct("d", "src").alias("ukey"))
+    dd = deg.select(F.col("src").alias("v_"), F.struct("d", "src").alias("vkey"))
+    oriented = (
+        und.join(ds, und["src"] == ds["u_"])
+        .join(dd, und["dst"] == dd["v_"])
+        .filter(F.col("ukey") < F.col("vkey"))
+        .select("src", "dst", "vkey")
+        .localCheckpoint()
+    )
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = (
+        w1.join(w2, F.col("w1.src") == F.col("w2.src"))
+        # strict < on the destination order key: each out-neighbor pair
+        # once, and the closing edge (if any) is oriented exactly v->w
+        .filter(F.col("w1.vkey") < F.col("w2.vkey"))
+        .select(
+            F.col("w1.src").alias("tri_u"),
+            F.col("w1.dst").alias("v"),
+            F.col("w2.dst").alias("w"),
+        )
+    )
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"])
+    return und, deg, tri
+
+
 @register(
     "graph_triangle_count",
     oracle="""
@@ -969,43 +1017,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     order lexicographically — no fragile packed-integer key, no id
     width assumption at 100 TB.
     """
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    und = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
-        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-        .distinct()
-    )
-    # Both directions are present, so out-degree here IS the undirected
-    # degree, and deg's key set IS the node set.
-    deg = und.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint()
-    ds = deg.select(F.col("src").alias("u_"), F.struct("d", "src").alias("ukey"))
-    dd = deg.select(F.col("src").alias("v_"), F.struct("d", "src").alias("vkey"))
-    oriented = (
-        und.join(ds, und["src"] == ds["u_"])
-        .join(dd, und["dst"] == dd["v_"])
-        .filter(F.col("ukey") < F.col("vkey"))
-        .select("src", "dst", "vkey")
-        .localCheckpoint()
-    )
-    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
-    wedges = (
-        w1.join(w2, F.col("w1.src") == F.col("w2.src"))
-        # strict < on the destination order key: each out-neighbor pair
-        # once, and the closing edge (if any) is oriented exactly v->w
-        .filter(F.col("w1.vkey") < F.col("w2.vkey"))
-        .select(
-            F.col("w1.src").alias("tri_u"),
-            F.col("w1.dst").alias("v"),
-            F.col("w2.dst").alias("w"),
-        )
-    )
-    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    tri = wedges.join(closing, ["v", "w"])
+    und, deg, tri = _copurchase_triangles(spark, sf_dir)
     per_node = (
         tri.select(
             F.explode(F.array("tri_u", "v", "w")).alias("pid")
@@ -1145,4 +1157,92 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").isNotNull().alias("in_kcore"),
             F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("core_deg"),
         )
+    )
+
+
+@register(
+    "graph_edge_jaccard",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    eb AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+    ),
+    deg AS (SELECT u AS pid, count(*) AS d FROM eb GROUP BY u),
+    e AS (SELECT u, v FROM eb WHERE u < v),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    pairc AS (
+      SELECT a AS x, b AS y FROM tri
+      UNION ALL SELECT a, c FROM tri
+      UNION ALL SELECT b, c FROM tri
+    ),
+    common AS (SELECT x, y, count(*) AS cnt FROM pairc GROUP BY x, y)
+    SELECT e.u, e.v,
+           CAST(coalesce(c.cnt, 0) AS BIGINT) AS common,
+           CAST(coalesce(c.cnt, 0) * 1000000
+                // (du.d + dv.d - coalesce(c.cnt, 0)) AS BIGINT) AS jscore
+    FROM e
+    LEFT JOIN common c ON c.x = e.u AND c.y = e.v
+    JOIN deg du ON du.pid = e.u
+    JOIN deg dv ON dv.pid = e.v
+    """,
+)
+def graph_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge neighborhood Jaccard over the co-purchase graph — the
+    'related products' / link-strength primitive: for every edge
+    (u, v), J = |N(u) ∩ N(v)| / |N(u) ∪ N(v)| with the union counted
+    as d_u + d_v − common (endpoints included; both sides use the
+    same convention, so the integer rows hash identically). The
+    common-neighbor count of an edge IS its triangle count, so the
+    op reuses _copurchase_triangles' degree-oriented machinery —
+    cost stays O(m^1.5)-bounded — and each triangle contributes one
+    count to each of its three edges via a 3-way in-row explode.
+    The score is the cross-engine-safe integer DIV (x 1e6): the
+    denominator is >= 2 because adjacent endpoints sit in each
+    other's neighborhoods — no zero-division branch needed.
+
+    Scale shape: one explode of the triangle frame (3 rows per
+    triangle), one groupBy on the canonical (min, max) pair, then a
+    left join from the canonical edge list with two broadcast-sized
+    degree attachments. No new shuffles beyond the triangle
+    machinery's own."""
+    und, deg, tri = _copurchase_triangles(spark, sf_dir)
+    pair = F.explode(
+        F.array(
+            F.struct(
+                F.least("tri_u", "v").alias("x"), F.greatest("tri_u", "v").alias("y")
+            ),
+            F.struct(
+                F.least("tri_u", "w").alias("x"), F.greatest("tri_u", "w").alias("y")
+            ),
+            F.struct(F.least("v", "w").alias("x"), F.greatest("v", "w").alias("y")),
+        )
+    )
+    common = (
+        tri.select(pair.alias("p"))
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("cnt"))
+    )
+    canon = und.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    du = deg.select(F.col("src").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("src").alias("v"), F.col("d").alias("dv"))
+    joined = (
+        canon.join(common, (canon["u"] == common["x"]) & (canon["v"] == common["y"]), "left")
+        .select("u", "v", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+        .join(du, "u")
+        .join(dv, "v")
+    )
+    return joined.select(
+        "u",
+        "v",
+        F.col("cnt").cast("long").alias("common"),
+        F.expr("CAST(cnt * 1000000 DIV (du + dv - cnt) AS BIGINT)").alias("jscore"),
     )

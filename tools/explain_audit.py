@@ -68,6 +68,7 @@ FLAGSHIPS = {
     "dedup_spans_keep_first": "canonical host = min(doc_id) on the SAME dup-key aggregate; owner filter before the window merge",
     "ann_pq": "codebooks/ADC tables enter the plan as literals; encode+score is one codegen projection, TakeOrdered top-k, no Python",
     "graph_kcore": "per-round: two semi-joins vs the survivor set + map-side partial count; edge payload never moves",
+    "graph_edge_jaccard": "triangle frame explodes 3 pairs/row; one (min,max) groupBy; no shuffles beyond the triangle machinery",
 }
 
 
