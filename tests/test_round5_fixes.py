@@ -623,3 +623,64 @@ def test_ingest_dedup_edge_cases(spark, tmp_path):
     assert not rows[10 + shift]["is_dup"]
     assert not rows[11 + shift]["is_dup"]
     assert not rows[14 + shift]["is_dup"]
+
+
+def test_graph_family_hand_verified(spark, tmp_path):
+    # oracle equality cannot catch both engines computing the same
+    # wrong answer — this pins the graph family to a hand-computed
+    # graph: order 1 makes triangle {1,2,3}, order 2 adds pendant edge
+    # 3-4, order 3 re-asserts edge 1-2 (distinct must dedup), order 4
+    # makes K4 on {5,6,7,8}
+    import duckdb
+    import pandas as pd
+
+    import tools.verify_local as vl
+    from emdrive_spark import registry
+
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 1, 2, 2, 3, 3, 4, 4, 4, 4],
+            "l_partkey": [1, 2, 3, 3, 4, 1, 2, 5, 6, 7, 8],
+        }
+    )
+    li.to_parquet(tmp_path / "lineitem.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{tmp_path / 'lineitem.parquet'}'"
+    )
+    registry.load_all()
+    for name in (
+        "graph_triangle_count",
+        "graph_edge_jaccard",
+        "graph_kcore",
+        "graph_pagerank",
+    ):
+        spec = registry.REGISTRY[name]
+        sdf = spec.fn(spark, str(tmp_path)).toPandas()
+        odf = con.execute(spec.oracle).fetchdf()
+        assert not vl.compare(name, sdf, odf), (name, sdf, odf)
+
+    tri = {
+        r["part_id"]: r["tri_cnt"]
+        for r in registry.REGISTRY["graph_triangle_count"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert tri == {1: 1, 2: 1, 3: 1, 4: 0, 5: 3, 6: 3, 7: 3, 8: 3}
+
+    jac = {
+        (r["u"], r["v"]): (r["common"], r["jscore"])
+        for r in registry.REGISTRY["graph_edge_jaccard"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert len(jac) == 10  # 3 + 1 + 6 distinct undirected edges
+    assert jac[(1, 2)] == (1, 333333)  # common {3}; union 2+2-1=3
+    assert jac[(1, 3)] == (1, 250000)  # common {2}; union 2+3-1=4
+    assert jac[(3, 4)] == (0, 0)       # pendant edge: nothing shared
+    assert jac[(5, 6)] == (2, 500000)  # K4 edge: common {7,8}; union 4
+
+    core = registry.REGISTRY["graph_kcore"].fn(spark, str(tmp_path)).collect()
+    assert len(core) == 8
+    # k=80 is far above every degree: the whole graph peels in round 1
+    assert all(not r["in_kcore"] and r["core_deg"] == 0 for r in core)
