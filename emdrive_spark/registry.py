@@ -125,7 +125,6 @@ _ROUND_WINDOW = (
     "dedup_components",
     "dedup_minhash",
     "dedup_lines_global",
-    "quality_filter_gopher",
     # (d) the ops ADDED in round 5 — first-time certification
     # beats re-certifying more long-green §2 core ops for the last
     # slots (the displaced re-certs — join_asof, window_rank,
@@ -153,6 +152,9 @@ _ROUND_WINDOW = (
     # round; ann_pq stays out — its rows-only row can wait for r6)
     "dedup_spans_keep_first",
     "graph_kcore",
+    # per-edge Jaccard (full oracle), over the quality_filter_gopher
+    # re-cert (driver-green r3, untouched this round)
+    "graph_edge_jaccard",
 )
 
 _loaded = False
