@@ -1130,3 +1130,77 @@ def events_detect_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("gap_s") >= 900)
     )
+
+
+@register(
+    "events_holt",
+    oracle="""
+    WITH f AS (
+      SELECT event_id, user_id,
+             list([value, 0.0]) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS xs
+      FROM events
+    ),
+    r AS (
+      SELECT event_id, user_id,
+             list_reduce(xs, (acc, x) ->
+               [x[1] * 0.3 + (acc[1] + acc[2]) * 0.7,
+                (x[1] * 0.3 + (acc[1] + acc[2]) * 0.7 - acc[1]) * 0.2
+                  + acc[2] * 0.8]) AS s
+      FROM f
+    )
+    SELECT event_id, user_id,
+           floor(s[1] * 1000000 + 0.5) / 1000000 AS level,
+           floor(s[2] * 1000000 + 0.5) / 1000000 AS trend,
+           floor((s[1] + s[2]) * 1000000 + 0.5) / 1000000 AS forecast
+    FROM r
+    """,
+)
+def events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing per user series (level
+    alpha=0.3, trend gamma=0.2, state truncated to the trailing 20
+    events, trend seeded 0 at the first observation): level tracks
+    the local mean, trend the local slope, and level+trend is the
+    one-step-ahead forecast — the telemetry forecaster one notch up
+    from events_ewma. The 2-component state folds LEFT-TO-RIGHT as a
+    2-element double list ([level, trend]) so BOTH engines run the
+    bit-identical recurrence: DuckDB's list_reduce seeds with the
+    first element (the [x1, 0] pair), Spark's aggregate seeds
+    element_at(xs, 1) and folds the tail — the events_ewma recipe
+    extended to coupled recurrences. The level expression is inlined
+    twice inside the trend update (SQL lambdas have no local
+    bindings); identical ASTs produce identical doubles.
+
+    Scale shape: one shuffle on user_id, a single ordered pass per
+    partition, per-row work bounded by the 20-element state frame."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-19, 0)
+    f = ev.select(
+        "event_id",
+        "user_id",
+        F.collect_list(F.array(F.col("value"), F.lit(0.0))).over(w).alias("xs"),
+    )
+
+    def _lvl(acc, x):
+        return F.element_at(x, 1) * F.lit(0.3) + (
+            F.element_at(acc, 1) + F.element_at(acc, 2)
+        ) * F.lit(0.7)
+
+    fold = F.aggregate(
+        F.slice(F.col("xs"), 2, F.size("xs") - 1),
+        F.element_at(F.col("xs"), 1),
+        lambda acc, x: F.array(
+            _lvl(acc, x),
+            (_lvl(acc, x) - F.element_at(acc, 1)) * F.lit(0.2)
+            + F.element_at(acc, 2) * F.lit(0.8),
+        ),
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    s = f.select("event_id", "user_id", fold.alias("s"))
+    return s.select(
+        "event_id",
+        "user_id",
+        r6(F.element_at("s", 1)).alias("level"),
+        r6(F.element_at("s", 2)).alias("trend"),
+        r6(F.element_at("s", 1) + F.element_at("s", 2)).alias("forecast"),
+    )
