@@ -124,7 +124,6 @@ _ROUND_WINDOW = (
     "dedup_embedding",
     "dedup_components",
     "dedup_minhash",
-    "dedup_lines_global",
     # (d) the ops ADDED in round 5 — first-time certification
     # beats re-certifying more long-green §2 core ops for the last
     # slots (the displaced re-certs — join_asof, window_rank,
@@ -155,6 +154,9 @@ _ROUND_WINDOW = (
     # per-edge Jaccard (full oracle), over the quality_filter_gopher
     # re-cert (driver-green r3, untouched this round)
     "graph_edge_jaccard",
+    # Holt smoothing (full oracle), over the dedup_lines_global
+    # re-cert (driver-green r4, untouched this round)
+    "events_holt",
 )
 
 _loaded = False
