@@ -856,3 +856,80 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(window).cast("long").alias("n_chunk_tokens"),
         F.array_join(window, " ").alias("chunk_text"),
     )
+
+
+@register(
+    "sample_temperature",
+    oracle="""
+    WITH counts AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
+             (SELECT list_reduce(list(sqrt(CAST(cnt AS DOUBLE)) ORDER BY source),
+                                 (a, b) -> a + b)
+              FROM counts) AS denom
+      FROM counts
+    ),
+    rates AS (
+      SELECT source,
+             least(1.0,
+                   (sqrt(CAST(cnt AS DOUBLE)) / denom) * n_total / cnt) AS rate
+      FROM counts, tot
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r USING (source)
+    WHERE r.rate >= 1.0
+       OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+          < lpad(lower(hex(CAST(floor(r.rate * 4294967296) AS BIGINT))), 8, '0')
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain sampling (T = 0.5): target share of
+    source d is sqrt(n_d) / sum_d' sqrt(n_d') — the standard LLM
+    data-mixing move that flattens the domain distribution without
+    hand-picked rates (sample_domain_mix's fixed-share sibling).
+    Acceptance per source is min(1, share x N_total / n_d) applied as
+    the deterministic md5-prefix threshold, so the sampled set is
+    reproducible on any engine, partitioning, or run.
+
+    Float determinism needs TWO pins: sqrt is IEEE exactly-rounded
+    (identical in every libm, unlike pow — which is why T is 1/2 and
+    not a free parameter), and the sum over sources folds
+    LEFT-TO-RIGHT over the source-name-sorted list in both engines —
+    a plain SUM() would combine in partition order and could wobble
+    the last ulp, flipping a doc whose hash sits exactly on the
+    threshold boundary.
+
+    Scale shape: identical to sample_domain_mix — one tiny per-source
+    aggregation broadcast back, corpus side a pure deterministic-hash
+    filter, no shuffle of documents."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("cnt"))
+    sq = F.sqrt(F.col("cnt").cast("double"))
+    tot = counts.agg(
+        F.sum("cnt").cast("double").alias("n_total"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", sq.alias("s")))),
+                lambda t: t["s"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("denom"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0), (sq / F.col("denom")) * F.col("n_total") / F.col("cnt")
+        ).alias("rate"),
+    )
+    thr = F.lpad(
+        F.lower(F.hex(F.floor(F.col("rate") * 4294967296).cast("bigint"))), 8, "0"
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(
+            (F.col("rate") >= 1.0)
+            | (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < thr)
+        )
+        .select("doc_id", "source")
+    )

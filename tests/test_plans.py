@@ -455,6 +455,7 @@ _SCALE_MARKER_ALLOWLIST = {
     "events_ab_test": {"BroadcastNestedLoopJoin"},  # 2x 1-row stats
     "basket_pair_lift": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
     "sample_domain_mix": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
+    "sample_temperature": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
     "text_search_bm25": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
     "text_perplexity_bucket": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
     "ann_recall": {"BroadcastNestedLoopJoin"},  # k-row recall compare
