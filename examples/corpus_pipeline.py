@@ -64,6 +64,13 @@ def main() -> None:
     print("== post-mix head sources (src0/src1 down-weighted) ==")
     mix.groupBy("source").count().orderBy("source").show(5)
 
+    # 3c. Temperature flattening: rates derived from the corpus itself
+    temp = q["sample_temperature"].fn(spark, sf_dir)
+    print(
+        f"temperature (T=0.5) resample keeps {temp.count()} docs "
+        f"(vs {mix.count()} under fixed shares)"
+    )
+
     # 4. Near-dedup: minhash signature clusters (keep the min doc_id)
     clusters = q["dedup_minhash_det"].fn(spark, sf_dir)
     n_dupes = clusters.filter("dup_count > 1").count()
