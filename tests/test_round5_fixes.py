@@ -684,3 +684,42 @@ def test_graph_family_hand_verified(spark, tmp_path):
     assert len(core) == 8
     # k=80 is far above every degree: the whole graph peels in round 1
     assert all(not r["in_kcore"] and r["core_deg"] == 0 for r in core)
+
+
+def test_sample_temperature_downsamples_skewed_corpus(spark, tmp_path):
+    # the fixture's sources are near-uniform, so sqrt-flattening keeps
+    # everything and the md5-threshold branch never runs — this stages
+    # a skewed corpus (400 docs in one source, 10 in the other) where
+    # the head rate MUST drop below 1, and re-checks the oracle there
+    import duckdb
+    import pandas as pd
+
+    import tools.verify_local as vl
+    from emdrive_spark import registry
+
+    n_big, n_small = 400, 10
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(n_big + n_small)),
+            "text": ["token " * 5] * (n_big + n_small),
+            "lang": "en",
+            "source": ["src_big"] * n_big + ["src_small"] * n_small,
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len()
+    docs.to_parquet(tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path / 'documents.parquet'}'"
+    )
+    registry.load_all()
+    spec = registry.REGISTRY["sample_temperature"]
+    sdf = spec.fn(spark, str(tmp_path)).toPandas()
+    odf = con.execute(spec.oracle).fetchdf()
+    assert not vl.compare("sample_temperature", sdf, odf), (sdf, odf)
+
+    kept = sdf.groupby("source").size().to_dict()
+    # sqrt flattening: share_big = 20/(20+~3.16) ≈ 0.863 → rate ≈ 0.885
+    # → the head is genuinely downsampled; the tail keeps everything
+    assert kept["src_small"] == n_small
+    assert 0 < kept["src_big"] < n_big
