@@ -1204,3 +1204,97 @@ def events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.element_at("s", 2)).alias("trend"),
         r6(F.element_at("s", 1) + F.element_at("s", 2)).alias("forecast"),
     )
+
+
+@register(
+    "events_holt_winters",
+    oracle="""
+    WITH f AS (
+      SELECT event_id, user_id,
+             list([value, 0.0, 0.0, 0.0, 0.0, 0.0])
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS xs
+      FROM events
+    ),
+    r AS (
+      SELECT event_id, user_id,
+             list_reduce(xs, (acc, x) ->
+               [(x[1] - acc[3]) * 0.3 + (acc[1] + acc[2]) * 0.7,
+                ((x[1] - acc[3]) * 0.3 + (acc[1] + acc[2]) * 0.7 - acc[1]) * 0.2
+                  + acc[2] * 0.8,
+                acc[4], acc[5], acc[6],
+                (x[1] - ((x[1] - acc[3]) * 0.3 + (acc[1] + acc[2]) * 0.7)) * 0.1
+                  + acc[3] * 0.9]) AS s
+      FROM f
+    )
+    SELECT event_id, user_id,
+           floor(s[1] * 1000000 + 0.5) / 1000000 AS level,
+           floor(s[2] * 1000000 + 0.5) / 1000000 AS trend,
+           floor((s[1] + s[2] + s[3]) * 1000000 + 0.5) / 1000000 AS forecast
+    FROM r
+    """,
+)
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive seasonal smoothing per user series
+    (alpha=0.3, gamma=0.2, delta=0.1, season length 4, seasonal
+    components seeded 0, state truncated to the trailing 20 events) —
+    the third member of the forecasting ladder after events_ewma and
+    events_holt. The 6-component state [level, trend, s1..s4] folds
+    left-to-right as a double list; the season ROTATES inside the
+    fold (the current seasonal index is always slot 3, updated
+    components append at the tail), so no position arithmetic is
+    needed and the same lambda runs in both engines. The level
+    expression is inlined three times (trend and seasonal updates
+    reference it; SQL lambdas have no local bindings) — identical
+    ASTs, identical doubles, full value-hash oracle. The one-step
+    forecast is level + trend + next season slot.
+
+    Scale shape: identical to events_ewma/events_holt — one user_id
+    shuffle, a single ordered pass, per-row work bounded by the
+    20-element frame."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-19, 0)
+    f = ev.select(
+        "event_id",
+        "user_id",
+        F.collect_list(
+            F.array(
+                F.col("value"),
+                F.lit(0.0),
+                F.lit(0.0),
+                F.lit(0.0),
+                F.lit(0.0),
+                F.lit(0.0),
+            )
+        )
+        .over(w)
+        .alias("xs"),
+    )
+    e = F.element_at
+
+    def _lvl(acc, x):
+        return (e(x, 1) - e(acc, 3)) * F.lit(0.3) + (e(acc, 1) + e(acc, 2)) * F.lit(
+            0.7
+        )
+
+    fold = F.aggregate(
+        F.slice(F.col("xs"), 2, F.size("xs") - 1),
+        e(F.col("xs"), 1),
+        lambda acc, x: F.array(
+            _lvl(acc, x),
+            (_lvl(acc, x) - e(acc, 1)) * F.lit(0.2) + e(acc, 2) * F.lit(0.8),
+            e(acc, 4),
+            e(acc, 5),
+            e(acc, 6),
+            (e(x, 1) - _lvl(acc, x)) * F.lit(0.1) + e(acc, 3) * F.lit(0.9),
+        ),
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    s = f.select("event_id", "user_id", fold.alias("s"))
+    return s.select(
+        "event_id",
+        "user_id",
+        r6(e(F.col("s"), 1)).alias("level"),
+        r6(e(F.col("s"), 2)).alias("trend"),
+        r6(e(F.col("s"), 1) + e(F.col("s"), 2) + e(F.col("s"), 3)).alias("forecast"),
+    )
