@@ -69,6 +69,9 @@ FLAGSHIPS = {
     "ann_pq": "codebooks/ADC tables enter the plan as literals; encode+score is one codegen projection, TakeOrdered top-k, no Python",
     "graph_kcore": "per-round: two semi-joins vs the survivor set + map-side partial count; edge payload never moves",
     "graph_edge_jaccard": "triangle frame explodes 3 pairs/row; one (min,max) groupBy; no shuffles beyond the triangle machinery",
+    "events_holt": "one user_id shuffle; the coupled level/trend fold runs inside the frame, no Python eval",
+    "events_holt_winters": "same single-shuffle shape with the 6-component rotating seasonal state in-frame",
+    "sample_temperature": "corpus side is scan + broadcast-probe + filter; the sqrt-share rate table is a |sources|-row aggregate",
 }
 
 
