@@ -118,9 +118,39 @@ HEADLINE = (
 )
 
 
+def _load_gate() -> tuple[bool, float]:
+    """Hold the run until the host is quiet (r5 judge: the official r5
+    artifact was recorded at load_avg 14.5 and its graph numbers read
+    as a 3-5x regression vs the same code's quiet medians). Polls the
+    1-min load average until it drops below $SPARK_GRAFT_LOAD_GATE
+    (default 4.0 on the 32-cpu host) or $SPARK_GRAFT_LOAD_WAIT seconds
+    (default 600) elapse. Returns (noisy, load_at_start): if the gate
+    never opened the run proceeds anyway — the driver needs its one
+    JSON line — but the artifact carries "noisy": true so nobody reads
+    contended numbers as a regression."""
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4"))
+    budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "600"))
+    deadline = time.monotonic() + budget
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        return False, -1.0
+    while load1 >= gate and time.monotonic() < deadline:
+        print(
+            f"bench: 1-min load {load1:.1f} >= gate {gate:.1f}; waiting for a "
+            "quiet window...",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(30)
+        load1 = os.getloadavg()[0]
+    return load1 >= gate, round(load1, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    noisy, load_at_start = _load_gate()
     spark = get_spark("emdrive-bench")
 
     qs = registry.queries()
@@ -165,6 +195,8 @@ def main() -> None:
                 "queries": timings,
                 "reps": reps,
                 "load_avg": load_avg,
+                "load_at_start": load_at_start,
+                "noisy": noisy,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -21,6 +21,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from emdrive_spark.functions.ckpt import ckpt
 from emdrive_spark.functions.generators import ulid
 from emdrive_spark.sql import ast
 from emdrive_spark.sql.errors import EmdriveValidationError
@@ -228,7 +229,7 @@ class Catalog:
             entry.inserts += 1
             entry.dirty = True  # next save() must rewrite this table
             if entry.inserts % _CHECKPOINT_EVERY_INSERTS == 0:
-                entry.df = entry.df.localCheckpoint(eager=True)
+                entry.df = ckpt(entry.df)
             entry.df.createOrReplaceTempView(entry.name)
         # no refresh_system_views() here: the system relations expose
         # DDL metadata only — INSERT never changes them, and the hot

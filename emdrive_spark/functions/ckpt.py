@@ -1,0 +1,46 @@
+"""Checkpoint strategy switch — lineage truncation for iterative ops.
+
+The iterative families (graph loops, components propagation, band
+materialization, the prefix-sum pid pin) truncate lineage with
+``localCheckpoint``: fastest (executor-local blocks, no extra I/O) but
+NOT recomputable — losing an executor mid-op fails the query instead
+of degrading it. That trade is right for an interactive session and
+wrong for a preemption-heavy cluster (spot instances, aggressive
+autoscaling), where a lost block should be re-read from reliable
+storage rather than failing a multi-hour pipeline.
+
+``ckpt(df)`` routes on one session-level flag:
+
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+
+When set, checkpoints go through ``DataFrame.checkpoint()`` against
+``sparkContext.setCheckpointDir`` (HDFS/S3/local path — set
+``spark.graft.checkpointDir`` to choose it; defaults to a local tmp
+dir, which is only sensible for single-node runs). Results are
+identical either way — the flag changes WHERE blocks live, never what
+they contain (pinned by tests/test_round6_fixes.py equality tests).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame
+
+FLAG = "spark.graft.reliableCheckpoint"
+DIR_CONF = "spark.graft.checkpointDir"
+
+
+def ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Truncate lineage: ``localCheckpoint`` by default; reliable
+    ``checkpoint()`` when ``spark.graft.reliableCheckpoint=true``."""
+    spark = df.sparkSession
+    if spark.conf.get(FLAG, "false").lower() != "true":
+        return df.localCheckpoint(eager=eager)
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        target = spark.conf.get(DIR_CONF, None) or tempfile.mkdtemp(
+            prefix="emdrive_ckpt_"
+        )
+        sc.setCheckpointDir(target)
+    return df.checkpoint(eager=eager)

@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from emdrive_spark.functions.ckpt import ckpt
+
 
 def global_prefix_sum(
     spark: SparkSession,
@@ -33,12 +35,14 @@ def global_prefix_sum(
     across runs (r4 review; documented rather than tiebroken so the
     helper stays a drop-in for any single sort key).
 
-    Availability note (r4 review): the eager localCheckpoint is what
-    pins spark_partition_id across the two actions — correctness can
-    never silently drift — but checkpoint blocks are not recomputable,
-    so losing an executor mid-op fails the query rather than degrading
-    it. On a preemption-heavy cluster swap localCheckpoint for a
-    reliable checkpoint dir (same two-action shape)."""
+    Availability note (r4 review): the eager checkpoint is what pins
+    spark_partition_id across the two actions — correctness can never
+    silently drift. By default it is a localCheckpoint (blocks not
+    recomputable: losing an executor mid-op fails the query rather
+    than degrading it); on a preemption-heavy cluster set
+    ``spark.graft.reliableCheckpoint=true`` and the same call routes
+    through a reliable checkpoint dir (functions/ckpt.py, r5 verdict
+    item 4 — tested equal in tests/test_round6_fixes.py)."""
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     part = (
         # No sortWithinPartitions here (r4 review): the window below
@@ -48,7 +52,7 @@ def global_prefix_sum(
         .withColumn("__pid", F.spark_partition_id())
         # Pin the partition assignment: two actions follow (subtotal
         # collect, final compute) and both must see identical pids.
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     subtotals = part.groupBy("__pid").agg(F.sum(weight_col).alias("sub")).collect()
     offsets, run = [], 0

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from emdrive_spark.functions import money as M
+from emdrive_spark.functions.ckpt import ckpt
 from emdrive_spark.registry import register
 from emdrive_spark.sources.tables import load, staging_dir
 
@@ -890,9 +891,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (A/B at sf0.1: 4.7 → 3.9 s median; at cluster scale this is
         # the difference between shuffling the edge list 5× and 0×).
         .repartition(spark.sparkContext.defaultParallelism, "src")
-        .localCheckpoint()
+        .transform(ckpt)
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count("*").alias("d")).transform(ckpt)
     ntab = deg.agg(F.count("*").alias("n"))  # 1-row scalar, broadcast below
     ranks = deg.crossJoin(F.broadcast(ntab)).select(
         F.col("src").alias("node"),
@@ -937,7 +938,7 @@ def _copurchase_triangles(spark: SparkSession, sf_dir: str):
     )
     # Both directions are present, so out-degree here IS the undirected
     # degree, and deg's key set IS the node set.
-    deg = und.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint()
+    deg = und.groupBy("src").agg(F.count("*").alias("d")).transform(ckpt)
     ds = deg.select(F.col("src").alias("u_"), F.struct("d", "src").alias("ukey"))
     dd = deg.select(F.col("src").alias("v_"), F.struct("d", "src").alias("vkey"))
     oriented = (
@@ -945,7 +946,7 @@ def _copurchase_triangles(spark: SparkSession, sf_dir: str):
         .join(dd, und["dst"] == dd["v_"])
         .filter(F.col("ukey") < F.col("vkey"))
         .select("src", "dst", "vkey")
-        .localCheckpoint()
+        .transform(ckpt)
     )
     w1, w2 = oriented.alias("w1"), oriented.alias("w2")
     wedges = (
@@ -1129,9 +1130,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
         .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
         .distinct()
-        .localCheckpoint()
+        .transform(ckpt)
     )
-    nodes = und.select("src").distinct().localCheckpoint()
+    nodes = und.select("src").distinct().transform(ckpt)
     alive = nodes
     for _ in range(_KCORE_ROUNDS):
         e_alive = und.join(alive, "src", "semi").join(
@@ -1142,7 +1143,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("d"))
             .filter(F.col("d") >= _KCORE_K)
             .select("src")
-            .localCheckpoint()
+            .transform(ckpt)
         )
     core_deg = (
         und.join(alive, "src", "semi")

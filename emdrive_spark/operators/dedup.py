@@ -25,6 +25,7 @@ import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from emdrive_spark.functions.ckpt import ckpt
 from emdrive_spark.functions.layout import spread
 from emdrive_spark.operators.text import (
     minhash_lane_sql,
@@ -76,7 +77,7 @@ def _bucket_pairs(sh: DataFrame) -> DataFrame:
         sh.groupBy(key)
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") >= 2)
-        .localCheckpoint()
+        .transform(ckpt)
     )
     pair_expr = F.expr(
         "flatten(transform(ids, (x, i) -> "
@@ -477,7 +478,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = (
         corpus.select("vec_id", _sign_keys_udf()(F.col("v")).alias("keys"))
         .select("vec_id", F.posexplode("keys").alias("band", "key"))
-        .localCheckpoint()
+        .transform(ckpt)
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -563,12 +564,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = (
         spread(_doubled(spark, sf_dir))  # few-split scan, ~100× amplification
         .select("doc_id", minhash_sig_array(sh).alias("sig_arr"))
-        .localCheckpoint(eager=False)
+        .transform(ckpt, eager=False)
     )
 
-    member = band_members(corpus).localCheckpoint()
+    member = band_members(corpus).transform(ckpt)
 
-    labels = corpus.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint()
+    labels = corpus.select("doc_id", F.col("doc_id").alias("component")).transform(ckpt)
     for _ in range(12):  # ceil(diameter/2) bound; dup clusters are shallow
         bucket_min = (
             member.join(labels, "doc_id")
@@ -593,7 +594,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 new_component.alias("component"),
                 (new_component < F.col("component")).alias("chg"),
             )
-            .localCheckpoint()
+            .transform(ckpt)
         )
         changed = stepped.filter("chg").count()
         labels = stepped.select("doc_id", "component")
@@ -649,12 +650,12 @@ def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             edges_fwd.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
-        .localCheckpoint()
+        .transform(ckpt)
     )
     labels = (
         _embedding_corpus(spark, sf_dir)
         .select("vec_id", F.col("vec_id").alias("component"))
-        .localCheckpoint()
+        .transform(ckpt)
     )
     for _ in range(12):  # dup clusters are shallow; fixpoint long before
         nbr = (
@@ -672,7 +673,7 @@ def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 new_component.alias("component"),
                 (new_component < F.col("component")).alias("chg"),
             )
-            .localCheckpoint()
+            .transform(ckpt)
         )
         changed = stepped.filter("chg").count()
         labels = stepped.select("vec_id", "component")
@@ -749,7 +750,7 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = (
         spread(_doubled(spark, sf_dir))  # few-split scan, ~100× amplification
         .select("doc_id", shingles(F.col("text")).alias("sh"))  # already distinct
-        .localCheckpoint()
+        .transform(ckpt)
     )
     sigs = corpus.select(
         "doc_id", "sh", minhash_sig_array(F.col("sh")).alias("sig_arr")
@@ -1118,7 +1119,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long").alias("sh_key"),
         )
-        .localCheckpoint()  # feeds the bucket pass AND the per-doc counts
+        .transform(ckpt)  # feeds the bucket pass AND the per-doc counts
     )
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     cand = (
@@ -1298,7 +1299,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = (
         spread(docs.unionByName(batch_docs))
         .select("doc_id", shingles(F.col("text")).alias("sh"))
-        .localCheckpoint()
+        .transform(ckpt)
     )
     batch_sh = corpus.filter(F.col("doc_id") >= _SHIFT)
     hist = corpus.filter(F.col("doc_id") < _SHIFT)
@@ -1347,7 +1348,7 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist_sh_frame = (
         spread(docs)
         .select("doc_id", shingles(F.col("text")).alias("sh"))
-        .localCheckpoint()
+        .transform(ckpt)
     )
     hist_sh = hist_sh_frame.select(
         F.col("doc_id").alias("id_h"), F.col("sh").alias("sh_h")
@@ -1356,7 +1357,7 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist_sh_frame.select(
             "doc_id", minhash_sig_array(F.col("sh")).alias("sig_arr")
         )
-    ).select(F.col("doc_id").alias("id_h"), "bkt").localCheckpoint()
+    ).select(F.col("doc_id").alias("id_h"), "bkt").transform(ckpt)
 
     def verify_batch(bdf: DataFrame, epoch_id: int) -> None:
         batch_sh = bdf.select("doc_id", shingles(F.col("text")).alias("sh"))
@@ -1511,7 +1512,7 @@ def _dup_spans(
         spread(d.select("doc_id", "text"))
         .select("doc_id", F.explode(gram_arr).alias("x"))
         .select("doc_id", F.col("x.pos").alias("pos"), F.col("x.gk").alias("gk"))
-        .localCheckpoint()
+        .transform(ckpt)
     )
     aggs = [F.countDistinct("doc_id").alias("nd")]
     if keep_first:

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from emdrive_spark.functions.ckpt import ckpt
 from emdrive_spark.functions.layout import spread
 from emdrive_spark.operators.text import shingles, tokens
 from emdrive_spark.registry import register
@@ -239,7 +240,7 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         spread(d.select("doc_id", "source", "text"))
         .select("doc_id", "source", shingles(F.col("text")).alias("sh"))
-        .localCheckpoint()
+        .transform(ckpt)
     )
     bench = (
         sh.filter(F.col("source") == _BENCH_SOURCE)

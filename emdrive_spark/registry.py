@@ -67,96 +67,79 @@ _ALIASES = {
 }
 
 # The correctness driver verifies the first N (=50) entries of queries()
-# in iteration order. Round-5 rotation (r4 VERDICT "Next round" item 1):
-# rounds 1-4 cumulatively certified 195 of 221 registrations with zero
-# failures; tier 1 below is EXACTLY the 26-op remainder, pre-ordered by
-# the r4 judge (all 26 passed the judge's dtype-strict driver-mirror
-# gate in r4), so after this round every registered op has a driver
-# row: the r4-added catalog-introspection op, the 4 never-checked
-# rows-only ops, the 18 remaining TPC-H, and the 3 §2 aliases. Tier 2
-# fills the window's remaining 24 slots with re-certification of (a)
-# ops whose code paths this round's advisor fixes touched
-# (engine/catalog/server -> sql_select_at_distance, create_table,
-# insert_rows, scan_full), (b) the 3 r4 bench watch items, and (c) the
-# most expensive composition flagships, so the freshest driver rows
-# cover the code that changed and the queries that cost the most.
+# in iteration order. Round-6 rotation (r5 VERDICT items 1 & 5):
+# tier 1 is the 3 post-window additions that have never had a driver
+# row (seating them re-closes the certification ledger: 237/237).
+# Tier 2 re-certifies every op whose CODE PATH round 6 touched — the
+# reliable-checkpoint switch (functions/ckpt.py) rewired the lineage
+# truncation inside the whole dedup/graph/prefix-sum family plus the
+# catalog INSERT path, and ann_pq's training collect gained its cap —
+# so the freshest driver rows cover exactly the changed code. Tier 3
+# brings back the re-certs r5's window displaced (all long-green,
+# judge-listed), and tier 4 fills the remainder with the r1-certified
+# §2 core that has waited longest for a fresh row.
 _ROUND_WINDOW = (
-    # ---- tier 1: the 26-op certification remainder ----
-    "system_catalog_introspect",
-    "embedding_mmr_rerank",
-    "ann_recall",
-    "sketch_hll_rollup",
-    "agg_percentile_approx",
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "filter_lt_alias",
-    "topk_by_distance",
-    "dedup_near",
-    # ---- tier 2: re-certification ----
-    # (a) code paths touched by the round-5 advisor fixes
-    "sql_select_at_distance",
-    "create_table",
-    "insert_rows",
-    "scan_full",
-    # (b) r4 bench watch items (fresh correctness rows alongside the
-    # quiet-load re-bench)
-    "dedup_lsh_verified",
-    "doc_fingerprint",
-    "agg_group_sum",
-    # (c) most expensive flagships + §2 core spread
-    "dedup_edit_verified",
-    "dedup_embedding",
-    "dedup_components",
-    "dedup_minhash",
-    # (d) the ops ADDED in round 5 — first-time certification
-    # beats re-certifying more long-green §2 core ops for the last
-    # slots (the displaced re-certs — join_asof, window_rank,
-    # events_session_agg, tpch_q6, tpch_q3, tpch_q1 — are
-    # driver-green since r1/r3)
-    "dedup_containment",
-    "text_chunk_overlap",
-    "lang_id_ngram",
+    # ---- tier 1: first-time certification (r5 verdict item 1) ----
+    "ann_pq",  # rows-only by design (PQ-compressed distances)
+    "events_holt_winters",
+    "sample_temperature",
+    # ---- tier 2: code paths touched this round ----
+    # (a) graph family: ckpt() swap at analytics.py edge/degree sites
     "graph_pagerank",
     "graph_triangle_count",
+    "graph_kcore",
+    "graph_edge_jaccard",
+    # (b) dedup family: ckpt() swap in _bucket_pairs / band frames /
+    # components loop / span grams / ingest history
+    "dedup_exact",
+    "dedup_components",
+    "dedup_lsh_verified",
+    "dedup_minhash_det",
+    "dedup_edit_verified",
+    "dedup_containment",
+    "dedup_embedding",
     "dedup_incremental",
-    # session-3 additions: substring-level span dedup, detect + cut.
-    # Seated by displacing two redundant re-certs — knn_topk (its
-    # tier-1 alias topk_by_distance runs the identical fn and oracle
-    # this same round) and dedup_exact (driver-green since r1,
-    # internals frozen since r4)
+    "stream_ingest_dedup",
     "dedup_spans_exact",
     "dedup_spans_cut",
-    # streaming ingest dedup under the FULL value-hash oracle (seated
-    # by displacing the text_search_bm25 re-cert — driver-green r4,
-    # untouched since)
-    "stream_ingest_dedup",
-    # late session-3 full-oracle ops, seated over the knn_join /
-    # pack_sequences re-certs (driver-green r2/r3, untouched this
-    # round; ann_pq stays out — its rows-only row can wait for r6)
     "dedup_spans_keep_first",
-    "graph_kcore",
-    # per-edge Jaccard (full oracle), over the quality_filter_gopher
-    # re-cert (driver-green r3, untouched this round)
-    "graph_edge_jaccard",
-    # Holt smoothing (full oracle), over the dedup_lines_global
-    # re-cert (driver-green r4, untouched this round)
-    "events_holt",
+    # (c) prefix-sum consumers (functions/prefix.py ckpt swap)
+    "pack_sequences",
+    "mm_shard_pack",
+    # (d) contamination_ngram (pipeline.py shingle-frame ckpt swap)
+    "contamination_ngram",
+    # (e) catalog INSERT checkpoint cadence (catalog.py ckpt swap)
+    "insert_rows",
+    "create_table",
+    # ---- tier 3: the re-certs r5 displaced (r5 verdict item 5) ----
+    "knn_topk",
+    "text_search_bm25",
+    "knn_join",
+    "quality_filter_gopher",
+    "dedup_lines_global",
+    "join_asof",
+    "window_rank",
+    "events_session_agg",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
+    # ---- tier 4: oldest-row §2 core (driver-green since r1) ----
+    "project",
+    "filter_eq",
+    "sort_pk",
+    "limit",
+    "join_inner",
+    "join_left",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "distinct_rows",
+    "agg_cube",
+    "agg_rollup",
+    "agg_count_distinct",
+    "window_running_sum",
+    "str_funcs",
+    "date_funcs",
 )
 
 _loaded = False

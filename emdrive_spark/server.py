@@ -108,7 +108,20 @@ def make_handler(engine: Engine):
             self.send_header("X-Request-Id", request_id)
             self.send_header("X-Elapsed-Us", str(elapsed_us))
             self.end_headers()
-            self.wfile.write(data)
+            try:
+                self.wfile.write(data)
+            except (TimeoutError, BrokenPipeError, ConnectionResetError) as exc:
+                # The class-level socket timeout applies to WRITES too:
+                # a client slow to drain a large JSON result (or one
+                # that hung up) would otherwise kill the handler thread
+                # with an uncaught exception and no diagnostic (r5
+                # advisor). Log it and let the connection close.
+                log.warning(
+                    "response write failed for request ID %s: %s",
+                    request_id,
+                    exc,
+                )
+                self.close_connection = True
 
         def do_POST(self):  # noqa: N802
             # Malformed framing (non-numeric Content-Length, non-UTF-8
@@ -132,6 +145,11 @@ def make_handler(engine: Engine):
                         }
                     )
                     self._respond(413, body, 0, ulid())
+                    # The oversized body is never read off the socket;
+                    # under HTTP/1.1 keep-alive its bytes would be
+                    # parsed as the next request line (r5 advisor).
+                    # Close instead of draining up to 16 MiB.
+                    self.close_connection = True
                     return
                 sql = self.rfile.read(length).decode()
             except TimeoutError:
