@@ -115,6 +115,12 @@ HEADLINE = (
     "dedup_spans_exact",    # corpus-repeated token-span detection
     "dedup_spans_cut",      # rebuild docs with repeated spans removed
     "graph_kcore",          # fixed-round k-core peeling
+    # round 6 additions — link-analysis + sketch + curation families
+    # (totals not comparable across this boundary; per-query keys are)
+    "graph_label_propagation",  # synchronous community detection
+    "graph_hits",               # bipartite hubs/authorities fixed-point
+    "sketch_countmin_topk",     # count-min heavy-hitter sketch
+    "text_novelty",             # corpus-first n-gram contribution
 )
 
 

@@ -1247,3 +1247,302 @@ def graph_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").cast("long").alias("common"),
         F.expr("CAST(cnt * 1000000 DIV (du + dv - cnt) AS BIGINT)").alias("jscore"),
     )
+
+
+_LPA_ROUNDS = 4  # synchronous rounds; communities stabilize by 3-4 on
+# the fixture (pytest pins round-3 == round-4 agreement rate)
+
+
+def _lpa_oracle() -> str:
+    """Unrolled-round LPA oracle: one chained CTE per synchronous round
+    (recursive members cannot aggregate) running the SAME deterministic
+    vote — highest neighbor-label count, smallest label on ties."""
+    rounds = []
+    for i in range(_LPA_ROUNDS):
+        rounds.append(
+            f"""v{i + 1} AS (
+      SELECT e.src, l.lbl, count(*) AS c
+      FROM edges e JOIN lab{i} l ON l.node = e.dst
+      GROUP BY e.src, l.lbl
+    ),
+    lab{i + 1} AS (
+      SELECT src AS node, lbl FROM (
+        SELECT src, lbl,
+               row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl ASC) AS rn
+        FROM v{i + 1}
+      ) WHERE rn = 1
+    )"""
+        )
+    return f"""
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.pk AS src, b.pk AS dst
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+    ),
+    lab0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+    {', '.join(rounds)}
+    SELECT node AS part_id, lbl AS community FROM lab{_LPA_ROUNDS}
+    """
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    part co-purchase graph — the cheap community primitive behind
+    site/domain clustering and template-family grouping on crawl link
+    graphs (the reference's analytics ambitions, README.md:19-27, on
+    the graph the other graph_* ops already certify). Every node starts
+    as its own label; each of the 4 fixed rounds every node adopts the
+    label carried by the PLURALITY of its neighbors, ties broken by the
+    smallest label. Synchronous update + deterministic tie-break +
+    integer labels = a full value-hash oracle for a community algorithm
+    (classic async LPA is run-order-dependent and could never have
+    one); the oracle unrolls the same 4 rounds as chained CTEs, the
+    graph_pagerank recipe.
+
+    Scale shape: the edge list is hash-partitioned by dst once and
+    checkpointed; each round is one equality join labels->edges (only
+    the |V|-sized label side moves), one partial-agg vote count, and
+    one max-of-struct argmax — no window, so the per-round cost is two
+    map-side-combinable shuffles. Labels are checkpointed per round to
+    keep lineage flat (the dedup_components recipe)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+        # partitioned by the JOIN side (dst) once; every round's label
+        # attach reuses this layout and only labels move
+        .repartition(spark.sparkContext.defaultParallelism, "dst")
+        .transform(ckpt)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src", "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        # argmax(count, then min label) as ONE partial-aggregable
+        # max-of-struct — (c, -lbl) orders ties toward the smallest
+        # label without a second full sort (window row_number would
+        # shuffle the votes a second time)
+        labels = (
+            votes.groupBy("src")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m"))
+            .select(F.col("src").alias("node"), (-F.col("m.nl")).alias("lbl"))
+            .transform(ckpt)
+        )
+    return labels.select(F.col("node").alias("part_id"), F.col("lbl").alias("community"))
+
+
+_HITS_SCALE = 10**12  # fixed-point scale for integer-exact HITS
+_HITS_ITERS = 3
+
+
+def _hits_oracle() -> str:
+    """Unrolled HITS oracle: per iteration, authority = sum of incoming
+    hub scores then integer-renormalized to ~_HITS_SCALE total, hubs
+    symmetric. The renormalization divides by (total DIV SCALE) — a
+    bigint-safe rescale (a direct a*SCALE/total product would need
+    int128) that truncates identically in both engines."""
+    its = ["h0 AS (SELECT DISTINCT s AS node, CAST(%d AS BIGINT) AS h FROM sp)" % _HITS_SCALE]
+    for i in range(_HITS_ITERS):
+        its.append(
+            f"""ar{i + 1} AS (
+      SELECT sp.p AS node, sum(h.h) AS a
+      FROM sp JOIN h{i} h ON h.node = sp.s GROUP BY sp.p
+    ),
+    a{i + 1} AS (
+      SELECT node, a // greatest((SELECT sum(a) FROM ar{i + 1}) // {_HITS_SCALE}, 1) AS a
+      FROM ar{i + 1}
+    ),
+    hr{i + 1} AS (
+      SELECT sp.s AS node, sum(a.a) AS h
+      FROM sp JOIN a{i + 1} a ON a.node = sp.p GROUP BY sp.s
+    ),
+    h{i + 1} AS (
+      SELECT node, h // greatest((SELECT sum(h) FROM hr{i + 1}) // {_HITS_SCALE}, 1) AS h
+      FROM hr{i + 1}
+    )"""
+        )
+    return f"""
+    WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    {', '.join(its)}
+    SELECT node, 'hub' AS role, CAST(h AS BIGINT) AS score FROM h{_HITS_ITERS}
+    UNION ALL
+    SELECT node, 'authority' AS role, CAST(a AS BIGINT) AS score FROM a{_HITS_ITERS}
+    """
+
+
+@register("graph_hits", oracle=_hits_oracle())
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities over the supplier->part bipartite
+    graph (suppliers 'link to' the parts they ship) — the second
+    classic link-analysis ranking next to graph_pagerank, and the one
+    whose mutual-reinforcement shape (good hubs point at good
+    authorities) matches catalog/marketplace curation. 3 fixed
+    iterations: authority = sum of incoming hub scores, hub = sum of
+    outgoing authority scores, each renormalized to ~1e12 total.
+
+    Arithmetic is FIXED-POINT INTEGER like graph_pagerank, so an
+    iterative eigenvector-style algorithm gets a full value-hash
+    oracle. Renormalization needs the round's global total — a 1-ROW
+    scalar collected to the driver and re-entered as a literal (the
+    prefix-sum subtotal pattern; 6 one-row actions total), because a
+    broadcast-crossJoin of the scalar would put a nested-loop node in
+    every audited plan. The rescale divides by (total DIV scale)
+    instead of multiplying by scale first: the product form needs
+    int128, which DuckDB bigint and Spark LongType both lack —
+    truncation is identical in both engines by construction.
+
+    Scale shape: the bipartite edge list shuffles once per side per
+    iteration as partial-agg sums keyed by supplier or part — map-side
+    combinable, no window, no cartesian; the edge list is checkpointed
+    once and both join directions reuse it."""
+    sp = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .transform(ckpt)
+    )
+    hubs = sp.select("s").distinct().select(
+        F.col("s").alias("node"), F.lit(_HITS_SCALE).cast("long").alias("h")
+    )
+    auths = None
+    for _ in range(_HITS_ITERS):
+        a_raw = (
+            sp.join(hubs, sp["s"] == hubs["node"])
+            .groupBy("p")
+            .agg(F.sum("h").alias("a"))
+        )
+        a_total = a_raw.agg(F.sum("a")).collect()[0][0]  # 1-row scalar
+        auths = a_raw.select(
+            F.col("p").alias("node"),
+            F.expr(f"a DIV greatest({a_total} DIV {_HITS_SCALE}, 1)").alias("a"),
+        )
+        h_raw = (
+            sp.join(auths, sp["p"] == auths["node"])
+            .groupBy("s")
+            .agg(F.sum("a").alias("h"))
+        )
+        h_total = h_raw.agg(F.sum("h")).collect()[0][0]  # 1-row scalar
+        hubs = h_raw.select(
+            F.col("s").alias("node"),
+            F.expr(f"h DIV greatest({h_total} DIV {_HITS_SCALE}, 1)").alias("h"),
+        )
+    return hubs.select(
+        "node", F.lit("hub").alias("role"), F.col("h").cast("long").alias("score")
+    ).unionByName(
+        auths.select(
+            "node",
+            F.lit("authority").alias("role"),
+            F.col("a").cast("long").alias("score"),
+        )
+    )
+
+
+_CMS_DEPTH = 4  # independent hash rows
+_CMS_WIDTH = 256  # buckets per row
+_CMS_TOPK = 20
+
+
+def _cms_oracle() -> str:
+    """Count-Min oracle: the sketch is DETERMINISTIC (md5-prefix row
+    hashes, the portable recipe both engines compute bit-identically),
+    so unlike HLL this sketch op carries a full value-hash oracle —
+    build the d x w counter table, then answer the true top-K keys
+    with min-over-rows, overestimate and all."""
+    return f"""
+    WITH rows_ AS (SELECT unnest(range({_CMS_DEPTH})) AS i),
+    keyed AS (
+      SELECT l_partkey AS pk, i,
+             CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+               % {_CMS_WIDTH} AS bkt
+      FROM lineitem CROSS JOIN rows_
+    ),
+    cms AS (SELECT i, bkt, count(*) AS c FROM keyed GROUP BY i, bkt),
+    topk AS (
+      SELECT l_partkey AS pk, count(*) AS true_cnt
+      FROM lineitem GROUP BY l_partkey
+      ORDER BY true_cnt DESC, pk ASC LIMIT {_CMS_TOPK}
+    ),
+    probes AS (
+      SELECT t.pk, t.true_cnt, r.i,
+             CAST(('0x' || substr(md5(CAST(t.pk AS VARCHAR) || '#' || CAST(r.i AS VARCHAR)), 1, 15)) AS BIGINT)
+               % {_CMS_WIDTH} AS bkt
+      FROM topk t CROSS JOIN rows_ r
+    )
+    SELECT p.pk AS part_id, CAST(p.true_cnt AS BIGINT) AS true_cnt,
+           CAST(min(cms.c) AS BIGINT) AS cms_est
+    FROM probes p JOIN cms ON cms.i = p.i AND cms.bkt = p.bkt
+    GROUP BY p.pk, p.true_cnt
+    """
+
+
+@register("sketch_countmin_topk", oracle=_cms_oracle())
+def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch over lineitem part keys, probed with
+    the true top-20 parts — the heavy-hitter counting sketch next to
+    sketch_hll_rollup's distinct counting, and the fixed-memory answer
+    to 'which items are hot' at 100 TB: the sketch is d x w = 4 x 256
+    counters NO MATTER how many rows or keys flow in, mergeable across
+    partitions/days by cell-wise addition, and every estimate is a
+    one-sided overestimate (est >= true, pytest-pinned).
+
+    Unlike the HLL op, this sketch carries a FULL value-hash oracle:
+    the row hashes are the portable md5-prefix recipe (identical
+    bucketing in Spark and DuckDB by construction), counting is exact
+    integer aggregation, and the probe set (true top-20, ties broken
+    by key) is deterministic — approximate answers, exactly
+    reproducible.
+
+    Scale shape: the build explodes each row into d (row, bucket)
+    cells whose groupBy is map-side combinable down to d x w rows per
+    partition before the shuffle — the sketch table that reaches the
+    reduce side is KB-sized; the probe is a broadcast join of 20 x d
+    cells against it. The one full-width pass is the exact top-K
+    groupBy, present so the oracle can score the sketch — a production
+    build ships only the d x w table."""
+    li = load(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("pk"))
+    rows_ = F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))
+
+    def bkt(pk_col, i_col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("#", pk_col, i_col)), 1, 15), 16, 10
+            ).cast("long")
+            % _CMS_WIDTH
+        )
+
+    keyed = li.select(
+        "pk", F.explode(rows_).alias("i")
+    ).select("i", bkt(F.col("pk"), F.col("i")).alias("bkt"))
+    cms = keyed.groupBy("i", "bkt").agg(F.count("*").alias("c"))
+    topk = (
+        li.groupBy("pk")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("pk"))
+        .limit(_CMS_TOPK)
+    )
+    probes = topk.select(
+        "pk", "true_cnt", F.explode(rows_).alias("i")
+    ).select("pk", "true_cnt", "i", bkt(F.col("pk"), F.col("i")).alias("bkt"))
+    return (
+        F.broadcast(probes)
+        .join(cms, ["i", "bkt"])
+        .groupBy("pk", "true_cnt")
+        .agg(F.min("c").cast("long").alias("cms_est"))
+        .select(
+            F.col("pk").alias("part_id"),
+            F.col("true_cnt").cast("long").alias("true_cnt"),
+            "cms_est",
+        )
+    )

@@ -934,3 +934,82 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source")
     )
+
+
+@register(
+    "text_novelty",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                              i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents)
+    ),
+    g AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS gh
+      FROM (SELECT doc_id, unnest(sh) AS s FROM t)
+    ),
+    w AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY gh) AS first_doc
+      FROM g
+    ),
+    a AS (
+      SELECT doc_id, count(*) AS n_grams,
+             count(*) FILTER (first_doc = doc_id) AS novel_cnt
+      FROM w GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(a.novel_cnt, 0) AS BIGINT) AS novel_cnt,
+           floor(CAST(a.novel_cnt AS DOUBLE) / nullif(a.n_grams, 0) * 10000 + 0.5)
+             / 10000 AS novel_frac
+    FROM documents d LEFT JOIN a USING (doc_id)
+    """,
+)
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus novelty: the fraction of a doc's distinct
+    3-gram shingles whose FIRST corpus occurrence (smallest doc_id) is
+    this document — the marginal-contribution signal data curation
+    uses to rank which documents add new content versus recombine
+    what the corpus already has (the cross-document complement of
+    text_repetition's within-document signals). Ingest-order doc_ids
+    make 'first' well-defined and the whole op deterministic.
+
+    Scale shape: shingles explode once and shuffle ONCE as (doc_id,
+    gram-hash) pairs — the gram key is the portable md5-prefix bigint
+    (8 bytes on the wire instead of the string, identical collisions
+    in both engines so the oracle stays exact); first-occurrence is a
+    min-over-partition window on that single exchange (no second
+    groupBy+join pass), and the per-doc rollup is map-side
+    combinable. Docs too short to shingle come back with zero counts
+    via the left join, never dropped."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    g = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long").alias("gh"),
+    )
+    w = g.select(
+        "doc_id", F.min("doc_id").over(W.partitionBy("gh")).alias("first_doc")
+    )
+    a = w.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias("novel_cnt"),
+    )
+    return d.select("doc_id").join(a, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("novel_cnt", F.lit(0)).cast("long").alias("novel_cnt"),
+        (
+            F.floor(
+                F.col("novel_cnt").cast("double")
+                / F.nullif(F.col("n_grams"), F.lit(0))
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("novel_frac"),
+    )

@@ -123,6 +123,14 @@ _ROUND_WINDOW = (
     "tpch_q1",
     "tpch_q3",
     "tpch_q6",
+    # ---- tier 1b: ops ADDED in round 6 — first-time certification
+    # (full value-hash oracles; seated over four tier-4 re-certs —
+    # str_funcs / date_funcs / agg_count_distinct / window_running_sum
+    # are driver-green since r1 and untouched)
+    "graph_label_propagation",
+    "graph_hits",
+    "sketch_countmin_topk",
+    "text_novelty",
     # ---- tier 4: oldest-row §2 core (driver-green since r1) ----
     "project",
     "filter_eq",
@@ -136,10 +144,6 @@ _ROUND_WINDOW = (
     "distinct_rows",
     "agg_cube",
     "agg_rollup",
-    "agg_count_distinct",
-    "window_running_sum",
-    "str_funcs",
-    "date_funcs",
 )
 
 _loaded = False

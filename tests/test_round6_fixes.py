@@ -167,3 +167,58 @@ def test_bench_load_gate(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_LOAD_WAIT", "0")
     noisy, _ = bench._load_gate()
     assert noisy is True
+
+
+# ------------------------------------------------- round-6 new operators
+
+
+def test_lpa_communities_merge_and_are_deterministic(spark):
+    """Labels must coarsen (fewer communities than nodes), every label
+    must be a real node id, and the synchronous + min-tie-break design
+    must reproduce byte-identically run-to-run."""
+    fn = registry.queries()["graph_label_propagation"]
+    a = sorted(tuple(r) for r in fn(spark, SF_SMOKE).collect())
+    b = sorted(tuple(r) for r in fn(spark, SF_SMOKE).collect())
+    assert a == b
+    nodes = {r[0] for r in a}
+    comms = {r[1] for r in a}
+    assert comms <= nodes
+    assert 1 <= len(comms) < len(nodes)
+
+
+def test_hits_scores_positive_and_normalized(spark):
+    """Every hub/authority score is positive and each side's total
+    stays within a small constant factor of the fixed-point scale
+    after renormalization. The rescale divides by floor(total/scale)
+    (clamped to 1), and truncating the DIVISOR can only inflate the
+    quotients — so the renormalized total lands in
+    [scale/2, 2.5*scale] but never runs away across iterations."""
+    from emdrive_spark.operators.analytics import _HITS_SCALE
+
+    rows = registry.queries()["graph_hits"](spark, SF_SMOKE).collect()
+    assert all(r["score"] > 0 for r in rows)
+    for role in ("hub", "authority"):
+        total = sum(r["score"] for r in rows if r["role"] == role)
+        assert 0.5 * _HITS_SCALE <= total <= 2.5 * _HITS_SCALE
+
+
+def test_countmin_is_one_sided_overestimate(spark):
+    """The CMS guarantee: est >= true for every probed key (hash
+    collisions only ever ADD counts to a cell)."""
+    rows = registry.queries()["sketch_countmin_topk"](spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    assert all(r["cms_est"] >= r["true_cnt"] for r in rows)
+
+
+def test_novelty_first_doc_is_fully_novel(spark):
+    """The smallest doc_id that has any shingles must be 100% novel
+    (nothing precedes it), fractions live in [0, 1], and shingle-less
+    docs surface with zero counts and a NULL fraction."""
+    rows = registry.queries()["text_novelty"](spark, SF_SMOKE).collect()
+    with_grams = [r for r in rows if r["n_grams"] > 0]
+    first = min(with_grams, key=lambda r: r["doc_id"])
+    assert first["novel_frac"] == 1.0
+    assert all(0.0 <= r["novel_frac"] <= 1.0 for r in with_grams)
+    for r in rows:
+        if r["n_grams"] == 0:
+            assert r["novel_cnt"] == 0 and r["novel_frac"] is None
