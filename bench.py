@@ -121,6 +121,9 @@ HEADLINE = (
     "graph_hits",               # bipartite hubs/authorities fixed-point
     "sketch_countmin_topk",     # count-min heavy-hitter sketch
     "text_novelty",             # corpus-first n-gram contribution
+    "graph_bfs_distance",       # multi-source frontier BFS
+    "join_bloom_prefilter",     # bitmap semi-join reduction
+    "quality_dsir",             # hashed-unigram importance selection
 )
 
 

@@ -1546,3 +1546,105 @@ def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cms_est",
         )
     )
+
+
+_BFS_ROUNDS = 3  # fixed hop horizon; unreached after 3 hops -> -1
+_BFS_SEED_MOD = 97  # parts with pk % 97 == 0 are the BFS sources
+
+
+def _bfs_oracle() -> str:
+    """Unrolled-round BFS oracle: one chained CTE pair per relaxation
+    round (relax = min neighbor distance + 1, then merge-min with the
+    previous table) — the same min-plus recurrence the Spark loop runs,
+    in exact integers."""
+    its = []
+    for i in range(_BFS_ROUNDS):
+        its.append(
+            f"""r{i + 1} AS (
+      SELECT e.dst AS node, min(d.dist) + 1 AS dist
+      FROM edges e JOIN d{i} d ON d.node = e.src AND d.dist = {i}
+      GROUP BY e.dst
+    ),
+    d{i + 1} AS (
+      SELECT node, min(dist) AS dist
+      FROM (SELECT node, dist FROM d{i} UNION ALL SELECT node, dist FROM r{i + 1})
+      GROUP BY node
+    )"""
+        )
+    return f"""
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.pk AS src, b.pk AS dst
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    d0 AS (SELECT node, 0 AS dist FROM nodes WHERE node % {_BFS_SEED_MOD} = 0),
+    {', '.join(its)}
+    SELECT n.node AS part_id, CAST(coalesce(d.dist, -1) AS BIGINT) AS hops
+    FROM nodes n LEFT JOIN d{_BFS_ROUNDS} d ON d.node = n.node
+    """
+
+
+@register("graph_bfs_distance", oracle=_bfs_oracle())
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances over the part co-purchase graph —
+    the crawl-frontier primitive (how many link hops from the seed set
+    is each page) and the fourth member of the exact iterative-graph
+    family next to graph_pagerank / graph_label_propagation /
+    dedup_components. Sources are the deterministic seed set
+    pk % 97 == 0; each of the 3 fixed rounds relaxes min-plus distances
+    one hop; nodes unreached within the horizon report -1. Distances
+    are exact small integers, so an iterative traversal gets a full
+    value-hash oracle (unrolled chained CTEs, the graph_pagerank
+    recipe).
+
+    Scale shape: textbook FRONTIER propagation — round i joins only
+    the nodes discovered at exactly distance i (dist == i) against the
+    edge list, so the data moved per round is the frontier, never the
+    full distance table and never the edges: the edge list is
+    hash-partitioned by src once and checkpointed, the frontier is
+    repartitioned to the same layout (|frontier| rows move), and the
+    merge-min is one map-side-combinable groupBy. Per-round
+    checkpointing keeps lineage flat across rounds (the
+    dedup_components recipe). On a 1000-executor crawl graph this is
+    the plan Pregel runs — vertex state moves, topology stays put."""
+    dp = spark.sparkContext.defaultParallelism
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+        .repartition(dp, "src")
+        .transform(ckpt)
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct().transform(ckpt)
+    dist = nodes.filter(F.col("node") % _BFS_SEED_MOD == 0).select(
+        "node", F.lit(0).alias("dist")
+    )
+    for i in range(_BFS_ROUNDS):
+        frontier = (
+            dist.filter(F.col("dist") == i)
+            .select(F.col("node").alias("src"), "dist")
+            .repartition(dp, "src")
+        )
+        relax = (
+            edges.join(frontier, "src")
+            .groupBy("dst")
+            .agg((F.min("dist") + 1).alias("dist"))
+            .select(F.col("dst").alias("node"), "dist")
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .transform(ckpt)
+        )
+    return nodes.join(dist, "node", "left").select(
+        F.col("node").alias("part_id"),
+        F.coalesce(F.col("dist"), F.lit(-1)).cast("long").alias("hops"),
+    )

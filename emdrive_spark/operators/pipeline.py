@@ -1013,3 +1013,126 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("novel_frac"),
     )
+
+
+_DSIR_BUCKETS = 4096  # hashed-feature space; constant regardless of vocab
+_DSIR_KEEP_FRAC = 4  # keep the top 1/4 of docs by importance weight
+
+
+@register(
+    "quality_dsir",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {_DSIR_BUCKETS} AS bkt
+      FROM tok
+    ),
+    raw AS (SELECT bkt, count(*) AS cr FROM b GROUP BY bkt),
+    tgt AS (SELECT bkt, count(*) AS ct FROM b WHERE lang = 'en' GROUP BY bkt),
+    tot AS (
+      SELECT count(*) AS r,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t
+      FROM b
+    ),
+    w AS (
+      SELECT raw.bkt,
+             floor(ln((coalesce(ct, 0) + 1.0) * (r + {_DSIR_BUCKETS})
+                      / ((cr + 1.0) * (t + {_DSIR_BUCKETS})))
+                   * 1000000 + 0.5) / 1000000 AS lw
+      FROM raw LEFT JOIN tgt ON tgt.bkt = raw.bkt, tot
+    ),
+    s AS (
+      SELECT doc_id,
+             floor(CAST(sum(CAST(lw AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                   * 10000 + 0.5) / 10000 AS dsir_score
+      FROM b JOIN w ON w.bkt = b.bkt
+      GROUP BY doc_id
+    )
+    SELECT doc_id, dsir_score FROM s
+    QUALIFY row_number() OVER (ORDER BY dsir_score DESC, doc_id ASC)
+            <= (SELECT count(*) FROM s) // {_DSIR_KEEP_FRAC}
+    """,
+)
+def quality_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection via hashed-n-gram importance
+    resampling (Xie et al. 2023, 'Data Selection for Language Models
+    via Importance Resampling'): score every document by how much more
+    likely its tokens are under a TARGET distribution (here the 'en'
+    slice — in production, a trusted high-quality corpus) than under
+    the RAW corpus, using two add-one-smoothed unigram models over a
+    fixed 4096-bucket hashed feature space. Per-doc score is the mean
+    per-token log importance ratio; the op returns the TOP QUARTER of
+    docs by that weight with a (score desc, doc_id) total order — the
+    selection step that importance-samples a raw crawl toward a curated
+    target before pretraining (production DSIR samples proportional to
+    weight; a deterministic top-k keeps the op oracle-checkable).
+
+    Exactness recipe: bucket assignment is the portable md5-prefix
+    hash (identical in Spark and DuckDB by construction, the
+    sketch_countmin_topk recipe); bucket counts and totals are exact
+    integers; each bucket's log ratio is ONE ln over an exact-integer
+    rational (operands < 2^53, so the double argument is identical in
+    both engines), floor-rounded to 6 decimals and summed as DECIMAL —
+    the text_perplexity_bucket recipe, so an information-theoretic
+    scorer gets a full value-hash oracle.
+
+    Scale shape: two map-side-combinable groupBys over (doc, bucket)
+    pairs — both keyed on the CONSTANT 4096-bucket space, so the
+    weight table is KB-sized no matter the corpus and broadcasts back
+    onto the token stream; the per-doc reduce is the only corpus-sized
+    shuffle. Unlike a learned classifier, adding data never grows the
+    model: at 100 TB the weight table is still 4096 rows."""
+    d = load(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("bkt"),
+    )
+    raw = b.groupBy("bkt").agg(F.count("*").alias("cr"))
+    tgt = b.filter(F.col("lang") == "en").groupBy("bkt").agg(F.count("*").alias("ct"))
+    tot = b.agg(
+        F.count("*").alias("r"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t"),
+    )
+    w = (
+        raw.join(tgt, "bkt", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bkt",
+            _fixed(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    * (F.col("r") + _DSIR_BUCKETS)
+                    / ((F.col("cr") + 1.0) * (F.col("t") + _DSIR_BUCKETS))
+                ),
+                6,
+            ).alias("lw"),
+        )
+    )
+    scored = (
+        b.join(F.broadcast(w), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            _fixed(
+                F.sum(F.col("lw").cast("decimal(18,6)")).cast("double") / F.count("*"),
+                4,
+            ).alias("dsir_score")
+        )
+    )
+    # top-quarter selection: k is a 1-row scalar action (the graph_hits
+    # pattern), then orderBy+limit compiles to TakeOrderedAndProject —
+    # per-partition k-sized heaps merged on the driver, never a
+    # single-partition sort
+    scored = scored.transform(ckpt)
+    k = scored.count() // _DSIR_KEEP_FRAC
+    return scored.orderBy(F.desc("dsir_score"), F.asc("doc_id")).limit(k)

@@ -350,3 +350,91 @@ def source_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+_BLOOM_BITS = 4096  # 64 words x 64 bits — constant size at any corpus
+_BLOOM_WORDS = _BLOOM_BITS // 64
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT s.s_suppkey AS supp_key, s.s_name AS supp_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_nationkey % 3 = 0
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction: revenue per supplier in every
+    third nation,
+    with the fact side pre-filtered through a 4096-bit Bloom bitmap
+    built from the dimension's key set BEFORE the join — the manual
+    twin of Spark's runtime row-level bloom filters
+    (spark.sql.optimizer.runtime.bloomFilter.*), expressed as an
+    operator so the mechanism is visible and testable. The final join
+    drops the bitmap's false positives, so the RESULT is exact and the
+    full value-hash oracle is the plain 3-table join.
+
+    Scale shape: the bitmap is built with one map-side-combinable
+    bit_or aggregate over the dim keys and collected to the driver as
+    AT MOST 64 longs — constant size no matter how many keys flow in
+    (hash collisions cost false positives, never correctness). It
+    re-enters the plan as an array literal, so the membership test is
+    a pure codegen projection on the fact scan: at 100 TB this is what
+    cuts the fact side's shuffle input when the dim is too big to
+    broadcast but its key set fits a filter — rows that cannot join
+    never reach the exchange. Here the surviving dim is also small
+    enough to broadcast, which the plan does; the bloom step is the
+    part that generalizes when it is not."""
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_nationkey") % 3 == 0)
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    words = (
+        supp.select(
+            F.expr(f"pmod(xxhash64(s_suppkey), {_BLOOM_BITS})").alias("bit")
+        )
+        .select(
+            F.expr("CAST(bit DIV 64 AS INT)").alias("w"),
+            F.expr("shiftleft(1L, CAST(bit % 64 AS INT))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("mask"))
+        .collect()  # <= 64 rows by construction, independent of |dim|
+    )
+    masks = {r["w"]: r["mask"] for r in words}
+    bitmap = F.array(*[F.lit(masks.get(w, 0)).cast("long") for w in range(_BLOOM_WORDS)])
+    fact = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+        .withColumn("_bit", F.expr(f"pmod(xxhash64(l_suppkey), {_BLOOM_BITS})"))
+        .filter(
+            F.element_at(bitmap, F.expr("CAST(_bit DIV 64 AS INT)") + 1).bitwiseAND(
+                F.expr("shiftleft(1L, CAST(_bit % 64 AS INT))")
+            )
+            != 0
+        )
+        .drop("_bit")
+    )
+    from emdrive_spark.functions.money import disc_price
+
+    return (
+        fact.join(F.broadcast(supp), fact["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .select(
+            F.col("s_suppkey").alias("supp_key"),
+            F.col("s_name").alias("supp_name"),
+            "revenue",
+        )
+    )

@@ -131,6 +131,9 @@ _ROUND_WINDOW = (
     "graph_hits",
     "sketch_countmin_topk",
     "text_novelty",
+    "graph_bfs_distance",
+    "join_bloom_prefilter",
+    "quality_dsir",
     # ---- tier 4: oldest-row §2 core (driver-green since r1) ----
     "project",
     "filter_eq",
@@ -140,10 +143,6 @@ _ROUND_WINDOW = (
     "join_left",
     "set_union",
     "set_intersect",
-    "set_except",
-    "distinct_rows",
-    "agg_cube",
-    "agg_rollup",
 )
 
 _loaded = False

