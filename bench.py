@@ -124,6 +124,8 @@ HEADLINE = (
     "graph_bfs_distance",       # multi-source frontier BFS
     "join_bloom_prefilter",     # bitmap semi-join reduction
     "quality_dsir",             # hashed-unigram importance selection
+    "ann_ivf_pq",               # IVF-routed residual-PQ ANN serving
+    "events_autocorr",          # per-type lag-k ACF diagnostics
 )
 
 

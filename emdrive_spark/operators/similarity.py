@@ -745,3 +745,136 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l2_d2", "vec_id")
         .limit(k)
     )
+
+
+@register("ann_ivf_pq", oracle=None)  # approximate: probed-cell PQ distances
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed — the production billion-vector serving shape
+    (FAISS IVFPQ): a coarse quantizer routes each vector to one of 16
+    inverted cells, and a SHARED product-quantization codebook encodes
+    the RESIDUAL (vector minus its cell centroid) as 8 four-bit codes.
+    Queries probe only their 4 nearest cells and score candidates by
+    per-cell ADC tables built from the query's residual against that
+    cell — so the scan touches nProbe/k of the codes, each compressed
+    64x, and residual quantization is what keeps 4-bit codes accurate
+    (raw-vector PQ wastes its bits re-encoding the cell offset the
+    coarse quantizer already knows). Top-50 ADC candidates rerank with
+    exact L2; top-10 returned.
+
+    Determinism: both the coarse centroids and the residual codebooks
+    train DRIVER-SIDE in numpy on the same capped deterministic sample
+    as ann_pq (even vec_ids in vec_id order, ``_PQ_TRAIN_CAP``) with
+    evenly-spaced seeding and fixed Lloyd iterations, entering the
+    plan as literals — re-execution is byte-identical on any
+    partitioning. No oracle (codebooks are not SQL-derivable);
+    recall@10 vs exact brute force is pytest-pinned, the ann_pq
+    pattern.
+
+    100 TB shape: training is one bounded collect; cell ASSIGNMENT +
+    residual ENCODE are the one distributed scan an index build pays,
+    all JVM-side array folds over 16x64 + 8x16x8 double literals; at
+    serving time the cell filter is partition pruning (cells are the
+    natural partition key for the persisted code table) and ADC reads
+    4-byte codes — the working set per probe is nProbe/k_cells of a
+    64x-compressed table."""
+    import numpy as np
+
+    k_cells, n_probe, m, dsub, k_cent, n_cand, k = 16, 4, 8, 8, 16, 50, 10
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    sample = np.array(
+        emb.filter(F.col("vec_id") % 2 == 0)
+        .orderBy("vec_id")
+        .limit(_PQ_TRAIN_CAP)
+        .select("e")
+        .collect()
+    )[:, 0, :]
+    query = np.array(emb.filter(F.col("vec_id") == 0).select("e").collect()[0][0])
+
+    def lloyd(pts: "np.ndarray", n: int) -> "np.ndarray":
+        idx = np.linspace(0, len(pts) - 1, n).astype(int)
+        cents = pts[idx].copy()
+        for _ in range(10):
+            d2 = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(n):
+                sel = pts[assign == j]
+                if len(sel):
+                    cents[j] = sel.mean(axis=0)
+        return cents
+
+    coarse = lloyd(sample, k_cells)
+    s_assign = ((sample[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    residuals = sample - coarse[s_assign]
+    books = [lloyd(residuals[:, s * dsub : (s + 1) * dsub], k_cent) for s in range(m)]
+
+    def arr_lit(vals) -> str:
+        return "array(" + ", ".join(f"{float(x)!r}D" for x in vals) + ")"
+
+    coarse_lit = "array(" + ", ".join(arr_lit(c) for c in coarse) + ")"
+    # cell assignment: argmin L2 to the 16 coarse centroids (1-based)
+    cell_d = F.expr(
+        f"transform({coarse_lit}, c -> aggregate(zip_with(e, c, "
+        "(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v))"
+    )
+    assigned = emb.select(
+        "vec_id",
+        "e",
+        F.array_position(cell_d, F.array_min(cell_d)).cast("int").alias("cell"),
+    )
+    # residual = e - centroid[cell], then shared-codebook encode
+    res = F.expr(f"zip_with(e, element_at({coarse_lit}, cell), (x, y) -> x - y)")
+    coded = assigned.select("vec_id", "e", "cell", res.alias("r"))
+    code_cols = []
+    for s in range(m):
+        book_lit = "array(" + ", ".join(arr_lit(c) for c in books[s]) + ")"
+        dists = F.expr(
+            f"transform({book_lit}, c -> aggregate(zip_with("
+            f"slice(r, {s * dsub + 1}, {dsub}), c, (x, y) -> (x - y) * (x - y)), "
+            "0D, (acc, v) -> acc + v))"
+        )
+        code_cols.append(
+            F.array_position(dists, F.array_min(dists)).cast("int").alias(f"c{s}")
+        )
+    coded = coded.select("vec_id", "e", "cell", *code_cols)
+
+    # probe: the query's n_probe nearest cells, ADC tables per cell
+    qd = ((coarse - query) ** 2).sum(axis=1)
+    probe_cells = [int(i) + 1 for i in np.argsort(qd)[:n_probe]]  # 1-based
+    approx = None
+    for c1 in probe_cells:
+        qres = query - coarse[c1 - 1]
+        terms = []
+        for s in range(m):
+            adc = ((qres[s * dsub : (s + 1) * dsub] - books[s]) ** 2).sum(axis=1)
+            terms.append(F.element_at(F.expr(arr_lit(adc)), F.col(f"c{s}")))
+        cell_sum = sum(terms[1:], terms[0])
+        approx = (
+            F.when(F.col("cell") == c1, cell_sum)
+            if approx is None
+            else approx.when(F.col("cell") == c1, cell_sum)
+        )
+    cand = (
+        coded.filter(F.col("cell").isin(probe_cells))
+        .select("vec_id", "e", "cell", approx.alias("pq_d2"))
+        .orderBy("pq_d2", "vec_id")
+        .limit(n_cand)
+    )
+    q_lit = F.expr(arr_lit(query))
+    exact = F.aggregate(
+        F.zip_with("e", q_lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "cell",
+            F.round("pq_d2", 6).alias("pq_d2"),
+            F.round(exact, 6).alias("l2_d2"),
+        )
+        .orderBy("l2_d2", "vec_id")
+        .limit(k)
+    )

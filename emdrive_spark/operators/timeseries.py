@@ -1298,3 +1298,109 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(e(F.col("s"), 2)).alias("trend"),
         r6(e(F.col("s"), 1) + e(F.col("s"), 2) + e(F.col("s"), 3)).alias("forecast"),
     )
+
+
+_ACF_LAGS = (1, 2, 3)
+
+
+def _acf_oracle() -> str:
+    """Per-lag terms as exact DECIMAL power sums, combined in the same
+    double expression the Spark side evaluates (+,-,*,/ only)."""
+    lag_sums = ",\n             ".join(
+        f"""CAST(sum(CASE WHEN x{L} IS NOT NULL THEN x END) AS DOUBLE) AS a{L},
+             CAST(sum(x{L}) AS DOUBLE) AS b{L},
+             CAST(sum(x * x{L}) AS DOUBLE) AS c{L},
+             count(x{L}) AS n{L}"""
+        for L in _ACF_LAGS
+    )
+    branches = "\n      UNION ALL ".join(
+        f"""SELECT event_type, {L} AS lag,
+             floor((c{L} - (s1 / n) * a{L} - (s1 / n) * b{L}
+                    + n{L} * (s1 / n) * (s1 / n))
+                   / (s2 - s1 * s1 / n) * 1000000 + 0.5) / 1000000 AS acf
+      FROM g"""
+        for L in _ACF_LAGS
+    )
+    leads = ",\n             ".join(
+        f"lead(CAST(value AS DECIMAL(18,2)), {L}) OVER w AS x{L}" for L in _ACF_LAGS
+    )
+    return f"""
+    WITH o AS (
+      SELECT event_type, CAST(value AS DECIMAL(18,2)) AS x,
+             {leads}
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(x) AS DOUBLE) AS s1,
+             CAST(sum(x * x) AS DOUBLE) AS s2,
+             {lag_sums}
+      FROM o GROUP BY event_type
+    )
+    {branches}
+    """
+
+
+@register("events_autocorr", oracle=_acf_oracle())
+def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the event value series at lags 1-3
+    per event type — the model-identification diagnostic that pairs
+    with the forecasting ladder (events_holt / events_holt_winters
+    choose their smoothing structure off exactly this: decaying ACF =
+    trend, spikes at the season length = seasonality). ACF at lag L is
+    sum((x_t - mean)(x_{t+L} - mean)) / sum((x_t - mean)^2), expanded
+    into the four cross/marginal sums so every data-sized aggregate is
+    an exact DECIMAL power sum (the events_ab_test recipe): the lagged
+    pairing is one lead() per lag over the (ts, event_id)-ordered
+    per-type window, and the final combine is the identical +,-,*,/
+    double expression in both engines, floor-rounded to 6 decimals.
+
+    Scale shape: one shuffle keyed by event_type (the same per-series
+    window every per-series op pays; series parallelism is across
+    keys), three leads computed in a single window pass, then a
+    map-side-combinable groupBy down to a |types| x 10-scalar frame —
+    the unpivot to (type, lag, acf) rows is arithmetic on that tiny
+    frame, not data."""
+    dv = F.col("value").cast("decimal(18,2)")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    o = load(spark, sf_dir, "events").select(
+        "event_type",
+        dv.alias("x"),
+        *[F.lead(dv, L).over(w).alias(f"x{L}") for L in _ACF_LAGS],
+    )
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("s2"),
+    ]
+    for L in _ACF_LAGS:
+        xl = F.col(f"x{L}")
+        aggs += [
+            F.sum(F.when(xl.isNotNull(), F.col("x"))).cast("double").alias(f"a{L}"),
+            F.sum(xl).cast("double").alias(f"b{L}"),
+            F.sum(F.col("x") * xl).cast("double").alias(f"c{L}"),
+            F.count(xl).alias(f"n{L}"),
+        ]
+    g = o.groupBy("event_type").agg(*aggs)
+    mean = F.col("s1") / F.col("n")
+    denom = F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")
+    parts = []
+    for L in _ACF_LAGS:
+        num = (
+            F.col(f"c{L}")
+            - mean * F.col(f"a{L}")
+            - mean * F.col(f"b{L}")
+            + F.col(f"n{L}") * mean * mean
+        )
+        parts.append(
+            g.select(
+                "event_type",
+                F.lit(L).cast("int").alias("lag"),
+                (F.floor(num / denom * 1000000 + F.lit(0.5)) / 1000000).alias("acf"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

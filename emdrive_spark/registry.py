@@ -134,6 +134,8 @@ _ROUND_WINDOW = (
     "graph_bfs_distance",
     "join_bloom_prefilter",
     "quality_dsir",
+    "ann_ivf_pq",  # rows-only by design (driver-trained codebooks)
+    "events_autocorr",
     # ---- tier 4: oldest-row §2 core (driver-green since r1) ----
     "project",
     "filter_eq",
@@ -141,8 +143,6 @@ _ROUND_WINDOW = (
     "limit",
     "join_inner",
     "join_left",
-    "set_union",
-    "set_intersect",
 )
 
 _loaded = False
