@@ -126,6 +126,7 @@ HEADLINE = (
     "quality_dsir",             # hashed-unigram importance selection
     "ann_ivf_pq",               # IVF-routed residual-PQ ANN serving
     "events_autocorr",          # per-type lag-k ACF diagnostics
+    "corpus_mix_entropy",       # per-source language-mix entropy
 )
 
 

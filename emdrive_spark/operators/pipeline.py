@@ -1136,3 +1136,61 @@ def quality_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = scored.transform(ckpt)
     k = scored.count() // _DSIR_KEEP_FRAC
     return scored.orderBy(F.desc("dsir_score"), F.asc("doc_id")).limit(k)
+
+
+@register(
+    "corpus_mix_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang
+    ),
+    t AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_langs,
+             sum(CAST(floor(ln(c) * 1000000 + 0.5) / 1000000
+                      AS DECIMAL(18,6)) * c) AS clnc
+      FROM c GROUP BY source
+    )
+    SELECT source, n_docs, n_langs,
+           floor((floor(ln(n_docs) * 1000000 + 0.5) / 1000000
+                  - CAST(clnc AS DOUBLE) / n_docs)
+                 * 1000000 + 0.5) / 1000000 AS entropy
+    FROM t
+    """,
+)
+def corpus_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's language mix — the
+    diversity/monoculture diagnostic a mixing pipeline reads before
+    setting sample_domain_mix / sample_temperature rates (a source
+    whose entropy collapsed is a scrape gone wrong; one that spiked
+    may have lost its language filter). Uses the exact identity
+    H = ln(n) - (1/n)*sum(c*ln(c)) so every data-sized quantity is an
+    exact integer count: each ln runs over an exact integer (identical
+    doubles in both engines), is floor-rounded to 6 decimals, scaled
+    by the exact count as DECIMAL, and summed as DECIMAL — the
+    quality_dsir recipe, giving an information-theoretic aggregate a
+    full value-hash oracle.
+
+    Scale shape: one map-side-combinable groupBy to (source, lang)
+    counts — the reduce side sees |sources|x|langs| rows, not the
+    corpus — then a second combinable rollup to |sources| rows. No
+    window, no join, no Python; at 100 TB both exchanges carry KBs."""
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    t = c.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.count("*").alias("n_langs"),
+        F.sum(
+            _fixed(F.log("c"), 6).cast("decimal(18,6)") * F.col("c")
+        ).alias("clnc"),
+    )
+    return t.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        _fixed(
+            _fixed(F.log("n_docs"), 6) - F.col("clnc").cast("double") / F.col("n_docs"),
+            6,
+        ).alias("entropy"),
+    )

@@ -136,13 +136,13 @@ _ROUND_WINDOW = (
     "quality_dsir",
     "ann_ivf_pq",  # rows-only by design (driver-trained codebooks)
     "events_autocorr",
+    "stream_topk",
+    "corpus_mix_entropy",
     # ---- tier 4: oldest-row §2 core (driver-green since r1) ----
     "project",
     "filter_eq",
     "sort_pk",
     "limit",
-    "join_inner",
-    "join_left",
 )
 
 _loaded = False

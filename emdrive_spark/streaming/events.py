@@ -636,3 +636,44 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "ewma")
     )
+
+
+def leaderboard_counts(events: DataFrame) -> DataFrame:
+    """Streaming twin of a per-type activity leaderboard: running
+    (event_type, user_id) counts, state one integer per live pair."""
+    return events.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+
+
+@register(
+    "stream_topk",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, count(*) AS n
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type, user_id, n FROM c
+    QUALIFY row_number() OVER (PARTITION BY event_type
+                               ORDER BY n DESC, user_id ASC) <= 3
+    """,
+)
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy-hitter leaderboard: the top-3 most active users
+    per event type over the whole stream — the live-dashboard shape
+    (who is hammering the API, which docs are hot) next to the batch
+    sketch_countmin_topk. The stream maintains one integer of state
+    per live (type, user) pair via a running count in complete mode;
+    the rank-and-keep is computed on the emitted table, so the
+    stateful operator itself is a plain partial-agg count whose state
+    never exceeds the live key space (production bounds churn with a
+    TTL or a Count-Min front, the sketch op's role). Driven to
+    completion the leaderboard must equal the batch answer exactly —
+    ties broken by user_id, so the full value-hash oracle applies."""
+    out = _drive(spark, sf_dir, leaderboard_counts, "complete")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("user_id").asc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "user_id", "n")
+    )

@@ -352,3 +352,42 @@ def test_autocorr_values_are_valid_correlations(spark):
     assert all(-1.0 <= v <= 1.0 for v in got.values())
     again = registry.queries()["events_autocorr"](spark, SF_SMOKE).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_stream_topk_converges_to_batch_leaderboard(spark):
+    """The streaming leaderboard driven to completion equals the batch
+    top-3-per-type answer with deterministic tiebreaks."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from emdrive_spark.sources.tables import load
+
+    got = sorted(
+        tuple(r) for r in registry.queries()["stream_topk"](spark, SF_SMOKE).collect()
+    )
+    w = W.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("user_id").asc())
+    want = sorted(
+        tuple(r)
+        for r in load(spark, SF_SMOKE, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "user_id", "n")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_entropy_bounds_and_uniform_case(spark):
+    """Entropy lives in [0, ln(n_langs)] per source (up to the 1e-6
+    rounding grain), and a source with a single language scores 0."""
+    import math
+
+    rows = registry.queries()["corpus_mix_entropy"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        hi = math.log(r["n_langs"]) + 1e-5
+        assert -1e-6 <= r["entropy"] <= hi
+        if r["n_langs"] == 1:
+            assert abs(r["entropy"]) <= 1e-6
