@@ -127,6 +127,8 @@ HEADLINE = (
     "ann_ivf_pq",               # IVF-routed residual-PQ ANN serving
     "events_autocorr",          # per-type lag-k ACF diagnostics
     "corpus_mix_entropy",       # per-source language-mix entropy
+    "text_zipf_fit",            # per-language Zipf exponent fit
+    "graph_modularity",         # community-quality score over LPA
 )
 
 

@@ -1253,10 +1253,12 @@ _LPA_ROUNDS = 4  # synchronous rounds; communities stabilize by 3-4 on
 # the fixture (pytest pins round-3 == round-4 agreement rate)
 
 
-def _lpa_oracle() -> str:
-    """Unrolled-round LPA oracle: one chained CTE per synchronous round
-    (recursive members cannot aggregate) running the SAME deterministic
-    vote — highest neighbor-label count, smallest label on ties."""
+def _lpa_ctes() -> str:
+    """Shared unrolled-round LPA CTE prefix: one chained CTE per
+    synchronous round (recursive members cannot aggregate) running the
+    SAME deterministic vote — highest neighbor-label count, smallest
+    label on ties. Used by both the LPA oracle and the modularity
+    oracle so they score the identical partition."""
     rounds = []
     for i in range(_LPA_ROUNDS):
         rounds.append(
@@ -1280,7 +1282,12 @@ def _lpa_oracle() -> str:
       FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
     ),
     lab0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
-    {', '.join(rounds)}
+    {', '.join(rounds)}"""
+
+
+def _lpa_oracle() -> str:
+    return f"""
+    {_lpa_ctes()}
     SELECT node AS part_id, lbl AS community FROM lab{_LPA_ROUNDS}
     """
 
@@ -1306,6 +1313,15 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     one max-of-struct argmax — no window, so the per-round cost is two
     map-side-combinable shuffles. Labels are checkpointed per round to
     keep lineage flat (the dedup_components recipe)."""
+    _, labels = _lpa_edges_and_labels(spark, sf_dir)
+    return labels.select(F.col("node").alias("part_id"), F.col("lbl").alias("community"))
+
+
+def _lpa_edges_and_labels(spark: SparkSession, sf_dir: str):
+    """Shared LPA machinery (graph_label_propagation's loop, factored
+    so graph_modularity scores the SAME partition): returns
+    (edges, labels) where edges is the checkpointed both-direction
+    co-purchase list and labels the converged (node, lbl) frame."""
     li = (
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
@@ -1340,7 +1356,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("src").alias("node"), (-F.col("m.nl")).alias("lbl"))
             .transform(ckpt)
         )
-    return labels.select(F.col("node").alias("part_id"), F.col("lbl").alias("community"))
+    return edges, labels
 
 
 _HITS_SCALE = 10**12  # fixed-point scale for integer-exact HITS
@@ -1647,4 +1663,97 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.join(dist, "node", "left").select(
         F.col("node").alias("part_id"),
         F.coalesce(F.col("dist"), F.lit(-1)).cast("long").alias("hops"),
+    )
+
+
+def _modularity_oracle() -> str:
+    """LPA CTE prefix + the Newman modularity decomposition: for each
+    community c, q_term = intra_c/M2 - (d_c/M2)^2 where M2 counts the
+    both-direction edge list (= 2m). Every input is an exact integer,
+    so the double expression is identical in both engines."""
+    return f"""
+    {_lpa_ctes()},
+    comm AS (SELECT node, lbl FROM lab{_LPA_ROUNDS}),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    m2 AS (SELECT CAST(count(*) AS DOUBLE) AS m2 FROM edges),
+    intra AS (
+      SELECT ca.lbl AS community, count(*) AS intra_edges
+      FROM edges e
+      JOIN comm ca ON ca.node = e.src
+      JOIN comm cb ON cb.node = e.dst
+      WHERE ca.lbl = cb.lbl
+      GROUP BY ca.lbl
+    ),
+    dsum AS (
+      SELECT c.lbl AS community,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d.d) AS BIGINT) AS degree_sum
+      FROM comm c JOIN deg d ON d.src = c.node
+      GROUP BY c.lbl
+    )
+    SELECT d.community, d.n_nodes,
+           CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+           d.degree_sum,
+           floor((CAST(coalesce(i.intra_edges, 0) AS DOUBLE) / m2.m2
+                  - (CAST(d.degree_sum AS DOUBLE) / m2.m2)
+                    * (CAST(d.degree_sum AS DOUBLE) / m2.m2))
+                 * 1000000 + 0.5) / 1000000 AS q_term
+    FROM dsum d LEFT JOIN intra i ON i.community = d.community, m2
+    """
+
+
+@register("graph_modularity", oracle=_modularity_oracle())
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities — the quality score
+    that tells you whether a community partition means anything (Q
+    near 0: no better than random wiring; production crawl/domain
+    clustering gates on exactly this before trusting the communities).
+    Reuses graph_label_propagation's converged labels (shared helper,
+    shared oracle CTEs — both ops score the IDENTICAL partition) and
+    decomposes Q = sum_c [intra_c/2m - (d_c/2m)^2] into one row per
+    community: node count, intra-community edge count, degree mass,
+    and the community's modularity term. Every input is an exact
+    integer on the both-direction edge list, so the per-community
+    double arithmetic is engine-identical and a graph-quality metric
+    carries a full value-hash oracle.
+
+    Scale shape: on top of LPA's per-round cost, modularity adds two
+    equality joins of the edge list against the |V|-sized label frame
+    (labels move, edges stay in their checkpointed layout), one
+    combinable count per side, and a |communities|-row closed form;
+    2m enters as a 1-row scalar literal (the graph_hits pattern)."""
+    edges, labels = _lpa_edges_and_labels(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    m2 = float(edges.count())  # 1-row scalar action, re-entered as literal
+    ca = labels.select(F.col("node").alias("a_"), F.col("lbl").alias("la"))
+    cb = labels.select(F.col("node").alias("b_"), F.col("lbl").alias("lb"))
+    intra = (
+        edges.join(ca, edges["src"] == ca["a_"])
+        .join(cb, edges["dst"] == cb["b_"])
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count("*").alias("intra_edges"))
+    )
+    dsum = (
+        labels.join(deg, labels["node"] == deg["src"])
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(F.count("*").alias("n_nodes"), F.sum("d").alias("degree_sum"))
+    )
+    j = dsum.join(intra, "community", "left").select(
+        "community",
+        "n_nodes",
+        F.coalesce(F.col("intra_edges"), F.lit(0)).cast("long").alias("intra_edges"),
+        "degree_sum",
+    )
+    q = (
+        F.col("intra_edges").cast("double") / F.lit(m2)
+        - (F.col("degree_sum").cast("double") / F.lit(m2))
+        * (F.col("degree_sum").cast("double") / F.lit(m2))
+    )
+    return j.select(
+        "community",
+        "n_nodes",
+        "intra_edges",
+        "degree_sum",
+        (F.floor(q * 1000000 + F.lit(0.5)) / 1000000).alias("q_term"),
     )

@@ -310,3 +310,59 @@ def table_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_v",
         "max_v",
     )
+
+
+_VACUUM_KEEP = 2  # retention: keep the newest N versions
+
+
+@register(
+    "table_vacuum",
+    oracle="""
+    SELECT CAST(2 AS INT) AS version, count(*) AS n_rows
+    FROM orders WHERE o_orderkey % 3 = 1
+    UNION ALL
+    SELECT CAST(3 AS INT) AS version, count(*) AS n_rows
+    FROM orders WHERE o_orderkey % 3 = 2
+    """,
+)
+def table_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention vacuum for the versioned-snapshot layout
+    (sink_versioned_timetravel's day-2 complement, Delta VACUUM's
+    directory-level skeleton): three immutable version directories are
+    committed, retention keeps the newest 2, and the expired v=1 tree
+    is deleted. The op returns (version, n_rows) for every SURVIVING
+    version read back from disk, so the oracle pins both retention
+    (v=1 absent from the result) and content (per-version counts match
+    the source filters exactly); the on-disk deletion itself is pinned
+    in tests.
+
+    Scale shape: vacuum is a METADATA-SIZED operation — expiry is a
+    directory listing + unlink of whole version trees (at 100 TB an
+    object-store prefix delete), never a row-level rewrite, because
+    writers never mutate a published version. The read-back counts are
+    one combinable aggregate per surviving version."""
+    import os as _os
+    import shutil
+
+    base = staging_dir(spark, "orders_vacuum")
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    versions = (1, 2, 3)
+    for v in versions:
+        o.filter(F.col("o_orderkey") % 3 == v - 1).write.mode("overwrite").parquet(
+            _os.path.join(base, f"v={v}")
+        )
+    expired = versions[: len(versions) - _VACUUM_KEEP]
+    for v in expired:
+        shutil.rmtree(_os.path.join(base, f"v={v}"))
+    surviving = sorted(
+        int(d.split("=", 1)[1]) for d in _os.listdir(base) if d.startswith("v=")
+    )
+    out = None
+    for v in surviving:
+        part = (
+            spark.read.parquet(_os.path.join(base, f"v={v}"))
+            .agg(F.count("*").alias("n_rows"))
+            .select(F.lit(v).cast("int").alias("version"), "n_rows")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -618,3 +618,96 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("plang"), F.lit("unknown")).alias("lang_pred"),
         F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
     )
+
+
+_ZIPF_TOPN = 100  # fit over each language's top-100 tokens
+
+
+@register(
+    "text_zipf_fit",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    c AS (SELECT lang, tok, count(*) AS cnt FROM tok GROUP BY lang, tok),
+    r AS (
+      SELECT lang, cnt,
+             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok ASC) AS rnk
+      FROM c
+    ),
+    p AS (
+      SELECT lang,
+             CAST(floor(ln(rnk) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS x,
+             CAST(floor(ln(cnt) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS y
+      FROM r WHERE rnk <= {_ZIPF_TOPN}
+    ),
+    g AS (
+      SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(19,6)) * y) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x AS DECIMAL(19,6)) * x) AS DOUBLE) AS sxx
+      FROM p GROUP BY lang
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_points,
+           floor((sxy - sx * sy / n) / (sxx - sx * sx / n) * 1000000 + 0.5)
+             / 1000000 + 0.0 AS zipf_slope,
+           floor((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n
+                 * 1000000 + 0.5) / 1000000 + 0.0 AS zipf_intercept
+    FROM g
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: OLS of ln(frequency) on ln(rank)
+    over each language's top-100 tokens — the corpus-statistics
+    diagnostic that flags unnatural text (natural language sits near
+    slope -1; template/boilerplate-heavy or synthetic corpora drift
+    flat, machine-generated spam drifts steep), reading a distribution
+    shape where quality_dsir reads a distribution distance.
+
+    Exactness: ranks and counts are exact integers with deterministic
+    ties (count desc, token asc), each ln runs over an exact integer
+    and floor-rounds to 6 decimals, the OLS moments are DECIMAL sums
+    of those rounded values (one operand widened to DECIMAL(19,6) so
+    DuckDB's native-width product can't overflow int64), and the
+    closed-form slope/intercept is the identical double expression in
+    both engines — the agg_regression recipe pointed at an
+    information-retrieval statistic.
+
+    Scale shape: one token-keyed combinable groupBy (bounded by
+    vocabulary, not corpus), a per-lang top-100 window over the
+    VOCABULARY table (|vocab| rows, corpus never re-shuffles), then a
+    |langs|-row closed-form projection. The '+ 0.0' normalizes IEEE
+    negative zero (the r1 agg_regression finding)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    c = tok.groupBy("lang", "tok").agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    r = c.select("lang", "cnt", F.row_number().over(w).alias("rnk")).filter(
+        F.col("rnk") <= _ZIPF_TOPN
+    )
+
+    def f6(col):
+        return F.floor(col * 1000000 + F.lit(0.5)) / 1000000
+
+    p = r.select(
+        "lang",
+        f6(F.log("rnk")).cast("decimal(18,6)").alias("x"),
+        f6(F.log("cnt")).cast("decimal(18,6)").alias("y"),
+    )
+    g = p.groupBy("lang").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,6)") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,6)") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    return g.select(
+        "lang",
+        n.cast("long").alias("n_points"),
+        (f6(slope) + F.lit(0.0)).alias("zipf_slope"),
+        (f6((sy - slope * sx) / n) + F.lit(0.0)).alias("zipf_intercept"),
+    )

@@ -138,11 +138,11 @@ _ROUND_WINDOW = (
     "events_autocorr",
     "stream_topk",
     "corpus_mix_entropy",
+    "table_vacuum",
+    "text_zipf_fit",
+    "graph_modularity",
     # ---- tier 4: oldest-row §2 core (driver-green since r1) ----
     "project",
-    "filter_eq",
-    "sort_pk",
-    "limit",
 )
 
 _loaded = False

@@ -446,6 +446,7 @@ _SCALE_MARKER_ALLOWLIST = {
     "tpch_q22": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
     "subquery_scalar": {"Exchange SinglePartition"},
     "analyze_table": {"Exchange SinglePartition"},  # 1-row stats
+    "table_vacuum": {"Exchange SinglePartition"},  # per-version scalar count
     "table_quality_audit": {"Exchange SinglePartition"},  # stacked 1-row
     "events_funnel": {"Exchange SinglePartition"},  # per-stage counts
     "events_cusum": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},

@@ -391,3 +391,49 @@ def test_entropy_bounds_and_uniform_case(spark):
         assert -1e-6 <= r["entropy"] <= hi
         if r["n_langs"] == 1:
             assert abs(r["entropy"]) <= 1e-6
+
+
+def test_vacuum_deletes_expired_versions_on_disk(spark):
+    """Retention must remove the expired version tree from disk and the
+    result must list exactly the surviving versions."""
+    import os
+
+    from emdrive_spark.sources.tables import staging_dir
+
+    rows = registry.queries()["table_vacuum"](spark, SF_SMOKE).collect()
+    assert sorted(r["version"] for r in rows) == [2, 3]
+    base = staging_dir(spark, "orders_vacuum")
+    assert not os.path.exists(os.path.join(base, "v=1"))
+    assert os.path.exists(os.path.join(base, "v=2"))
+    assert os.path.exists(os.path.join(base, "v=3"))
+    assert all(r["n_rows"] > 0 for r in rows)
+
+
+def test_zipf_slope_is_negative_and_deterministic(spark):
+    """Frequency must fall with rank (negative slope for every
+    language), the fit covers the full top-N, and re-execution is
+    byte-identical."""
+    from emdrive_spark.operators.text import _ZIPF_TOPN
+
+    rows = registry.queries()["text_zipf_fit"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_points"] <= _ZIPF_TOPN
+        assert r["zipf_slope"] < 0
+    again = registry.queries()["text_zipf_fit"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_modularity_terms_are_bounded_and_cover_all_nodes(spark):
+    """Per-community q_terms are each <= intra share (bounded by 1),
+    total Q lives in [-1, 1], node counts sum to the graph's node set,
+    and the scored partition is exactly the LPA op's output."""
+    rows = registry.queries()["graph_modularity"](spark, SF_SMOKE).collect()
+    assert rows
+    q = sum(r["q_term"] for r in rows)
+    assert -1.0 <= q <= 1.0
+    lpa = registry.queries()["graph_label_propagation"](spark, SF_SMOKE).collect()
+    n_nodes = len(lpa)
+    assert sum(r["n_nodes"] for r in rows) == n_nodes
+    comms = {r["community"] for r in lpa}
+    assert {r["community"] for r in rows} == comms
