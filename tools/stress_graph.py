@@ -62,7 +62,18 @@ def main() -> None:
 
     result: dict[str, object] = {"copies": copies}
     q = registry.queries()
-    for name in ("graph_triangle_count", "graph_pagerank", "graph_kcore"):
+    # round-6 additions (bfs/lpa/modularity) only touch (ok, pk), so the
+    # staged single-table replica drives them too; graph_hits needs
+    # l_suppkey and stays out of this harness.
+    ops = (
+        "graph_triangle_count",
+        "graph_pagerank",
+        "graph_kcore",
+        "graph_bfs_distance",
+        "graph_label_propagation",
+        "graph_modularity",
+    )
+    for name in ops:
         t0 = time.time()
         result[f"{name}_rows"] = q[name](spark, staged).count()
         result[f"{name}_wall_s"] = round(time.time() - t0, 1)
