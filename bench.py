@@ -131,6 +131,7 @@ HEADLINE = (
     "graph_modularity",         # community-quality score over LPA
     "events_holt_backtest",     # walk-forward forecast evaluation
     "agg_gini",                 # revenue-inequality coefficient
+    "events_sequence_match",    # regex CEP over journey strings
 )
 
 

@@ -1502,3 +1502,77 @@ def events_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("mae"),
     )
+
+
+_SEQ_CHARS = {"click": "c", "error": "e", "purchase": "p", "signup": "s", "view": "v"}
+_SEQ_PATTERN = "s.*c.*p"  # signup, later a click, later a purchase
+
+
+def _seq_char_sql() -> str:
+    return (
+        "CASE event_type "
+        + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in _SEQ_CHARS.items())
+        + " ELSE '_' END"
+    )
+
+
+@register(
+    "events_sequence_match",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id,
+             string_agg({_seq_char_sql()}, '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS seq_len,
+           regexp_matches(seq, '{_SEQ_PATTERN}') AS matched,
+           CAST((length(seq) - length(replace(seq, 'cp', ''))) // 2 AS BIGINT)
+             AS n_click_then_buy
+    FROM s
+    """,
+)
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern matching over per-user event journeys — the
+    poor-man's MATCH_RECOGNIZE / CEP operator: each user's history
+    compresses to a one-char-per-event string in exact (ts, event_id)
+    order, and patterns become plain regular expressions over it
+    (here 'signup, then sometime a click, then sometime a purchase',
+    plus an adjacency count of click-immediately-before-purchase).
+    The string IS the per-user state, so arbitrarily complex ordered
+    patterns (negations, bounded gaps via {{n,m}}, alternations) cost
+    one regex pass instead of a k-way self-join per stage — the shape
+    events_funnel's per-stage joins cannot express.
+
+    Exactness: the journey string is built by sorting (ts, event_id,
+    char) structs inside the row (deterministic total order; DuckDB's
+    ordered string_agg is the same sequence), the regex is in the
+    RE2-compatible subset Java and DuckDB evaluate identically, and
+    the adjacency count is integer length arithmetic.
+
+    Scale shape: one user_id shuffle (combinable collect_list), then
+    pure string projections; per-user state is their event count —
+    the same O(history) bound every journey op carries, parallel
+    across users. At 100 TB add a time-bucketed variant for unbounded
+    histories (the events_detect_gaps stitching recipe)."""
+    ev = load(spark, sf_dir, "events")
+    ch = F.col("event_type")
+    mapped = F.lit("_")
+    for k, v in reversed(_SEQ_CHARS.items()):
+        mapped = F.when(ch == k, v).otherwise(mapped)
+    s = (
+        ev.select("user_id", F.struct("ts", "event_id", mapped.alias("ch")).alias("t"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("t")), lambda x: x["ch"]), ""
+            ).alias("seq")
+        )
+    )
+    return s.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.col("seq").rlike(_SEQ_PATTERN).alias("matched"),
+        F.expr("CAST((length(seq) - length(replace(seq, 'cp', ''))) DIV 2 AS BIGINT)")
+        .alias("n_click_then_buy"),
+    )

@@ -116,7 +116,6 @@ _ROUND_WINDOW = (
     "text_search_bm25",
     "knn_join",
     "quality_filter_gopher",
-    "dedup_lines_global",
     "join_asof",
     "window_rank",
     "events_session_agg",
@@ -142,6 +141,7 @@ _ROUND_WINDOW = (
     "graph_modularity",
     "events_holt_backtest",
     "agg_gini",
+    "events_sequence_match",
 )
 
 _loaded = False

@@ -477,3 +477,40 @@ def test_gini_bounds(spark):
     for r in rows:
         assert 0.0 <= r["gini"] < 1.0
         assert r["n_customers"] > 0
+
+
+def test_sequence_match_agrees_with_funnel_semantics(spark):
+    """A user matched by the regex must have a signup before a click
+    before a purchase in (ts, event_id) order — re-derived here from
+    the raw events; the adjacency count is non-negative and bounded by
+    seq_len // 2."""
+    from pyspark.sql import functions as F
+
+    from emdrive_spark.sources.tables import load
+
+    rows = registry.queries()["events_sequence_match"](spark, SF_SMOKE).collect()
+    assert rows
+    ev = (
+        load(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = {}
+    for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r["event_type"])
+    for r in rows:
+        seq = by_user[r["user_id"]]
+        # recompute the subsequence test in plain python
+        want = False
+        stage = 0
+        for t in seq:
+            if stage == 0 and t == "signup":
+                stage = 1
+            elif stage == 1 and t == "click":
+                stage = 2
+            elif stage == 2 and t == "purchase":
+                want = True
+                break
+        assert r["matched"] == want
+        assert 0 <= r["n_click_then_buy"] <= r["seq_len"] // 2
+        assert r["seq_len"] == len(seq)

@@ -72,6 +72,20 @@ FLAGSHIPS = {
     "events_holt": "one user_id shuffle; the coupled level/trend fold runs inside the frame, no Python eval",
     "events_holt_winters": "same single-shuffle shape with the 6-component rotating seasonal state in-frame",
     "sample_temperature": "corpus side is scan + broadcast-probe + filter; the sqrt-share rate table is a |sources|-row aggregate",
+    "graph_label_propagation": "edge list dst-partitioned once + checkpointed; per-round one label join + max-of-struct argmax, no window",
+    "graph_hits": "bipartite edge list checkpointed; per-iteration partial-agg sums keyed per side; renorm scalars enter as literals",
+    "sketch_countmin_topk": "build combines map-side to d x w cells before the exchange; probe is a 20 x d broadcast join",
+    "text_novelty": "one (doc_id, gram-hash) exchange; first-occurrence window ON that exchange; per-doc rollup combines map-side",
+    "graph_bfs_distance": "frontier-only relax: edges src-partitioned + checkpointed; per-round join moves |frontier| rows, merge-min combines map-side",
+    "join_bloom_prefilter": "bitmap-literal membership test inside the scan projection; exact broadcast join drops false positives",
+    "quality_dsir": "4096-bucket weight table broadcasts onto the token stream; per-doc reduce is the only corpus shuffle; TakeOrdered top-quarter",
+    "ann_ivf_pq": "coarse + residual codebooks enter as literals; probed-cell filter prunes the scan; codegen encode/ADC, TakeOrdered rerank",
+    "events_autocorr": "one event_type window computes all three leads; power sums combine map-side to |types| x 10 scalars",
+    "corpus_mix_entropy": "two combinable KB-sized exchanges: (source, lang) cells then per-source rollup",
+    "text_zipf_fit": "vocabulary-bounded count; top-100 window over the vocab table only; |langs|-row closed form",
+    "graph_modularity": "label joins reuse the checkpointed edge layout; 2m enters as a scalar literal; |communities|-row closed form",
+    "events_holt_backtest": "fold and lag share one (user, ts, id) sort; per-user MAE combines map-side",
+    "agg_gini": "combinable per-customer revenue; per-segment rank window; 3-scalar closed-form reduce",
 }
 
 
