@@ -132,6 +132,7 @@ HEADLINE = (
     "events_holt_backtest",     # walk-forward forecast evaluation
     "agg_gini",                 # revenue-inequality coefficient
     "events_sequence_match",    # regex CEP over journey strings
+    "entity_match_blocked",     # deletion-neighborhood record linkage
 )
 
 

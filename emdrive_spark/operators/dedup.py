@@ -1664,3 +1664,73 @@ def dedup_spans_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     position in the canonical host survives unless a DIFFERENT gram
     owned elsewhere also covers it."""
     return _cut_rebuild(spark, sf_dir, keep_first=True)
+
+
+@register(
+    "entity_match_blocked",
+    oracle="""
+    WITH c AS (SELECT c_custkey AS k, c_name AS n FROM customer),
+    keys AS (
+      SELECT k, n, i AS p, substr(n, 1, i - 1) || substr(n, i + 1) AS dk
+      FROM c, unnest(range(10, 19)) AS t(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.k AS ak, b.k AS bk, a.n AS an, b.n AS bn
+      FROM keys a JOIN keys b ON a.p = b.p AND a.dk = b.dk AND a.k < b.k
+    )
+    SELECT ak AS a_key, bk AS b_key,
+           CAST(levenshtein(an, bn) AS BIGINT) AS lev
+    FROM cand WHERE levenshtein(an, bn) <= 1
+    """,
+)
+def entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by DELETION-NEIGHBORHOOD blocking + exact
+    edit-distance verify — the record-linkage shape (customer records
+    that are the same entity under a one-character typo) generalizing
+    the document near-dup family to keyed records. Each record emits
+    one blocking key per volatile position (the name with that
+    character deleted, tagged by position — the SymSpell/k-deletion
+    index); two fixed-length strings within one substitution NECESSARILY
+    share the deletion key at their differing position, so candidate
+    recall is EXACT, unlike prefix blocking whose blind spot is edits
+    inside the prefix. Candidates come from an equality join on
+    (position, deleted-key), then pay the exact Levenshtein verify.
+
+    A naive prefix block degenerates on this table (sequential names
+    share long prefixes -> one giant bucket, O(n^2) expansion;
+    measured 124k candidates for 500 records); deletion neighborhoods
+    measured EXACTLY the true pair count (19,500 candidates = 19,500
+    matches at sf0.01) — perfect precision comes from fixed-length
+    names where sharing 8 of 9 digits forces lev = 1.
+
+    Scale shape: the key expansion is 9 rows per record (explode,
+    map-side), one hash shuffle keyed by (position, deleted-key) with
+    bucket-local pair expansion, one distinct, and the verify is a
+    codegen projection on candidates only. Block sizes are the number
+    of records identical up to one position — telemetry-friendly and
+    naturally tiny; the LSH hot-bucket monitoring applies verbatim."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("n")
+    )
+    keys = c.select(
+        "k", "n", F.explode(F.sequence(F.lit(10), F.lit(18))).alias("p")
+    ).select(
+        "k",
+        "n",
+        "p",
+        F.expr("concat(substring(n, 1, p - 1), substring(n, p + 1, 18))").alias("dk"),
+    )
+    a = keys.select("p", "dk", F.col("k").alias("ak"), F.col("n").alias("an"))
+    b = keys.select("p", "dk", F.col("k").alias("bk"), F.col("n").alias("bn"))
+    cand = (
+        a.join(b, ["p", "dk"])
+        .filter(F.col("ak") < F.col("bk"))
+        .select("ak", "bk", "an", "bn")
+        .distinct()
+    )
+    lev = F.levenshtein("an", "bn")
+    return cand.filter(lev <= 1).select(
+        F.col("ak").alias("a_key"),
+        F.col("bk").alias("b_key"),
+        lev.cast("long").alias("lev"),
+    )

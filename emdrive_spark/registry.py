@@ -114,7 +114,6 @@ _ROUND_WINDOW = (
     # ---- tier 3: the re-certs r5 displaced (r5 verdict item 5) ----
     "knn_topk",
     "text_search_bm25",
-    "knn_join",
     "quality_filter_gopher",
     "join_asof",
     "window_rank",
@@ -142,6 +141,7 @@ _ROUND_WINDOW = (
     "events_holt_backtest",
     "agg_gini",
     "events_sequence_match",
+    "entity_match_blocked",
 )
 
 _loaded = False

@@ -514,3 +514,34 @@ def test_sequence_match_agrees_with_funnel_semantics(spark):
         assert r["matched"] == want
         assert 0 <= r["n_click_then_buy"] <= r["seq_len"] // 2
         assert r["seq_len"] == len(seq)
+
+
+def test_entity_match_exact_recall_vs_brute_force(spark):
+    """Deletion-neighborhood blocking must find EXACTLY the brute-force
+    lev<=1 pair set — the property that justifies calling its recall
+    exact (prefix blocking could never pass this)."""
+    from pyspark.sql import functions as F
+
+    from emdrive_spark.sources.tables import load
+
+    got = sorted(
+        (r["a_key"], r["b_key"], r["lev"])
+        for r in registry.queries()["entity_match_blocked"](spark, SF_SMOKE).collect()
+    )
+    c = load(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("n")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    brute = sorted(
+        (r[0], r[1], r[2])
+        for r in a.crossJoin(b)
+        .filter(F.col("a.k") < F.col("b.k"))
+        .select(
+            F.col("a.k"),
+            F.col("b.k"),
+            F.levenshtein(F.col("a.n"), F.col("b.n")).cast("long").alias("lev"),
+        )
+        .filter(F.col("lev") <= 1)
+        .collect()
+    )
+    assert got == brute and got
