@@ -133,6 +133,7 @@ HEADLINE = (
     "agg_gini",                 # revenue-inequality coefficient
     "events_sequence_match",    # regex CEP over journey strings
     "entity_match_blocked",     # deletion-neighborhood record linkage
+    "graph_related_topk",       # co-purchase recommendation serving
 )
 
 

@@ -1161,9 +1161,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "graph_edge_jaccard",
-    oracle="""
+_EDGE_JACCARD_ORACLE = """
     WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
     eb AS (
       SELECT DISTINCT a.pk AS u, b.pk AS v
@@ -1191,8 +1189,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN common c ON c.x = e.u AND c.y = e.v
     JOIN deg du ON du.pid = e.u
     JOIN deg dv ON dv.pid = e.v
-    """,
-)
+    """
+
+
+@register("graph_edge_jaccard", oracle=_EDGE_JACCARD_ORACLE)
 def graph_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-edge neighborhood Jaccard over the co-purchase graph — the
     'related products' / link-strength primitive: for every edge
@@ -1824,4 +1824,60 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment",
         "n_customers",
         (F.floor(gini * 1000000 + F.lit(0.5)) / 1000000).alias("gini"),
+    )
+
+
+_RELATED_K = 3
+
+
+@register(
+    "graph_related_topk",
+    oracle=f"""
+    WITH ej AS (SELECT * FROM ({_EDGE_JACCARD_ORACLE})),
+    bidir AS (
+      SELECT u AS part_id, v AS neighbor, common, jscore FROM ej
+      UNION ALL
+      SELECT v, u, common, jscore FROM ej
+    )
+    SELECT part_id, neighbor, common, jscore FROM bidir
+    QUALIFY row_number() OVER (PARTITION BY part_id
+                               ORDER BY jscore DESC, common DESC, neighbor ASC)
+            <= {_RELATED_K}
+    """,
+)
+def graph_related_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Customers also bought': the top-3 most related parts per part,
+    ranked by neighborhood-Jaccard link strength — the recommendation
+    serving table every co-purchase graph exists to produce, and a
+    pure COMPOSITION: graph_edge_jaccard's scored edge list expands to
+    both directions and a per-node rank window keeps K. Deterministic
+    total order (jscore desc, common desc, neighbor asc) keeps the
+    full value-hash oracle; the oracle literally embeds the edge op's
+    SQL as a CTE, so the two ops can never drift apart.
+
+    Scale shape: adds one |E|-row union and one per-node rank window
+    (partitioned by part — parallel across nodes) on top of the
+    triangle machinery's cost. The output is |V| x K rows — the
+    precomputed serving table a product page reads by key."""
+    ej = graph_edge_jaccard(spark, sf_dir)
+    both = ej.select(
+        F.col("u").alias("part_id"),
+        F.col("v").alias("neighbor"),
+        "common",
+        "jscore",
+    ).unionByName(
+        ej.select(
+            F.col("v").alias("part_id"),
+            F.col("u").alias("neighbor"),
+            "common",
+            "jscore",
+        )
+    )
+    w = W.partitionBy("part_id").orderBy(
+        F.col("jscore").desc(), F.col("common").desc(), F.col("neighbor").asc()
+    )
+    return (
+        both.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RELATED_K)
+        .select("part_id", "neighbor", "common", "jscore")
     )

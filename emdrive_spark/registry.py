@@ -113,7 +113,6 @@ _ROUND_WINDOW = (
     "create_table",
     # ---- tier 3: the re-certs r5 displaced (r5 verdict item 5) ----
     "knn_topk",
-    "text_search_bm25",
     "quality_filter_gopher",
     "join_asof",
     "window_rank",
@@ -142,6 +141,7 @@ _ROUND_WINDOW = (
     "agg_gini",
     "events_sequence_match",
     "entity_match_blocked",
+    "graph_related_topk",
 )
 
 _loaded = False

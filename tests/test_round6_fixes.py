@@ -545,3 +545,29 @@ def test_entity_match_exact_recall_vs_brute_force(spark):
         .collect()
     )
     assert got == brute and got
+
+
+def test_related_topk_is_consistent_with_edge_scores(spark):
+    """Every recommended neighbor must be a real scored edge with the
+    same jscore, at most K rows per part, and no unlisted neighbor of
+    a part may beat its listed worst in the ranking order."""
+    from emdrive_spark.operators.analytics import _RELATED_K
+
+    edges = registry.queries()["graph_edge_jaccard"](spark, SF_SMOKE).collect()
+    score = {}
+    for r in edges:
+        score[(r["u"], r["v"])] = (r["jscore"], r["common"])
+        score[(r["v"], r["u"])] = (r["jscore"], r["common"])
+    rows = registry.queries()["graph_related_topk"](spark, SF_SMOKE).collect()
+    per_part = {}
+    for r in rows:
+        assert score[(r["part_id"], r["neighbor"])] == (r["jscore"], r["common"])
+        per_part.setdefault(r["part_id"], []).append(
+            (-r["jscore"], -r["common"], r["neighbor"])
+        )
+    for part, lst in per_part.items():
+        assert len(lst) <= _RELATED_K
+        worst = max(lst)
+        for (a, b), (js, cm) in score.items():
+            if a == part and (-js, -cm, b) < worst and len(lst) == _RELATED_K:
+                assert (-js, -cm, b) in lst
