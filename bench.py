@@ -134,6 +134,7 @@ HEADLINE = (
     "events_sequence_match",    # regex CEP over journey strings
     "entity_match_blocked",     # deletion-neighborhood record linkage
     "graph_related_topk",       # co-purchase recommendation serving
+    "events_attribution",       # last-touch conversion credit
 )
 
 

@@ -1576,3 +1576,78 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((length(seq) - length(replace(seq, 'cp', ''))) DIV 2 AS BIGINT)")
         .alias("n_click_then_buy"),
     )
+
+
+_ATTR_WINDOW_S = 7 * 24 * 3600  # last-touch lookback: 7 days
+
+
+@register(
+    "events_attribution",
+    oracle=f"""
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN c.ts IS NOT NULL
+                     AND date_diff('second', c.ts, p.ts) <= {_ATTR_WINDOW_S}
+                THEN 'click' ELSE 'organic' END AS channel,
+           CASE WHEN c.ts IS NOT NULL
+                     AND date_diff('second', c.ts, p.ts) <= {_ATTR_WINDOW_S}
+                THEN c.event_id END AS touch_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the user's most recent click at-or-before it IF that click falls
+    inside a 7-day lookback, else to 'organic' — the conversion-credit
+    join every growth team runs, and the canonical consumer of the
+    as-of machinery (join_asof finds the touch, the lookback gates the
+    credit). Spark lacks a native ASOF; the scalable pattern is the
+    union + single user_id shuffle + last(ignorenulls) ordered window
+    (the join_asof recipe — O(n log n) per user, no range explosion),
+    with the lookback test as exact integer seconds
+    (timestampdiff(SECOND) DIV-free, the events_detect_gaps recipe).
+    The oracle is DuckDB's native ASOF LEFT JOIN plus the same CASE.
+
+    Scale shape: one shuffle keyed by user_id over just the click +
+    purchase subset (both filters push to the scan), one ordered
+    window pass, then a pure projection. Attribution re-runs daily on
+    a bounded event window in production — this plan is that job."""
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp_ntz").alias("c_ts"),
+        F.lit(None).cast("long").alias("c_id"),
+        F.lit(1).alias("is_left"),
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+        F.lit(0).alias("is_left"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_left"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    m = (
+        left.unionByName(right)
+        .withColumn("t_ts", F.last("c_ts", ignorenulls=True).over(w))
+        .withColumn("t_id", F.last("c_id", ignorenulls=True).over(w))
+        .filter(F.col("is_left") == 1)
+    )
+    in_window = F.col("t_ts").isNotNull() & (
+        F.expr("timestampdiff(SECOND, t_ts, ts)") <= _ATTR_WINDOW_S
+    )
+    return m.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(in_window, "click").otherwise("organic").alias("channel"),
+        F.when(in_window, F.col("t_id")).alias("touch_event_id"),
+    )

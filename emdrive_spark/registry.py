@@ -114,7 +114,9 @@ _ROUND_WINDOW = (
     # ---- tier 3: the re-certs r5 displaced (r5 verdict item 5) ----
     "knn_topk",
     "quality_filter_gopher",
-    "join_asof",
+    # join_asof's re-cert seat goes to events_attribution below — the
+    # attribution op exercises the same union+window as-of machinery
+    # under a fresh driver row.
     "window_rank",
     "events_session_agg",
     "tpch_q1",
@@ -142,6 +144,7 @@ _ROUND_WINDOW = (
     "events_sequence_match",
     "entity_match_blocked",
     "graph_related_topk",
+    "events_attribution",
 )
 
 _loaded = False

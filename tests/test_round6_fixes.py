@@ -571,3 +571,35 @@ def test_related_topk_is_consistent_with_edge_scores(spark):
         for (a, b), (js, cm) in score.items():
             if a == part and (-js, -cm, b) < worst and len(lst) == _RELATED_K:
                 assert (-js, -cm, b) in lst
+
+
+def test_attribution_credits_latest_click_within_lookback(spark):
+    """Re-derive attribution in plain python from the raw events: the
+    credited touch must be the user's latest click at-or-before the
+    purchase, and 'click' channel appears iff it is within 7 days."""
+    from emdrive_spark.operators.timeseries import _ATTR_WINDOW_S
+    from emdrive_spark.sources.tables import load
+
+    ev = load(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    clicks = {}
+    for r in ev:
+        if r["event_type"] == "click":
+            clicks.setdefault(r["user_id"], []).append((r["ts"], r["event_id"]))
+    for v in clicks.values():
+        v.sort()
+    rows = registry.queries()["events_attribution"](spark, SF_SMOKE).collect()
+    n_purchases = sum(1 for r in ev if r["event_type"] == "purchase")
+    assert len(rows) == n_purchases
+    for r in rows:
+        cands = [c for c in clicks.get(r["user_id"], []) if c[0] <= r["ts"]]
+        if not cands:
+            assert r["channel"] == "organic" and r["touch_event_id"] is None
+            continue
+        ts, eid = max(cands)
+        within = (r["ts"] - ts).total_seconds() <= _ATTR_WINDOW_S
+        if within:
+            assert r["channel"] == "click" and r["touch_event_id"] == eid
+        else:
+            assert r["channel"] == "organic" and r["touch_event_id"] is None
