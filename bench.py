@@ -135,6 +135,8 @@ HEADLINE = (
     "entity_match_blocked",     # deletion-neighborhood record linkage
     "graph_related_topk",       # co-purchase recommendation serving
     "events_attribution",       # last-touch conversion credit
+    "text_collocation_pmi",     # phrase-mining PMI bigrams
+    "agg_benford",              # first-digit financial audit
 )
 
 

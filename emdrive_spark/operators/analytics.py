@@ -1881,3 +1881,95 @@ def graph_related_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _RELATED_K)
         .select("part_id", "neighbor", "common", "jscore")
     )
+
+
+# Benford expected first-digit shares, log10(1 + 1/d), precomputed in
+# Python so BOTH engines consume the identical double literals (no
+# per-engine log10 in the hot path or the oracle).
+_BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def _benford_oracle() -> str:
+    p_cases = " ".join(f"WHEN {d} THEN {p!r}" for d, p in _BENFORD_P.items())
+    return f"""
+    WITH cents AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM orders
+    ),
+    digs AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM cents WHERE c > 0
+    ),
+    obs AS (SELECT digit, count(*) AS obs_cnt FROM digs GROUP BY digit),
+    n AS (SELECT sum(obs_cnt) AS n FROM obs)
+    SELECT obs.digit, CAST(obs.obs_cnt AS BIGINT) AS obs_cnt,
+           CASE obs.digit {p_cases} END AS exp_share,
+           floor((CAST(obs.obs_cnt AS DOUBLE)
+                  - CAST(n.n AS DOUBLE) * (CASE obs.digit {p_cases} END))
+                 * (CAST(obs.obs_cnt AS DOUBLE)
+                    - CAST(n.n AS DOUBLE) * (CASE obs.digit {p_cases} END))
+                 / (CAST(n.n AS DOUBLE) * (CASE obs.digit {p_cases} END))
+                 * 1000000 + 0.5) / 1000000 AS chi_term
+    FROM obs, n
+    """
+
+
+@register("agg_benford", oracle=_benford_oracle())
+def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    classic anomaly/fraud screen for financial columns (organic
+    amounts follow log10(1+1/d); fabricated or capped data does not).
+    One row per leading digit with the observed count, the expected
+    Benford share, and the digit's chi-square contribution
+    (obs − n·p)²/(n·p) — sum the column and compare to the
+    chi-square(8) critical value to score the table.
+
+    Exactness recipe: the leading digit comes from INTEGER-cents
+    string conversion (decimal cast → ×100 → BIGINT → varchar), never
+    from float formatting or log10 of a double, both of which diverge
+    between engines at boundaries; expected shares are PYTHON-computed
+    double literals consumed identically by both engines; counts are
+    exact, and the one rounded expression is plain ·,−,/ on identical
+    doubles (the events_ab_test discipline).
+
+    Scale shape: one combinable groupBy down to at most 9 rows; the
+    scalar n re-enters by a broadcast of a 9-row frame — every
+    exchange after the scan carries bytes."""
+    o = load(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("c")
+    )
+    digs = o.filter(F.col("c") > 0).select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    obs = digs.groupBy("digit").agg(F.count("*").alias("obs_cnt"))
+    n = obs.agg(F.sum("obs_cnt").alias("n"))
+    p = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_P.items() for x in kv]
+    )[F.col("digit")]
+    dev = F.col("obs_cnt").cast("double") - F.col("n").cast("double") * p
+    return (
+        obs.crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.col("obs_cnt").cast("long").alias("obs_cnt"),
+            p.alias("exp_share"),
+            (
+                F.floor(
+                    dev * dev / (F.col("n").cast("double") * p) * 1000000 + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("chi_term"),
+        )
+    )

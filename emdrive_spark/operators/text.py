@@ -711,3 +711,95 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (f6(slope) + F.lit(0.0)).alias("zipf_slope"),
         (f6((sy - slope * sx) / n) + F.lit(0.0)).alias("zipf_intercept"),
     )
+
+
+_PMI_TOPN = 20  # report the top-20 collocations by count
+
+
+@register(
+    "text_collocation_pmi",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+      FROM documents
+    ),
+    big AS (
+      SELECT ts[i] AS w1, ts[i + 1] AS w2
+      FROM toks, unnest(range(1, len(ts))) AS t(i)
+    ),
+    uni AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT ts[i] AS w FROM toks, unnest(range(1, len(ts) + 1)) AS t(i)
+      ) GROUP BY w
+    ),
+    n AS (SELECT sum(c) AS n FROM uni),
+    bc AS (SELECT w1, w2, count(*) AS cxy FROM big GROUP BY w1, w2),
+    scored AS (
+      SELECT bc.w1, bc.w2, bc.cxy,
+             floor(ln(CAST(bc.cxy AS DOUBLE) * n.n
+                      / (CAST(u1.c AS DOUBLE) * u2.c))
+                   * 1000000 + 0.5) / 1000000 AS pmi
+      FROM bc
+      JOIN uni u1 ON u1.w = bc.w1
+      JOIN uni u2 ON u2.w = bc.w2, n
+    )
+    SELECT w1, w2, CAST(cxy AS BIGINT) AS pair_cnt, pmi FROM scored
+    QUALIFY row_number() OVER (ORDER BY cxy DESC, w1 ASC, w2 ASC)
+            <= {_PMI_TOPN}
+    """,
+)
+def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the corpus's top-20 adjacent bigrams with
+    their pointwise mutual information PMI = ln(c_xy*N / (c_x*c_y)) —
+    the phrase-detection statistic behind tokenizer phrase merges and
+    multi-word-entity discovery (high PMI = the pair co-occurs far
+    more than its parts predict). Every count is an exact integer, so
+    the one ln runs over an exact rational whose operands are
+    identical doubles in both engines (the quality_dsir recipe) and a
+    lexical-statistics op carries a full value-hash oracle; the top-N
+    cut uses the deterministic (count desc, w1, w2) total order.
+
+    Scale shape: bigram and unigram counts are map-side-combinable
+    groupBys bounded by VOCABULARY size (|V| and |V-gram| rows, never
+    corpus rows, reach the reduce side); the PMI join attaches two
+    unigram counts to each distinct bigram — vocabulary-sized
+    equality joins — and the global top-20 is TakeOrdered."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(tokens(F.col("text")).alias("ts"))
+    big = toks.select(
+        F.explode(
+            F.expr("transform(slice(ts, 1, size(ts) - 1), (x, i) -> struct(x AS w1, ts[i + 1] AS w2))")
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    uni = toks.select(F.explode("ts").alias("w")).groupBy("w").agg(
+        F.count("*").alias("c")
+    )
+    n = uni.agg(F.sum("c").alias("n"))
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("cxy"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bc.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("cxy").cast("long").alias("pair_cnt"),
+            (
+                F.floor(
+                    F.log(
+                        F.col("cxy").cast("double")
+                        * F.col("n")
+                        / (F.col("c1").cast("double") * F.col("c2"))
+                    )
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pair_cnt"), F.asc("w1"), F.asc("w2")
+    ).limit(_PMI_TOPN)

@@ -112,7 +112,6 @@ _ROUND_WINDOW = (
     "insert_rows",
     "create_table",
     # ---- tier 3: the re-certs r5 displaced (r5 verdict item 5) ----
-    "knn_topk",
     "quality_filter_gopher",
     # join_asof's re-cert seat goes to events_attribution below — the
     # attribution op exercises the same union+window as-of machinery
@@ -120,7 +119,6 @@ _ROUND_WINDOW = (
     "window_rank",
     "events_session_agg",
     "tpch_q1",
-    "tpch_q3",
     # ---- tier 1b: ops ADDED in round 6 — first-time certification
     # (full value-hash oracles; seated over four tier-4 re-certs —
     # str_funcs / date_funcs / agg_count_distinct / window_running_sum
@@ -145,6 +143,8 @@ _ROUND_WINDOW = (
     "entity_match_blocked",
     "graph_related_topk",
     "events_attribution",
+    "text_collocation_pmi",
+    "agg_benford",
 )
 
 _loaded = False

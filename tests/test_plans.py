@@ -459,6 +459,9 @@ _SCALE_MARKER_ALLOWLIST = {
     "sample_temperature": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
     "text_search_bm25": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
     "text_perplexity_bucket": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
+    # 1-row corpus-total scalar broadcast (the perplexity-bucket shape)
+    "text_collocation_pmi": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
+    "agg_benford": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
     "ann_recall": {"BroadcastNestedLoopJoin"},  # k-row recall compare
     # node-count scalar broadcast into each PageRank iteration (1-row
     # agg, same two-phase-scalar shape as the tpch entries above)

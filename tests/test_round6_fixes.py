@@ -603,3 +603,38 @@ def test_attribution_credits_latest_click_within_lookback(spark):
             assert r["channel"] == "click" and r["touch_event_id"] == eid
         else:
             assert r["channel"] == "organic" and r["touch_event_id"] is None
+
+
+def test_pmi_top_bigrams_are_real_and_scores_finite(spark):
+    """Every reported bigram must actually occur adjacently in some
+    document with at least the reported count, and PMI is finite."""
+    import math
+
+    rows = registry.queries()["text_collocation_pmi"](spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 20
+    from emdrive_spark.sources.tables import load
+
+    texts = [r["text"].split() for r in load(spark, SF_SMOKE, "documents").collect()]
+    for r in rows:
+        cnt = sum(
+            1
+            for t in texts
+            for i in range(len(t) - 1)
+            if t[i] == r["w1"] and t[i + 1] == r["w2"]
+        )
+        assert cnt == r["pair_cnt"]
+        assert math.isfinite(r["pmi"])
+
+
+def test_benford_covers_digits_and_chi_terms_nonnegative(spark):
+    """All chi-square contributions are >= 0, observed counts sum to
+    the row count, and expected shares are the Benford constants."""
+    from emdrive_spark.operators.analytics import _BENFORD_P
+    from emdrive_spark.sources.tables import load
+
+    rows = registry.queries()["agg_benford"](spark, SF_SMOKE).collect()
+    n_orders = load(spark, SF_SMOKE, "orders").count()
+    assert sum(r["obs_cnt"] for r in rows) == n_orders
+    for r in rows:
+        assert r["chi_term"] >= 0
+        assert r["exp_share"] == _BENFORD_P[r["digit"]]
