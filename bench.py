@@ -137,6 +137,8 @@ HEADLINE = (
     "events_attribution",       # last-touch conversion credit
     "text_collocation_pmi",     # phrase-mining PMI bigrams
     "agg_benford",              # first-digit financial audit
+    "eval_lang_confusion",      # classifier confusion-matrix audit
+    "agg_ks_test",              # distribution-free two-sample test
 )
 
 

@@ -803,3 +803,54 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("pair_cnt"), F.asc("w1"), F.asc("w2")
     ).limit(_PMI_TOPN)
+
+
+@register(
+    "eval_lang_confusion",
+    oracle="""
+    WITH p AS (
+      SELECT lang,
+             CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 'en'
+                  WHEN ' ' || text || ' ' LIKE '% le %'  THEN 'fr'
+                  WHEN ' ' || text || ' ' LIKE '% der %' THEN 'de'
+                  WHEN ' ' || text || ' ' LIKE '% el %'  THEN 'es'
+                  ELSE 'unknown' END AS lang_pred
+      FROM documents
+    ),
+    cell AS (SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY lang, lang_pred),
+    tot AS (SELECT lang, sum(n) AS t FROM cell GROUP BY lang)
+    SELECT cell.lang, cell.lang_pred, CAST(cell.n AS BIGINT) AS n,
+           CAST(cell.n * 1000000 // tot.t AS BIGINT) AS share_ppm
+    FROM cell JOIN tot ON tot.lang = cell.lang
+    """,
+)
+def eval_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the lang_id classifier against the corpus's
+    gold labels — the model-evaluation twin of events_holt_backtest
+    for the classification side: one row per (true lang, predicted
+    lang) with the count and the per-true-language share in exact ppm
+    (integer DIV, no float division). This is the audit every
+    production classifier ships with; aggregate the diagonal for
+    accuracy, a row for recall, a column for precision.
+
+    Scale shape: the prediction is the same zero-shuffle codegen
+    projection lang_id runs; the matrix is one combinable groupBy to
+    |langs|^2 cells and a |langs|-row broadcast join for the shares —
+    everything after the scan is KB-sized."""
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    pred = (
+        F.when(padded.like("% the %"), "en")
+        .when(padded.like("% le %"), "fr")
+        .when(padded.like("% der %"), "de")
+        .when(padded.like("% el %"), "es")
+        .otherwise("unknown")
+    )
+    p = load(spark, sf_dir, "documents").select("lang", pred.alias("lang_pred"))
+    cell = p.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+    tot = cell.groupBy("lang").agg(F.sum("n").alias("t"))
+    return cell.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "lang_pred",
+        F.col("n").cast("long").alias("n"),
+        F.expr("CAST(n * 1000000 DIV t AS BIGINT)").alias("share_ppm"),
+    )

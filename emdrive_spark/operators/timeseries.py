@@ -1651,3 +1651,99 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_window, "click").otherwise("organic").alias("channel"),
         F.when(in_window, F.col("t_id")).alias("touch_event_id"),
     )
+
+
+@register(
+    "agg_ks_test",
+    oracle="""
+    WITH s AS (
+      SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS f
+      FROM events WHERE event_type IN ('click', 'error')
+    ),
+    v AS (SELECT value, sum(f) AS a, sum(1 - f) AS b FROM s GROUP BY value),
+    o AS (
+      SELECT sum(a) OVER w AS c1, sum(b) OVER w AS c2
+      FROM v WINDOW w AS (ORDER BY value ROWS UNBOUNDED PRECEDING)
+    ),
+    n AS (
+      SELECT sum(a) AS n1, sum(b) AS n2 FROM v
+    ),
+    d AS (SELECT max(abs(c1 * (SELECT n2 FROM n) - c2 * (SELECT n1 FROM n))) AS dn FROM o)
+    SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+           floor(CAST(d.dn AS DOUBLE)
+                 / (CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS ks_d
+    FROM n, d
+    """,
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the click and
+    error value distributions — the DISTRIBUTION-FREE hypothesis test
+    next to events_ab_test's t-test (detects any shape difference, not
+    just a mean shift). D = sup|F1 - F2| evaluated at the distinct
+    value points with the exact-integer identity
+    D·n1·n2 = max|c1·n2 - c2·n1|, so the data-sized work is entirely
+    integer running counts and the one float division happens once on
+    exact operands.
+
+    Scale shape (the events_detect_gaps recipe — no corpus-sized
+    single-partition window): per-VALUE counts are one combinable
+    groupBy; values then bucket by floor(value), running sums are
+    computed inside each bucket's window, per-bucket subtotals prefix
+    on a |buckets|-row frame (the only SinglePartition exchange — one
+    row per bucket, triaged), and bucket offsets broadcast back. The
+    global max is a combinable aggregate. The oracle computes the same
+    statistic with a plain global window — engine-sized data, same
+    exact integers."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    s = ev.select(
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("f"),
+    )
+    v = s.groupBy("value").agg(
+        F.sum("f").alias("a"), F.sum(1 - F.col("f")).alias("b")
+    )
+    # within-bucket running counts (bucket = floor(value))
+    v = v.withColumn("bkt", F.floor("value").cast("long"))
+    win = W.partitionBy("bkt").orderBy("value").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    w_in = v.select(
+        "bkt",
+        "value",
+        F.sum("a").over(win).alias("ca"),
+        F.sum("b").over(win).alias("cb"),
+    )
+    # per-bucket totals -> exclusive prefix offsets on a |buckets|-row frame
+    btot = v.groupBy("bkt").agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+    bwin = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    offs = btot.select(
+        "bkt",
+        F.coalesce(F.sum("ta").over(bwin), F.lit(0)).alias("oa"),
+        F.coalesce(F.sum("tb").over(bwin), F.lit(0)).alias("ob"),
+    )
+    n1n2 = v.agg(F.sum("a").alias("n1"), F.sum("b").alias("n2")).collect()[0]
+    n1, n2 = int(n1n2["n1"]), int(n1n2["n2"])
+    d = (
+        w_in.join(F.broadcast(offs), "bkt")
+        .select(
+            F.abs(
+                (F.col("ca") + F.col("oa")) * F.lit(n2)
+                - (F.col("cb") + F.col("ob")) * F.lit(n1)
+            ).alias("dn")
+        )
+        .agg(F.max("dn").alias("dn"))
+    )
+    return d.select(
+        F.lit(n1).cast("long").alias("n1"),
+        F.lit(n2).cast("long").alias("n2"),
+        (
+            F.floor(
+                F.col("dn").cast("double") / (float(n1) * float(n2)) * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("ks_d"),
+    )

@@ -91,12 +91,13 @@ _ROUND_WINDOW = (
     "graph_edge_jaccard",
     # (b) dedup family: ckpt() swap in _bucket_pairs / band frames /
     # components loop / span grams / ingest history
+    # (dedup_minhash_det / dedup_containment ride the same ckpt()
+    # sites as the five below — their seats go to the late round-6
+    # additions at the window tail)
     "dedup_exact",
     "dedup_components",
     "dedup_lsh_verified",
-    "dedup_minhash_det",
     "dedup_edit_verified",
-    "dedup_containment",
     "dedup_embedding",
     "dedup_incremental",
     "stream_ingest_dedup",
@@ -145,6 +146,8 @@ _ROUND_WINDOW = (
     "events_attribution",
     "text_collocation_pmi",
     "agg_benford",
+    "eval_lang_confusion",
+    "agg_ks_test",
 )
 
 _loaded = False

@@ -453,6 +453,7 @@ _SCALE_MARKER_ALLOWLIST = {
     "events_gap_fill": {"Exchange SinglePartition"},  # grid min/max
     "events_interpolate": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
     "events_detect_gaps": {"Exchange SinglePartition"},  # bounds frame
+    "agg_ks_test": {"Exchange SinglePartition"},  # |buckets|-row prefix frame
     "events_ab_test": {"BroadcastNestedLoopJoin"},  # 2x 1-row stats
     "basket_pair_lift": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
     "sample_domain_mix": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},

@@ -638,3 +638,48 @@ def test_benford_covers_digits_and_chi_terms_nonnegative(spark):
     for r in rows:
         assert r["chi_term"] >= 0
         assert r["exp_share"] == _BENFORD_P[r["digit"]]
+
+
+def test_lang_confusion_shares_sum_per_row(spark):
+    """Per-true-language ppm shares sum to ~1e6 (integer DIV loses at
+    most |cells| ppm), counts match the corpus size, and every
+    predicted label is from the classifier's range."""
+    rows = registry.queries()["eval_lang_confusion"](spark, SF_SMOKE).collect()
+    from emdrive_spark.sources.tables import load
+
+    assert sum(r["n"] for r in rows) == load(spark, SF_SMOKE, "documents").count()
+    per_lang = {}
+    for r in rows:
+        assert r["lang_pred"] in {"en", "fr", "de", "es", "unknown"}
+        per_lang.setdefault(r["lang"], []).append(r["share_ppm"])
+    for shares in per_lang.values():
+        assert 1_000_000 - len(shares) <= sum(shares) <= 1_000_000
+
+
+def test_ks_statistic_matches_brute_force(spark):
+    """The bucketed two-phase D must equal the plain sorted-merge D
+    computed in python from the raw values."""
+    from emdrive_spark.sources.tables import load
+
+    row = registry.queries()["agg_ks_test"](spark, SF_SMOKE).collect()[0]
+    ev = (
+        load(spark, SF_SMOKE, "events")
+        .filter("event_type IN ('click', 'error')")
+        .select("event_type", "value")
+        .collect()
+    )
+    xs = sorted(r["value"] for r in ev if r["event_type"] == "click")
+    ys = sorted(r["value"] for r in ev if r["event_type"] == "error")
+    n1, n2 = len(xs), len(ys)
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    pts = sorted(set(xs) | set(ys))
+    import bisect
+
+    dn = max(
+        abs(bisect.bisect_right(xs, p) * n2 - bisect.bisect_right(ys, p) * n1)
+        for p in pts
+    )
+    import math
+
+    want = math.floor(dn / (n1 * n2) * 1000000 + 0.5) / 1000000
+    assert row["ks_d"] == want
