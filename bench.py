@@ -139,6 +139,7 @@ HEADLINE = (
     "agg_benford",              # first-digit financial audit
     "eval_lang_confusion",      # classifier confusion-matrix audit
     "agg_ks_test",              # distribution-free two-sample test
+    "events_survival_km",       # censored conversion survival curve
 )
 
 

@@ -17,7 +17,7 @@ aggregation — map-side combined to |users| rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from emdrive_spark.registry import register
@@ -343,4 +343,154 @@ def user_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "timestampdiff(MICROSECOND, signup_ts, first_purchase_ts) DIV 1000000"
             ).alias("seconds_to_convert"),
         )
+    )
+
+
+_KM_US_PER_DAY = 86_400_000_000
+
+
+@register(
+    "events_survival_km",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY e.user_id
+    ),
+    mx AS (SELECT max(ts) AS m FROM events),
+    dur AS (
+      SELECT s.user_id,
+             CASE WHEN p.user_id IS NOT NULL
+                  THEN date_diff('microsecond', s.signup_ts, p.first_purchase_ts)
+                       // {_KM_US_PER_DAY}
+                  ELSE date_diff('microsecond', s.signup_ts, (SELECT m FROM mx))
+                       // {_KM_US_PER_DAY} END AS day,
+             CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM s LEFT JOIN p ON p.user_id = s.user_id
+    ),
+    agg AS (SELECT day, sum(ev) AS d, sum(1 - ev) AS c FROM dur GROUP BY day),
+    tot AS (SELECT sum(d + c) AS n FROM agg),
+    o AS (
+      SELECT day, d, c,
+             (SELECT n FROM tot)
+             - coalesce(sum(d + c) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM agg
+    ),
+    t AS (
+      SELECT day, d, c, n_risk,
+             CASE WHEN d > 0 AND n_risk > d
+                  THEN floor(ln(CAST(n_risk - d AS DOUBLE) / n_risk)
+                             * 1000000 + 0.5) / 1000000
+                  WHEN d > 0 THEN -20.0
+                  ELSE 0.0 END AS lt
+      FROM o
+    )
+    SELECT CAST(day AS BIGINT) AS day, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
+           floor(CAST(sum(CAST(lt AS DECIMAL(18,6))) OVER (ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS log_survival
+    FROM t
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for signup-to-purchase conversion
+    with RIGHT-CENSORING — the survival-analysis primitive
+    user_time_to_convert cannot express (that op drops every user who
+    never converted; KM counts them as at-risk until the corpus
+    horizon, so the curve is unbiased). One row per duration day with
+    the at-risk count, conversions, censorings, and the running
+    log-survival ln S(t) = sum ln(1 - d_i/n_i) (report e^x for the
+    curve; the log form keeps the op exact — each term is one ln over
+    an exact-integer rational floor-rounded to 6 decimals and summed
+    as DECIMAL, the corpus_mix_entropy recipe, where a running PRODUCT
+    of doubles would be engine-divergent and exp() is not bit-portable
+    across libms). A day where everyone remaining converts takes a
+    fixed -20 sentinel (S = 0).
+
+    Scale shape: per-user durations are two min() aggregates and one
+    user_id join (the user_time_to_convert shuffles); the life table
+    is a combinable groupBy to |days| rows — CALENDAR-bounded, tiny at
+    any corpus size — and the two ordered windows run on that frame
+    (triaged: one row per day, the detect_gaps bounds-frame class).
+    The censor horizon is a 1-row scalar re-entered as a literal."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    maxts = ev.agg(F.max("ts")).collect()[0][0]  # 1-row scalar
+    dur = (
+        s.join(p, "user_id", "left")
+        .withColumn("_m", F.expr(f"timestamp_ntz'{maxts}'"))
+        .select(
+            F.when(
+                F.col("first_purchase_ts").isNotNull(),
+                F.expr(
+                    "timestampdiff(MICROSECOND, signup_ts, first_purchase_ts)"
+                    f" DIV {_KM_US_PER_DAY}"
+                ),
+            )
+            .otherwise(
+                F.expr(
+                    f"timestampdiff(MICROSECOND, signup_ts, _m) DIV {_KM_US_PER_DAY}"
+                )
+            )
+            .alias("day"),
+            F.when(F.col("first_purchase_ts").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    agg = dur.groupBy("day").agg(
+        F.sum("ev").alias("d"), F.sum(1 - F.col("ev")).alias("c")
+    )
+    total = agg.agg(F.sum(F.col("d") + F.col("c"))).collect()[0][0]  # 1-row scalar
+    prev = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    run = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    o = agg.withColumn(
+        "n_risk",
+        F.lit(int(total))
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(prev), F.lit(0)),
+    )
+    lt = (
+        F.when(
+            (F.col("d") > 0) & (F.col("n_risk") > F.col("d")),
+            F.floor(
+                F.log((F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk"))
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000,
+        )
+        .when(F.col("d") > 0, F.lit(-20.0))
+        .otherwise(F.lit(0.0))
+    )
+    t = o.withColumn("lt", lt)
+    return t.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("c").cast("long").alias("n_censored"),
+        (
+            F.floor(
+                F.sum(F.col("lt").cast("decimal(18,6)")).over(run).cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("log_survival"),
     )

@@ -100,7 +100,8 @@ _ROUND_WINDOW = (
     "dedup_edit_verified",
     "dedup_embedding",
     "dedup_incremental",
-    "stream_ingest_dedup",
+    # (stream_ingest_dedup shares dedup_incremental's history-band
+    # ckpt path — its seat goes to the survival op at the tail)
     "dedup_spans_exact",
     "dedup_spans_cut",
     "dedup_spans_keep_first",
@@ -148,6 +149,7 @@ _ROUND_WINDOW = (
     "agg_benford",
     "eval_lang_confusion",
     "agg_ks_test",
+    "events_survival_km",
 )
 
 _loaded = False

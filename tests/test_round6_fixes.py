@@ -683,3 +683,31 @@ def test_ks_statistic_matches_brute_force(spark):
 
     want = math.floor(dn / (n1 * n2) * 1000000 + 0.5) / 1000000
     assert row["ks_d"] == want
+
+
+def test_km_survival_is_monotone_and_accounts_everyone(spark):
+    """Log-survival is non-increasing over days, at-risk counts
+    telescope exactly (n_risk[t+1] = n_risk[t] - d[t] - c[t]), and
+    events + censorings sum to the signup cohort size."""
+    from pyspark.sql import functions as F
+
+    from emdrive_spark.sources.tables import load
+
+    rows = sorted(
+        registry.queries()["events_survival_km"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    cohort = (
+        load(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type") == "signup")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_events"] + r["n_censored"] for r in rows) == cohort
+    assert rows[0]["n_risk"] == cohort
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_risk"] == a["n_risk"] - a["n_events"] - a["n_censored"]
+        assert b["log_survival"] <= a["log_survival"] + 1e-9
+    assert all(r["log_survival"] <= 0 for r in rows)
