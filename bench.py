@@ -140,6 +140,8 @@ HEADLINE = (
     "eval_lang_confusion",      # classifier confusion-matrix audit
     "agg_ks_test",              # distribution-free two-sample test
     "events_survival_km",       # censored conversion survival curve
+    "agg_mannwhitney",          # tie-corrected rank-sum test
+    "agg_chisq_independence",   # contingency-table independence test
 )
 
 

@@ -1747,3 +1747,164 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("ks_d"),
     )
+
+
+@register(
+    "agg_mannwhitney",
+    oracle="""
+    WITH s AS (
+      SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS f
+      FROM events WHERE event_type IN ('click', 'error')
+    ),
+    v AS (SELECT value, sum(f) AS a, sum(1 - f) AS b FROM s GROUP BY value),
+    o AS (
+      SELECT a, b,
+             coalesce(sum(a + b) OVER (ORDER BY value
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prev,
+             a + b AS k
+      FROM v
+    ),
+    n AS (SELECT sum(a) AS n1, sum(b) AS n2 FROM v),
+    r AS (
+      -- 2*R1 stays integer: sum over values of a * (2*prev + k + 1)
+      SELECT sum(a * (2 * prev + k + 1)) AS r1x2,
+             sum(CAST(k AS DECIMAL(18,0)) * k * k - k) AS ties
+      FROM o
+    )
+    SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+           CAST((r.r1x2 - n.n1 * (n.n1 + 1)) // 2 AS BIGINT) AS u1,
+           floor((CAST(r.r1x2 AS DOUBLE) / 2
+                  - CAST(n.n1 AS DOUBLE) * (n.n1 + 1) / 2
+                  - CAST(n.n1 AS DOUBLE) * n.n2 / 2)
+                 / sqrt(CAST(n.n1 AS DOUBLE) * n.n2 / 12
+                        * ((n.n1 + n.n2 + 1)
+                           - CAST(r.ties AS DOUBLE)
+                             / ((n.n1 + n.n2) * (CAST(n.n1 AS DOUBLE) + n.n2 - 1))))
+                 * 1000000 + 0.5) / 1000000 AS z
+    FROM n, r
+    """,
+)
+def agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between the click and error value
+    distributions — the nonparametric location test completing the
+    hypothesis-testing family (events_ab_test: parametric means;
+    agg_ks_test: any shape difference; this: stochastic dominance,
+    robust to outliers where the t-test is not). Tied observations get
+    the textbook average rank with the tie-corrected variance.
+
+    Exactness: ranks come from per-distinct-value running counts, and
+    DOUBLED rank sums stay integers (avg rank of a tie block starting
+    after `prev` with k members is prev + (k+1)/2, so
+    2·R1 = Σ a·(2·prev + k + 1) is exact); the tie term Σ(k³−k) sums
+    as DECIMAL; the z-score is one sqrt — the only libm call that IS
+    correctly rounded by IEEE and therefore bit-portable, unlike
+    ln/exp (the events_ab_test discipline).
+
+    Scale shape: identical to agg_ks_test minus the bucket stitching —
+    per-value counts combine map-side, the ordered prefix runs over
+    DISTINCT values (here one window; the KS bucket-two-phase recipe
+    drops in verbatim when the distinct-value space is corpus-sized),
+    and everything after is scalar arithmetic."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    s = ev.select(
+        "value", F.when(F.col("event_type") == "click", 1).otherwise(0).alias("f")
+    )
+    v = s.groupBy("value").agg(F.sum("f").alias("a"), F.sum(1 - F.col("f")).alias("b"))
+    prev_w = W.orderBy("value").rowsBetween(W.unboundedPreceding, -1)
+    o = v.select(
+        "a",
+        "b",
+        F.coalesce(F.sum(F.col("a") + F.col("b")).over(prev_w), F.lit(0)).alias("prev"),
+        (F.col("a") + F.col("b")).alias("k"),
+    )
+    nrow = v.agg(F.sum("a").alias("n1"), F.sum("b").alias("n2")).collect()[0]
+    n1, n2 = int(nrow["n1"]), int(nrow["n2"])
+    r = o.agg(
+        F.sum(F.col("a") * (2 * F.col("prev") + F.col("k") + 1)).alias("r1x2"),
+        F.sum(
+            F.col("k").cast("decimal(18,0)") * F.col("k") * F.col("k") - F.col("k")
+        ).alias("ties"),
+    )
+    nn = n1 + n2
+    z = (
+        F.col("r1x2").cast("double") / 2
+        - F.lit(float(n1) * (n1 + 1) / 2)
+        - F.lit(float(n1) * n2 / 2)
+    ) / F.sqrt(
+        F.lit(float(n1) * n2 / 12)
+        * (F.lit(float(nn + 1)) - F.col("ties").cast("double") / F.lit(float(nn) * (nn - 1)))
+    )
+    return r.select(
+        F.lit(n1).cast("long").alias("n1"),
+        F.lit(n2).cast("long").alias("n2"),
+        F.expr(f"CAST((r1x2 - {n1} * ({n1} + 1)) DIV 2 AS BIGINT)").alias("u1"),
+        (F.floor(z * 1000000 + F.lit(0.5)) / 1000000).alias("z"),
+    )
+
+
+@register(
+    "agg_chisq_independence",
+    oracle="""
+    WITH cell AS (
+      SELECT event_type, CAST(hour(ts) // 6 AS INT) AS day_part,
+             count(*) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, sum(obs) AS r FROM cell GROUP BY event_type),
+    ct AS (SELECT day_part, sum(obs) AS c FROM cell GROUP BY day_part),
+    n AS (SELECT sum(obs) AS n FROM cell)
+    SELECT cell.event_type, cell.day_part, CAST(cell.obs AS BIGINT) AS obs,
+           floor(CAST(rt.r AS DOUBLE) * ct.c / n.n * 1000000 + 0.5) / 1000000
+             AS expected,
+           floor((CAST(cell.obs AS DOUBLE) - CAST(rt.r AS DOUBLE) * ct.c / n.n)
+                 * (CAST(cell.obs AS DOUBLE) - CAST(rt.r AS DOUBLE) * ct.c / n.n)
+                 / (CAST(rt.r AS DOUBLE) * ct.c / n.n)
+                 * 1000000 + 0.5) / 1000000 AS chi_term
+    FROM cell
+    JOIN rt ON rt.event_type = cell.event_type
+    JOIN ct ON ct.day_part = cell.day_part, n
+    """,
+)
+def agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and
+    time-of-day (6-hour day parts) — 'does behavior depend on when?',
+    the contingency-table sibling of agg_benford's goodness-of-fit
+    screen. One row per table cell with the observed count, the
+    independence-expected count row_total·col_total/n, and the cell's
+    chi-square contribution; sum the column against chi-square with
+    (R-1)(C-1) degrees of freedom.
+
+    Exactness: the contingency table, margins, and grand total are all
+    exact integers; expected/chi terms are the identical +,-,*,/
+    double expressions in both engines, floor-rounded (the
+    events_ab_test discipline). The day part is integer hour DIV 6 —
+    no timezone or float boundary anywhere.
+
+    Scale shape: one map-side-combinable groupBy to |types|×4 cells;
+    margins are groupBys OF THE CELLS (KB), broadcast back — after the
+    scan nothing data-sized moves."""
+    ev = load(spark, sf_dir, "events")
+    cell = ev.select(
+        "event_type", F.expr("CAST(hour(ts) DIV 6 AS INT)").alias("day_part")
+    ).groupBy("event_type", "day_part").agg(F.count("*").alias("obs"))
+    rt = cell.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    ct = cell.groupBy("day_part").agg(F.sum("obs").alias("c"))
+    n = int(cell.agg(F.sum("obs")).collect()[0][0])  # 1-row scalar
+    exp = F.col("r").cast("double") * F.col("c") / F.lit(float(n))
+    dev = F.col("obs").cast("double") - exp
+    return (
+        cell.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "day_part")
+        .select(
+            "event_type",
+            "day_part",
+            F.col("obs").cast("long").alias("obs"),
+            (F.floor(exp * 1000000 + F.lit(0.5)) / 1000000).alias("expected"),
+            (F.floor(dev * dev / exp * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "chi_term"
+            ),
+        )
+    )

@@ -104,10 +104,11 @@ _ROUND_WINDOW = (
     # ckpt path — its seat goes to the survival op at the tail)
     "dedup_spans_exact",
     "dedup_spans_cut",
-    "dedup_spans_keep_first",
+    # (dedup_spans_keep_first shares _cut_rebuild/_dup_spans with the
+    # two above; mm_shard_pack shares global_prefix_sum with
+    # pack_sequences — their seats go to the stats ops at the tail)
     # (c) prefix-sum consumers (functions/prefix.py ckpt swap)
     "pack_sequences",
-    "mm_shard_pack",
     # (d) contamination_ngram (pipeline.py shingle-frame ckpt swap)
     "contamination_ngram",
     # (e) catalog INSERT checkpoint cadence (catalog.py ckpt swap)
@@ -150,6 +151,8 @@ _ROUND_WINDOW = (
     "eval_lang_confusion",
     "agg_ks_test",
     "events_survival_km",
+    "agg_mannwhitney",
+    "agg_chisq_independence",
 )
 
 _loaded = False

@@ -455,6 +455,7 @@ _SCALE_MARKER_ALLOWLIST = {
     "events_detect_gaps": {"Exchange SinglePartition"},  # bounds frame
     "agg_ks_test": {"Exchange SinglePartition"},  # |buckets|-row prefix frame
     "events_survival_km": {"Exchange SinglePartition"},  # |days|-row life table
+    "agg_mannwhitney": {"Exchange SinglePartition"},  # distinct-value rank frame
     "events_ab_test": {"BroadcastNestedLoopJoin"},  # 2x 1-row stats
     "basket_pair_lift": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
     "sample_domain_mix": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},

@@ -711,3 +711,56 @@ def test_km_survival_is_monotone_and_accounts_everyone(spark):
         assert b["n_risk"] == a["n_risk"] - a["n_events"] - a["n_censored"]
         assert b["log_survival"] <= a["log_survival"] + 1e-9
     assert all(r["log_survival"] <= 0 for r in rows)
+
+
+def test_mannwhitney_matches_scipy_free_derivation(spark):
+    """U1 and the tie-corrected z re-derived in plain python from the
+    raw samples must match the operator exactly."""
+    import math
+
+    from emdrive_spark.sources.tables import load
+
+    row = registry.queries()["agg_mannwhitney"](spark, SF_SMOKE).collect()[0]
+    ev = (
+        load(spark, SF_SMOKE, "events")
+        .filter("event_type IN ('click', 'error')")
+        .select("event_type", "value")
+        .collect()
+    )
+    xs = [r["value"] for r in ev if r["event_type"] == "click"]
+    ys = [r["value"] for r in ev if r["event_type"] == "error"]
+    n1, n2 = len(xs), len(ys)
+    allv = sorted([(v, 1) for v in xs] + [(v, 0) for v in ys])
+    # average ranks with ties
+    r1 = 0.0
+    ties = 0
+    i = 0
+    while i < len(allv):
+        j = i
+        while j < len(allv) and allv[j][0] == allv[i][0]:
+            j += 1
+        k = j - i
+        avg = (i + 1 + j) / 2  # ranks i+1 .. j
+        r1 += avg * sum(f for _, f in allv[i:j])
+        ties += k * k * k - k
+        i = j
+    u1 = r1 - n1 * (n1 + 1) / 2
+    assert row["u1"] == int(u1)
+    nn = n1 + n2
+    var = n1 * n2 / 12 * ((nn + 1) - ties / (nn * (nn - 1)))
+    z = (u1 - n1 * n2 / 2) / math.sqrt(var)
+    assert abs(row["z"] - z) < 2e-6
+    assert (row["n1"], row["n2"]) == (n1, n2)
+
+
+def test_chisq_cells_cover_table_and_terms_nonnegative(spark):
+    """Observed counts sum to the event count, expected counts sum to
+    ~n per margin, and every chi term is non-negative."""
+    from emdrive_spark.sources.tables import load
+
+    rows = registry.queries()["agg_chisq_independence"](spark, SF_SMOKE).collect()
+    n = load(spark, SF_SMOKE, "events").count()
+    assert sum(r["obs"] for r in rows) == n
+    assert abs(sum(r["expected"] for r in rows) - n) < 0.01
+    assert all(r["chi_term"] >= 0 for r in rows)
+    assert {r["day_part"] for r in rows} <= {0, 1, 2, 3}
