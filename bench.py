@@ -142,6 +142,7 @@ HEADLINE = (
     "events_survival_km",       # censored conversion survival curve
     "agg_mannwhitney",          # tie-corrected rank-sum test
     "agg_chisq_independence",   # contingency-table independence test
+    "agg_spearman",             # tie-aware rank correlation
 )
 
 

@@ -1908,3 +1908,105 @@ def agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "agg_spearman",
+    oracle="""
+    WITH li AS (
+      SELECT l_returnflag AS g, l_quantity AS x, l_extendedprice AS y
+      FROM lineitem
+    ),
+    rx AS (
+      SELECT g, x,
+             2 * coalesce(sum(count(*)) OVER (PARTITION BY g ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + count(*) + 1 AS rx2
+      FROM li GROUP BY g, x
+    ),
+    ry AS (
+      SELECT g, y,
+             2 * coalesce(sum(count(*)) OVER (PARTITION BY g ORDER BY y
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + count(*) + 1 AS ry2
+      FROM li GROUP BY g, y
+    ),
+    r AS (
+      SELECT li.g, rx.rx2, ry.ry2
+      FROM li JOIN rx ON rx.g = li.g AND rx.x = li.x
+              JOIN ry ON ry.g = li.g AND ry.y = li.y
+    ),
+    m AS (
+      SELECT g, count(*) AS n,
+             sum(CAST(rx2 AS DECIMAL(38,0))) AS sx,
+             sum(CAST(ry2 AS DECIMAL(38,0))) AS sy,
+             sum(CAST(rx2 AS DECIMAL(19,0)) * ry2) AS sxy,
+             sum(CAST(rx2 AS DECIMAL(19,0)) * rx2) AS sxx,
+             sum(CAST(ry2 AS DECIMAL(19,0)) * ry2) AS syy
+      FROM r GROUP BY g
+    )
+    SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+           floor((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000 AS spearman_rho
+    FROM m
+    """,
+)
+def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and price per return
+    flag — the monotone-association twin of agg_regression's Pearson
+    family (robust to nonlinearity and outliers: it correlates RANKS).
+    Ties get textbook average ranks via the agg_mannwhitney identity:
+    a value's DOUBLED average rank is 2·prev + k + 1 (prev = count of
+    strictly smaller rows, k = tie-block size) — an exact integer, and
+    Pearson is scale-invariant, so rho over doubled ranks equals rho
+    over ranks while every moment stays an exact DECIMAL sum. The one
+    libm call is sqrt (bit-portable), floor-rounded to 6 decimals.
+
+    Scale shape: per-(group, value) tie blocks are combinable
+    groupBys; the rank windows are PARTITIONED BY GROUP over distinct
+    values (no global frame); ranks join back to rows on (group,
+    value) equality, and the five moments reduce map-side to |groups|
+    rows."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+
+    def ranks(col: str, out: str):
+        w = W.partitionBy("g").orderBy(col).rowsBetween(W.unboundedPreceding, -1)
+        return (
+            li.groupBy("g", col)
+            .agg(F.count("*").alias("k"))
+            .select(
+                "g",
+                col,
+                (
+                    2 * F.coalesce(F.sum("k").over(w), F.lit(0)) + F.col("k") + 1
+                ).alias(out),
+            )
+        )
+
+    r = li.join(ranks("x", "rx2"), ["g", "x"]).join(ranks("y", "ry2"), ["g", "y"])
+    m = r.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("rx2").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("ry2").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("rx2").cast("decimal(19,0)") * F.col("ry2")).alias("sxy"),
+        F.sum(F.col("rx2").cast("decimal(19,0)") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2").cast("decimal(19,0)") * F.col("ry2")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    rho = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return m.select(
+        F.col("g").alias("l_returnflag"),
+        F.col("n").cast("long").alias("n"),
+        (F.floor(rho * 1000000 + F.lit(0.5)) / 1000000).alias("spearman_rho"),
+    )

@@ -98,7 +98,6 @@ _ROUND_WINDOW = (
     "dedup_components",
     "dedup_lsh_verified",
     "dedup_edit_verified",
-    "dedup_embedding",
     "dedup_incremental",
     # (stream_ingest_dedup shares dedup_incremental's history-band
     # ckpt path — its seat goes to the survival op at the tail)
@@ -153,6 +152,7 @@ _ROUND_WINDOW = (
     "events_survival_km",
     "agg_mannwhitney",
     "agg_chisq_independence",
+    "agg_spearman",
 )
 
 _loaded = False

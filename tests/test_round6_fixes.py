@@ -764,3 +764,52 @@ def test_chisq_cells_cover_table_and_terms_nonnegative(spark):
     assert abs(sum(r["expected"] for r in rows) - n) < 0.01
     assert all(r["chi_term"] >= 0 for r in rows)
     assert {r["day_part"] for r in rows} <= {0, 1, 2, 3}
+
+
+def test_spearman_matches_python_rank_derivation(spark):
+    """Per-group rho re-derived in plain python (average ranks with
+    ties, Pearson over ranks) must match the operator exactly."""
+    import math
+
+    from emdrive_spark.sources.tables import load
+
+    rows = {
+        r["l_returnflag"]: r
+        for r in registry.queries()["agg_spearman"](spark, SF_SMOKE).collect()
+    }
+    li = load(spark, SF_SMOKE, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    groups = {}
+    for r in li:
+        groups.setdefault(r["l_returnflag"], []).append(
+            (r["l_quantity"], r["l_extendedprice"])
+        )
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            avg = (i + 1 + j) / 2
+            for t in range(i, j):
+                ranks[order[t]] = avg
+            i = j
+        return ranks
+
+    for g, pts in groups.items():
+        xs = avg_ranks([p[0] for p in pts])
+        ys = avg_ranks([p[1] for p in pts])
+        n = len(pts)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        syy = sum(b * b for b in ys)
+        rho = (n * sxy - sx * sy) / math.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        assert abs(rows[g]["spearman_rho"] - rho) < 2e-6
+        assert rows[g]["n"] == n
