@@ -48,6 +48,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from emdrive_spark import registry  # noqa: E402
+from emdrive_spark.functions.ckpt import release  # noqa: E402
 from emdrive_spark.session import get_spark  # noqa: E402
 
 # Stable headline set: one representative per operator family, heavy
@@ -188,6 +189,7 @@ def main() -> None:
     warm_sf = "/root/testdata/sf0.001"
     for warm in ("scan_full", *HEADLINE):
         qs[warm](spark, warm_sf).write.format("noop").mode("overwrite").save()
+    release(spark)  # warm-up blocks must not bill to the first query
 
     # Default raised 3 → 5 (round 5): single queries show random 3-4×
     # excursions run-to-run on this host (different queries each run,
@@ -202,6 +204,14 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+            # Outside the timer: drop the rep's lineage-truncation
+            # blocks so every rep (and every query) starts with a
+            # clean block store. Without this, nine checkpoint-heavy
+            # ops back-to-back inflate later rows 3-6x vs their
+            # standalone quiet medians (r6: triangle 27.8s in-session
+            # vs ~4.6s standalone) and the artifact misleads exactly
+            # like r5's load noise did (r6 verdict item 3).
+            release(spark)
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)  # median
 

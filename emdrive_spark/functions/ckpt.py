@@ -31,6 +31,30 @@ FLAG = "spark.graft.reliableCheckpoint"
 DIR_CONF = "spark.graft.checkpointDir"
 
 
+def release(spark) -> int:
+    """Drop every persisted/localCheckpointed block the session holds.
+
+    Lineage-truncation blocks (ckpt above) live until the Python frame
+    that references them is garbage-collected, so a session running
+    many checkpoint-heavy operators back-to-back accumulates dozens of
+    block sets and later queries pay their memory pressure — the r6
+    bench measured graph_triangle_count at 27.8s in-session vs ~4.6s
+    standalone from exactly this (SCALING.md co-residence note; r6
+    verdict item 3). Call ``release`` BETWEEN independent queries to
+    reset the block store; never mid-query — a released
+    localCheckpoint cannot be recomputed, so any still-live frame
+    derived from one fails on its next action instead of degrading.
+
+    Returns the number of RDDs unpersisted (non-blocking)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    it = jmap.entrySet().iterator()
+    while it.hasNext():
+        it.next().getValue().unpersist(False)
+        n += 1
+    return n
+
+
 def ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
     """Truncate lineage: ``localCheckpoint`` by default; reliable
     ``checkpoint()`` when ``spark.graft.reliableCheckpoint=true``."""
