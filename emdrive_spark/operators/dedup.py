@@ -1672,7 +1672,7 @@ def dedup_spans_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (SELECT c_custkey AS k, c_name AS n FROM customer),
     keys AS (
       SELECT k, n, i AS p, substr(n, 1, i - 1) || substr(n, i + 1) AS dk
-      FROM c, unnest(range(10, 19)) AS t(i)
+      FROM c, unnest(range(1, len(n) + 1)) AS t(i)
     ),
     cand AS (
       SELECT DISTINCT a.k AS ak, b.k AS bk, a.n AS an, b.n AS bn
@@ -1688,12 +1688,15 @@ def entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     edit-distance verify — the record-linkage shape (customer records
     that are the same entity under a one-character typo) generalizing
     the document near-dup family to keyed records. Each record emits
-    one blocking key per volatile position (the name with that
-    character deleted, tagged by position — the SymSpell/k-deletion
-    index); two fixed-length strings within one substitution NECESSARILY
-    share the deletion key at their differing position, so candidate
-    recall is EXACT, unlike prefix blocking whose blind spot is edits
-    inside the prefix. Candidates come from an equality join on
+    one blocking key per CHARACTER POSITION, derived from the record's
+    own length (the name with that character deleted, tagged by
+    position — the SymSpell/k-deletion index); two equal-length
+    strings within one substitution NECESSARILY share the deletion key
+    at their differing position, so candidate recall is EXACT for any
+    name format, unlike prefix blocking whose blind spot is edits
+    inside the prefix (and unlike the earlier hard-coded 10-18
+    position range, whose recall silently broke on names of any other
+    shape — r6 ADVICE). Candidates come from an equality join on
     (position, deleted-key), then pay the exact Levenshtein verify.
 
     A naive prefix block degenerates on this table (sequential names
@@ -1703,22 +1706,25 @@ def entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches at sf0.01) — perfect precision comes from fixed-length
     names where sharing 8 of 9 digits forces lev = 1.
 
-    Scale shape: the key expansion is 9 rows per record (explode,
-    map-side), one hash shuffle keyed by (position, deleted-key) with
-    bucket-local pair expansion, one distinct, and the verify is a
-    codegen projection on candidates only. Block sizes are the number
-    of records identical up to one position — telemetry-friendly and
-    naturally tiny; the LSH hot-bucket monitoring applies verbatim."""
+    Scale shape: the key expansion is len(name) rows per record
+    (explode, map-side), one hash shuffle keyed by (position,
+    deleted-key) with bucket-local pair expansion, one distinct, and
+    the verify is a codegen projection on candidates only. Block sizes
+    are the number of records identical up to one position —
+    telemetry-friendly and naturally tiny; the LSH hot-bucket
+    monitoring applies verbatim."""
     c = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k"), F.col("c_name").alias("n")
     )
     keys = c.select(
-        "k", "n", F.explode(F.sequence(F.lit(10), F.lit(18))).alias("p")
+        "k", "n", F.explode(F.sequence(F.lit(1), F.length("n"))).alias("p")
     ).select(
         "k",
         "n",
         "p",
-        F.expr("concat(substring(n, 1, p - 1), substring(n, p + 1, 18))").alias("dk"),
+        F.expr(
+            "concat(substring(n, 1, p - 1), substring(n, p + 1, length(n)))"
+        ).alias("dk"),
     )
     a = keys.select("p", "dk", F.col("k").alias("ak"), F.col("n").alias("an"))
     b = keys.select("p", "dk", F.col("k").alias("bk"), F.col("n").alias("bn"))

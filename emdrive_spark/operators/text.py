@@ -762,8 +762,13 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: bigram and unigram counts are map-side-combinable
     groupBys bounded by VOCABULARY size (|V| and |V-gram| rows, never
     corpus rows, reach the reduce side); the PMI join attaches two
-    unigram counts to each distinct bigram — vocabulary-sized
-    equality joins — and the global top-20 is TakeOrdered."""
+    unigram counts to each distinct bigram — plain vocabulary-sized
+    equality joins left to AQE, NOT hinted broadcasts: the vocabulary
+    is corpus-unbounded, so a forced broadcast of the unigram table is
+    a driver/executor-memory hazard at 100 TB (r6 ADVICE). AQE still
+    broadcasts when the built side measures small. The global N stays
+    a broadcast: it is one row by construction. The top-20 is
+    TakeOrdered."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(tokens(F.col("text")).alias("ts"))
     big = toks.select(
@@ -779,8 +784,8 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
     scored = (
-        bc.join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        bc.join(u1, "w1")
+        .join(u2, "w2")
         .crossJoin(F.broadcast(n))
         .select(
             "w1",

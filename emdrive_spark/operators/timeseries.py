@@ -1592,7 +1592,13 @@ _ATTR_WINDOW_S = 7 * 24 * 3600  # last-touch lookback: 7 days
                      AND date_diff('second', c.ts, p.ts) <= {_ATTR_WINDOW_S}
                 THEN c.event_id END AS touch_event_id
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (
+      -- same-instant clicks collapse to the max event_id BEFORE the
+      -- as-of, so the credited touch is a total order (r6 ADVICE:
+      -- ASOF's pick among equal c.ts is unspecified)
+      SELECT user_id, ts, max(event_id) AS event_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ) c
       ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
 )
@@ -1630,9 +1636,14 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("c_id"),
         F.lit(0).alias("is_left"),
     )
+    # c_id is the final tiebreaker: two clicks at the same (user, ts)
+    # would otherwise make last(c_id) partitioning-dependent (r6
+    # ADVICE). Ascending c_id puts the max event_id last in the frame
+    # — the same total order the oracle pins by collapsing same-ts
+    # clicks to max(event_id) before its ASOF join.
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.col("ts"), F.col("is_left"))
+        .orderBy(F.col("ts"), F.col("is_left"), F.col("c_id"))
         .rowsBetween(W.unboundedPreceding, 0)
     )
     m = (

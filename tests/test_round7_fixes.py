@@ -96,3 +96,61 @@ def test_release_counts_manual_ckpt_frame(spark):
     assert df.count() == 100
     assert release(spark) >= 1
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+# ------------------------------------------------ r6 ADVICE regressions
+
+
+def test_attribution_same_ts_clicks_credit_max_event_id(spark, tmp_path):
+    """r6 ADVICE item 1: two clicks at the SAME (user_id, ts) must
+    credit deterministically — the max click event_id — instead of
+    whichever row the partitioning happened to order last. Built on a
+    synthetic fixture because the driver fixtures carry no duplicate
+    (user_id, ts) pairs (the bug was latent)."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0, 0), 7, "click", 0.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 10, 0, 0), 7, "click", 0.0, "{}"),
+        (3, dt.datetime(2024, 1, 2, 9, 0, 0), 7, "purchase", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = registry.queries()["events_attribution"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0]["channel"] == "click"
+    assert out[0]["touch_event_id"] == 2  # max event_id among the tie
+
+
+def test_entity_blocking_positions_derive_from_name_length(spark, tmp_path):
+    """r6 ADVICE item 3: the deletion-neighborhood block must derive
+    its volatile positions from the record's own length — a
+    1-substitution pair in a format nothing like 'Customer#NNNNNNNNN'
+    (different length, edit at position 2) must still be recalled."""
+    rows = [
+        (1, "acme corp", 0, 0.0, "A"),
+        (2, "acne corp", 0, 0.0, "A"),  # 1 substitution at position 3
+        (3, "zzz ltd", 0, 0.0, "A"),
+    ]
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    out = registry.queries()["entity_match_blocked"](spark, str(tmp_path)).collect()
+    assert [(r["a_key"], r["b_key"], r["lev"]) for r in out] == [(1, 2, 1)]
+
+
+def test_collocation_pmi_has_no_forced_vocab_broadcast(spark):
+    """r6 ADVICE item 2: the unigram-count joins must not carry a
+    broadcast hint (vocabulary is corpus-unbounded); only the 1-row
+    global-N frame may broadcast. The analyzed plan should show no
+    ResolvedHint on a multi-row side."""
+    df = registry.queries()["text_collocation_pmi"](spark, SF_SMOKE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # exactly one broadcast hint survives: the 1-row N crossJoin
+    assert analyzed.count("UnresolvedHint") + analyzed.count("ResolvedHint") <= 1
+    assert len(df.collect()) > 0
