@@ -144,6 +144,12 @@ HEADLINE = (
     "agg_mannwhitney",          # tie-corrected rank-sum test
     "agg_chisq_independence",   # contingency-table independence test
     "agg_spearman",             # tie-aware rank correlation
+    # round 7 additions (totals not comparable across this boundary;
+    # per-query keys are)
+    "graph_adamic_adar",        # thresholded-graph link prediction
+    "agg_mutual_info",          # contingency-cell PMI audit
+    "text_feature_hashing",     # vocabulary-free sparse featurization
+    "text_winnowing",           # window-min fingerprint selection
 )
 
 
@@ -210,8 +216,10 @@ def main() -> None:
             # ops back-to-back inflate later rows 3-6x vs their
             # standalone quiet medians (r6: triangle 27.8s in-session
             # vs ~4.6s standalone) and the artifact misleads exactly
-            # like r5's load noise did (r6 verdict item 3).
-            release(spark)
+            # like r5's load noise did (r6 verdict item 3). Blocking:
+            # the async removal storm must not overlap the next
+            # timed rep.
+            release(spark, blocking=True)
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)  # median
 

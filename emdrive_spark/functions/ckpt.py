@@ -31,7 +31,7 @@ FLAG = "spark.graft.reliableCheckpoint"
 DIR_CONF = "spark.graft.checkpointDir"
 
 
-def release(spark) -> int:
+def release(spark, blocking: bool = False) -> int:
     """Drop every persisted/localCheckpointed block the session holds.
 
     Lineage-truncation blocks (ckpt above) live until the Python frame
@@ -45,12 +45,15 @@ def release(spark) -> int:
     localCheckpoint cannot be recomputed, so any still-live frame
     derived from one fails on its next action instead of degrading.
 
-    Returns the number of RDDs unpersisted (non-blocking)."""
+    Returns the number of RDDs unpersisted. ``blocking=True`` waits
+    for block removal to finish — use it when the NEXT thing is a
+    timed measurement, so the async removal storm cannot overlap the
+    next query's execution."""
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     n = 0
     it = jmap.entrySet().iterator()
     while it.hasNext():
-        it.next().getValue().unpersist(False)
+        it.next().getValue().unpersist(blocking)
         n += 1
     return n
 

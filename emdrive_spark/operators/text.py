@@ -859,3 +859,174 @@ def eval_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.expr("CAST(n * 1000000 DIV t AS BIGINT)").alias("share_ppm"),
     )
+
+
+_FH_BUCKETS = 1024  # fixed feature dimension for the hashing trick
+
+
+@register(
+    "text_feature_hashing",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % {_FH_BUCKETS} AS b
+      FROM tok
+    ),
+    cnt AS (SELECT doc_id, b, count(*) AS c FROM b GROUP BY doc_id, b)
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           string_agg(b || ':' || c, ' ' ORDER BY b) AS features
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick, Weinberger et al. 2009):
+    every document becomes a FIXED-dimension sparse count vector by
+    hashing tokens into 1024 buckets — the vocabulary-free
+    featurization quality classifiers and fast dedup prefilters run
+    at corpus scale, where a learned vocabulary would be a mutable
+    global artifact. Buckets use the portable md5-prefix hash (both
+    engines compute identical buckets, so the serialized vector is
+    value-hash exact); the sparse vector is rendered 'bucket:count'
+    sorted by bucket (driver arrays-unhashable rule).
+
+    Scale shape: token explode -> ONE map-side-combinable groupBy to
+    (doc, bucket) cells (<= 1024 per doc regardless of length), then
+    a doc-keyed re-aggregation of cells. No vocabulary table, no
+    broadcast, no Python; the feature dimension is a constant
+    independent of corpus size — the entire point of the trick."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    b = tok.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+            % _FH_BUCKETS
+        ).alias("b"),
+    )
+    cnt = b.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_buckets"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("b", "c"))),
+                lambda s: F.concat_ws(
+                    ":", s["b"].cast("string"), s["c"].cast("string")
+                ),
+            ),
+            " ",
+        ).alias("features"),
+    )
+
+
+_WIN_K = 4  # tokens per gram
+_WIN_W = 4  # grams per winnowing window
+_WIN_POS = 1_048_576  # 2^20: positions packed below the 40-bit gram hash
+
+
+@register(
+    "text_winnowing",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             CAST(('0x' || substr(md5(
+               array_to_string(t[i : i + {_WIN_K} - 1], ' ')), 1, 10)) AS BIGINT) AS gk
+      FROM toks,
+           unnest(generate_series(1, greatest(len(t) - {_WIN_K} + 1, 0))) AS u(i)
+    ),
+    c AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY doc_id) AS n,
+             min(gk * {_WIN_POS} + pos) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {_WIN_W} - 1 FOLLOWING) AS m
+      FROM grams
+    )
+    SELECT DISTINCT doc_id, CAST(m // {_WIN_POS} AS BIGINT) AS fp,
+           CAST(m % {_WIN_POS} AS BIGINT) AS pos
+    FROM c WHERE pos <= n - {_WIN_W} + 1
+    """,
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003) — the
+    plagiarism-detection / local-dedup standard: hash every token
+    4-gram, slide a 4-gram-wide window, keep each window's MINIMUM
+    hash (leftmost on ties), dedupe. The selection guarantee: any
+    verbatim overlap of >= k+w-1 = 7 tokens shares at least one
+    selected fingerprint, at ~2/(w+1) the storage of all grams —
+    the density/guarantee trade doc_fingerprint (one hash per doc)
+    and dedup_spans_exact (every gram) bracket from either side.
+
+    Exactness: the tie-aware window min runs on ONE packed BIGINT
+    (40-bit md5-prefix gram hash * 2^20 + position; positions bound
+    at 2^20 tokens/doc — split longer docs upstream), so both
+    engines pick the identical (hash, pos) per window with no
+    struct-comparison semantics in play.
+
+    Scale shape: the gram projection amplifies the narrow (id, text)
+    scan (spread() parallelizes past few input splits), then ONE
+    doc_id-partitioned ordered window — per-doc O(n), parallel
+    across docs, no corpus-global state — and an in-partition
+    distinct. Fingerprint matching downstream is a plain equality
+    join on fp, the same 8-byte-key shuffle shape as _dup_spans."""
+    from emdrive_spark.functions.layout import spread
+
+    K, W_, P = _WIN_K, _WIN_W, _WIN_POS
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+
+    def _grams(t):
+        n = F.size(t) - (K - 1)
+        return F.when(
+            n >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n),  # guarded: sequence descends for n < 1
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.conv(
+                        F.substring(
+                            F.md5(F.array_join(F.slice(t, i, K), " ")), 1, 10
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("long")
+                    .alias("gk"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:int,gk:bigint>>"))
+
+    gram_arr = F.transform(F.array(toks), _grams)[0]
+    g = (
+        spread(d.select("doc_id", "text"))
+        .select("doc_id", F.explode(gram_arr).alias("x"))
+        .select("doc_id", F.col("x.pos").alias("pos"), F.col("x.gk").alias("gk"))
+    )
+    from pyspark.sql import Window as W
+
+    byd = W.partitionBy("doc_id")
+    win = byd.orderBy("pos").rowsBetween(0, W_ - 1)
+    c = g.select(
+        "doc_id",
+        "pos",
+        F.count("*").over(byd).alias("n"),
+        F.min(F.col("gk") * P + F.col("pos")).over(win).alias("m"),
+    )
+    return (
+        c.filter(F.col("pos") <= F.col("n") - (W_ - 1))
+        .select(
+            "doc_id",
+            F.expr(f"m DIV {P}").cast("long").alias("fp"),
+            (F.col("m") % P).cast("long").alias("pos"),
+        )
+        .distinct()
+    )

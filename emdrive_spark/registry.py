@@ -67,92 +67,73 @@ _ALIASES = {
 }
 
 # The correctness driver verifies the first N (=50) entries of queries()
-# in iteration order. Round-6 rotation (r5 VERDICT items 1 & 5):
-# tier 1 is the 3 post-window additions that have never had a driver
-# row (seating them re-closes the certification ledger: 237/237).
-# Tier 2 re-certifies every op whose CODE PATH round 6 touched — the
-# reliable-checkpoint switch (functions/ckpt.py) rewired the lineage
-# truncation inside the whole dedup/graph/prefix-sum family plus the
-# catalog INSERT path, and ann_pq's training collect gained its cap —
-# so the freshest driver rows cover exactly the changed code. Tier 3
-# brings back the re-certs r5's window displaced (all long-green,
-# judge-listed), and tier 4 fills the remainder with the r1-certified
-# §2 core that has waited longest for a fresh row.
+# in iteration order. Round-7 rotation (r6 VERDICT items 5 & 6):
+# tier 1 seats the four ops ADDED this round (the ledger stays closed:
+# every registration ships with a same-round driver row). Tier 2
+# re-certifies every op whose CODE PATH round 7 touched — the
+# graph_hits/related_topk checkpoint fixes and the three ADVICE fixes
+# (attribution tiebreak, PMI broadcast removal, data-derived entity
+# blocking) — plus dedup_spans_keep_first (last row r5; its _cut_rebuild
+# route was the r6 ckpt-shim change, judge-verified exact but never
+# driver-rowed since). Tier 3 rotates the LONGEST-waiting r1-certified
+# core (r6 verdict item 5: rows predating the dtype-strict gate era) —
+# all 43 r1 rows except project/filter_eq/join_inner, which the judge
+# re-verified exact under the strict gate in the r6 session and which
+# therefore wait one more round. The remaining r2 rows rotate in r8.
 _ROUND_WINDOW = (
-    # ---- tier 1: first-time certification (r5 verdict item 1) ----
-    "ann_pq",  # rows-only by design (PQ-compressed distances)
-    "events_holt_winters",
-    "sample_temperature",
+    # ---- tier 1: ops ADDED in round 7 — first-time certification ----
+    "graph_adamic_adar",
+    "agg_mutual_info",
+    "text_feature_hashing",
+    "text_winnowing",
     # ---- tier 2: code paths touched this round ----
-    # (a) graph family: ckpt() swap at analytics.py edge/degree sites
-    "graph_pagerank",
-    "graph_triangle_count",
-    "graph_kcore",
-    "graph_edge_jaccard",
-    # (b) dedup family: ckpt() swap in _bucket_pairs / band frames /
-    # components loop / span grams / ingest history
-    # (dedup_minhash_det / dedup_containment ride the same ckpt()
-    # sites as the five below — their seats go to the late round-6
-    # additions at the window tail)
-    "dedup_exact",
-    "dedup_components",
-    "dedup_lsh_verified",
-    "dedup_edit_verified",
-    "dedup_incremental",
-    # (stream_ingest_dedup shares dedup_incremental's history-band
-    # ckpt path — its seat goes to the survival op at the tail)
-    "dedup_spans_exact",
-    "dedup_spans_cut",
-    # (dedup_spans_keep_first shares _cut_rebuild/_dup_spans with the
-    # two above; mm_shard_pack shares global_prefix_sum with
-    # pack_sequences — their seats go to the stats ops at the tail)
-    # (c) prefix-sum consumers (functions/prefix.py ckpt swap)
-    "pack_sequences",
-    # (d) contamination_ngram (pipeline.py shingle-frame ckpt swap)
-    "contamination_ngram",
-    # (e) catalog INSERT checkpoint cadence (catalog.py ckpt swap)
-    "insert_rows",
-    "create_table",
-    # ---- tier 3: the re-certs r5 displaced (r5 verdict item 5) ----
-    "quality_filter_gopher",
-    # join_asof's re-cert seat goes to events_attribution below — the
-    # attribution op exercises the same union+window as-of machinery
-    # under a fresh driver row.
-    "window_rank",
-    "events_session_agg",
-    "tpch_q1",
-    # ---- tier 1b: ops ADDED in round 6 — first-time certification
-    # (full value-hash oracles; seated over four tier-4 re-certs —
-    # str_funcs / date_funcs / agg_count_distinct / window_running_sum
-    # are driver-green since r1 and untouched)
-    "graph_label_propagation",
-    "graph_hits",
-    "sketch_countmin_topk",
-    "text_novelty",
-    "graph_bfs_distance",
-    "join_bloom_prefilter",
-    "quality_dsir",
-    "ann_ivf_pq",  # rows-only by design (driver-trained codebooks)
-    "events_autocorr",
-    "stream_topk",
-    "corpus_mix_entropy",
-    "table_vacuum",
-    "text_zipf_fit",
-    "graph_modularity",
-    "events_holt_backtest",
-    "agg_gini",
-    "events_sequence_match",
-    "entity_match_blocked",
-    "graph_related_topk",
-    "events_attribution",
-    "text_collocation_pmi",
-    "agg_benford",
-    "eval_lang_confusion",
-    "agg_ks_test",
-    "events_survival_km",
-    "agg_mannwhitney",
-    "agg_chisq_independence",
-    "agg_spearman",
+    "graph_hits",  # per-round ckpt before the scalar collects
+    "graph_related_topk",  # structural ckpt on the scored edge frame
+    "events_attribution",  # click event_id tiebreak (ADVICE 1)
+    "text_collocation_pmi",  # unhinted vocab joins (ADVICE 2)
+    "entity_match_blocked",  # length-derived deletion positions (ADVICE 3)
+    "dedup_spans_keep_first",  # r6 ckpt-shim route, first row since r5
+    # ---- tier 3: the oldest driver rows — the r1-certified core ----
+    "agg_approx_count_distinct",  # rows-only by design (HLL estimate)
+    "agg_bitwise",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_histogram",
+    "agg_mode_median",
+    "agg_percentile",
+    "agg_rollup",
+    "agg_stats",
+    "cast_funcs",
+    "date_funcs",
+    "distinct_rows",
+    "explode_pos",
+    "join_anti",
+    "join_broadcast",
+    "join_cross",
+    "join_full",
+    "join_left",
+    "join_null_safe",
+    "join_range",
+    "join_right",
+    "join_semi",
+    "limit",
+    "null_conditional_funcs",
+    "regex_funcs",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "sort_pk",
+    "str_funcs",
+    "str_levenshtein",
+    "subquery_correlated_agg",
+    "subquery_in",
+    "subquery_scalar",
+    "topk_per_group",
+    "window_cume_dist",
+    "window_ntile_lead",
+    "window_percent_rank",
+    "window_range_frame",
+    "window_running_sum",
 )
 
 _loaded = False

@@ -464,6 +464,8 @@ _SCALE_MARKER_ALLOWLIST = {
     "text_perplexity_bucket": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
     # 1-row corpus-total scalar broadcast (the perplexity-bucket shape)
     "text_collocation_pmi": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
+    # 1-row grand-total N broadcast into the cell projection (r7)
+    "agg_mutual_info": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
     "agg_benford": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
     "ann_recall": {"BroadcastNestedLoopJoin"},  # k-row recall compare
     # node-count scalar broadcast into each PageRank iteration (1-row

@@ -86,6 +86,11 @@ FLAGSHIPS = {
     "graph_modularity": "label joins reuse the checkpointed edge layout; 2m enters as a scalar literal; |communities|-row closed form",
     "events_holt_backtest": "fold and lag share one (user, ts, id) sort; per-user MAE combines map-side",
     "agg_gini": "combinable per-customer revenue; per-segment rank window; 3-scalar closed-form reduce",
+    # round 7
+    "graph_adamic_adar": "thresholded edge list checkpointed once; wedge self-join on center; integer AA sum combines map-side; TakeOrdered top-100",
+    "agg_mutual_info": "one combinable cell groupBy; marginals re-aggregate the checkpointed cell table; 1-row N broadcast",
+    "text_feature_hashing": "explode + combinable (doc, bucket) groupBy; constant 1024-dim reduce side; no vocab table",
+    "text_winnowing": "gram projection spread()-parallelized; ONE doc-partitioned ordered window; in-partition distinct",
 }
 
 
