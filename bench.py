@@ -150,6 +150,9 @@ HEADLINE = (
     "agg_mutual_info",          # contingency-cell PMI audit
     "text_feature_hashing",     # vocabulary-free sparse featurization
     "text_winnowing",           # window-min fingerprint selection
+    "bpe_train_merges",         # tokenizer merge-rule training loop
+    "agg_corr_matrix",          # one-pass exact-decimal Pearson matrix
+    "dedup_winnowing_verified",  # fingerprint candidates + exact verify
 )
 
 

@@ -22,12 +22,13 @@ from __future__ import annotations
 
 import pandas as pd  # module-level: pandas_udf type hints resolve here
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from emdrive_spark.functions.ckpt import ckpt
 from emdrive_spark.functions.layout import spread
 from emdrive_spark.operators.text import (
+    _winnow_ctes,
     minhash_lane_sql,
     minhash_sig_array,
     shingles,
@@ -1739,4 +1740,107 @@ def entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ak").alias("a_key"),
         F.col("bk").alias("b_key"),
         lev.cast("long").alias("lev"),
+    )
+
+
+_WINDUP_MIN_FP = 2  # shared-fingerprint floor for a candidate pair
+
+
+@register(
+    "dedup_winnowing_verified",
+    oracle=(
+        "WITH "
+        + _winnow_ctes()
+        + f""",
+    fsets AS (SELECT DISTINCT doc_id, fp FROM sel),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_fp
+      FROM fsets a JOIN fsets b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= {_WINDUP_MIN_FP}
+    ),
+    gsets AS (SELECT DISTINCT doc_id, gk FROM grams),
+    gn AS (SELECT doc_id, count(*) AS ng FROM gsets GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, c.n_shared_fp, count(*) AS n_common
+      FROM cand c
+      JOIN gsets ga ON ga.doc_id = c.doc_a
+      JOIN gsets gb ON gb.doc_id = c.doc_b AND gb.gk = ga.gk
+      GROUP BY 1, 2, 3
+    )
+    SELECT m.doc_a, m.doc_b, CAST(m.n_shared_fp AS BIGINT) AS n_shared_fp,
+           CAST(m.n_common AS BIGINT) AS n_common,
+           CAST(m.n_common * 1000000
+                // (na.ng + nb.ng - m.n_common) AS BIGINT) AS jaccard_ppm
+    FROM common m
+    JOIN gn na ON na.doc_id = m.doc_a
+    JOIN gn nb ON nb.doc_id = m.doc_b
+    """
+    ),
+)
+def dedup_winnowing_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate generation by WINNOWING fingerprints + exact
+    gram-Jaccard verify — the MOSS/plagiarism-detection pipeline as a
+    corpus dedup pass, and the actionable consumer of text_winnowing:
+    docs sharing >= 2 selected fingerprints become candidate pairs
+    (winnowing guarantees any >= 7-token verbatim overlap shares a
+    fingerprint, so recall for substantial overlaps is structural,
+    at ~2/(w+1) the index size of all-grams LSH banding), then each
+    candidate pays an EXACT distinct-4-gram Jaccard — integer ppm,
+    full value-hash oracle. Complements dedup_lsh_verified (which
+    targets whole-document similarity via MinHash bands): winnowing
+    fires on LOCAL verbatim reuse regardless of how different the
+    rest of the documents are.
+
+    Scale shape: the fingerprint index is the winnowing selection
+    (one doc-partitioned window, ~40% of grams); candidates come
+    from an 8-byte fp equality self-join with bucket-local pair
+    expansion (the LSH band-join shape — hot-fp telemetry applies
+    verbatim); the verify joins gram SETS through candidates only —
+    corpus text never re-shuffles. The gram frame is checkpointed
+    once and shared by the selection window and the verify sets."""
+    from emdrive_spark.operators.text import _WIN_POS, _WIN_W, _winnow_grams
+
+    g = _winnow_grams(spark, sf_dir).transform(ckpt)
+    byd = W.partitionBy("doc_id")
+    win = byd.orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    sel = (
+        g.select(
+            "doc_id",
+            "pos",
+            F.count("*").over(byd).alias("n"),
+            F.min(F.col("gk") * _WIN_POS + F.col("pos")).over(win).alias("m"),
+        )
+        .filter(F.col("pos") <= F.col("n") - (_WIN_W - 1))
+        .select("doc_id", F.expr(f"m DIV {_WIN_POS}").alias("fp"))
+        .distinct()
+    )
+    a = sel.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = sel.select(F.col("doc_id").alias("doc_b"), "fp")
+    cand = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= _WINDUP_MIN_FP)
+    )
+    gsets = g.select("doc_id", "gk").distinct().transform(ckpt)
+    gn = gsets.groupBy("doc_id").agg(F.count("*").alias("ng"))
+    common = (
+        cand.join(gsets.select(F.col("doc_id").alias("doc_a"), "gk"), "doc_a")
+        .join(gsets.select(F.col("doc_id").alias("doc_b"), "gk"), ["doc_b", "gk"])
+        .groupBy("doc_a", "doc_b", "n_shared_fp")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(gn.select(F.col("doc_id").alias("doc_a"), F.col("ng").alias("na")), "doc_a")
+        .join(gn.select(F.col("doc_id").alias("doc_b"), F.col("ng").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared_fp").cast("long").alias("n_shared_fp"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.expr("CAST(n_common * 1000000 DIV (na + nb - n_common) AS BIGINT)").alias(
+                "jaccard_ppm"
+            ),
+        )
     )

@@ -825,21 +825,24 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "str_levenshtein",
     oracle="""
     SELECT p_partkey, p_name,
-           CAST(levenshtein(p_name, 'promo burnished copper') AS BIGINT) AS edit_dist
+           CAST(levenshtein(p_name, 'small copper ring') AS BIGINT) AS edit_dist
     FROM part
-    WHERE levenshtein(p_name, 'promo burnished copper') <= 10
+    WHERE levenshtein(p_name, 'small copper ring') <= 8
     """,
 )
 def str_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance similarity on strings (the non-vector cousin of the
     metric ops): distance to a probe name with a threshold filter —
     same SELECT-distance-WHERE shape as the README's hash @ query
-    flagship, over a string metric space."""
+    flagship, over a string metric space. (Probe re-anchored to the
+    current fixture generation's '<size> <material> <noun>' name
+    style in r7 — the r1-era TPC-H-style probe sat >= 17 edits from
+    every current name, making the filter vacuously empty.)"""
     p = load(spark, sf_dir, "part")
-    d = F.levenshtein(F.col("p_name"), F.lit("promo burnished copper"))
+    d = F.levenshtein(F.col("p_name"), F.lit("small copper ring"))
     return (
         p.select("p_partkey", "p_name", d.cast("long").alias("edit_dist"))
-        .filter(F.col("edit_dist") <= 10)
+        .filter(F.col("edit_dist") <= 8)
     )
 
 
@@ -1670,3 +1673,108 @@ def window_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").alias("longest_streak"),
         F.sum("len").cast("long").alias("active_days"),
     )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORR_PAIRS = tuple(
+    (_CORR_COLS[i], _CORR_COLS[j])
+    for i in range(len(_CORR_COLS))
+    for j in range(i + 1, len(_CORR_COLS))
+)
+
+
+def _corr_matrix_oracle() -> str:
+    """One exact-decimal power-sum row, then one SELECT per pair —
+    the agg_moments recipe widened to cross-moments. The DECIMAL(19,2)
+    cast on the left factor forces DuckDB's int128 multiply path
+    (same-width decimal products overflow int64 at runtime)."""
+    short = {c: c[2:3] for c in _CORR_COLS}  # q, e, d, t
+    sums = ["count(*) AS n"]
+    for c in _CORR_COLS:
+        s = short[c]
+        sums.append(f"CAST(sum(v_{s}) AS DOUBLE) AS s_{s}")
+        sums.append(
+            f"CAST(sum(CAST(v_{s} AS DECIMAL(19,2)) * v_{s}) AS DOUBLE) AS s_{s}{s}"
+        )
+    for a, b in _CORR_PAIRS:
+        sa, sb = short[a], short[b]
+        sums.append(
+            f"CAST(sum(CAST(v_{sa} AS DECIMAL(19,2)) * v_{sb}) AS DOUBLE) AS s_{sa}{sb}"
+        )
+    vals = ", ".join(
+        f"CAST({c} AS DECIMAL(12,2)) AS v_{short[c]}" for c in _CORR_COLS
+    )
+    selects = []
+    for a, b in _CORR_PAIRS:
+        sa, sb = short[a], short[b]
+        selects.append(
+            f"""SELECT '{a}' AS col_a, '{b}' AS col_b, CAST(n AS BIGINT) AS n,
+           floor((n * s_{sa}{sb} - s_{sa} * s_{sb})
+                 / nullif(sqrt((n * s_{sa}{sa} - s_{sa} * s_{sa})
+                               * (n * s_{sb}{sb} - s_{sb} * s_{sb})), 0)
+                 * 1000000 + 0.5) / 1000000 AS corr
+    FROM m"""
+        )
+    return (
+        f"WITH m AS (SELECT {', '.join(sums)} FROM (SELECT {vals} FROM lineitem))\n    "
+        + "\n    UNION ALL ".join(selects)
+    )
+
+
+@register("agg_corr_matrix", oracle=_corr_matrix_oracle())
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's four
+    numeric measures — the feature-redundancy audit run before any
+    model training, as ONE aggregation pass: all 4 first moments,
+    4 second moments, and 6 cross-moments accumulate as EXACT
+    DECIMAL sums in a single map-side-combinable aggregate (the
+    built-in corr() streams float co-moments whose last ulp depends
+    on partition merge order — unusable under a value-hash oracle),
+    then each pair's r = (n*Sab - Sa*Sb) / sqrt((n*Saa - Sa^2) *
+    (n*Sbb - Sb^2)) is closed-form double arithmetic written
+    token-for-token like the oracle's, nullif-guarded against a
+    constant column (ANSI Spark would throw where DuckDB yields
+    inf/NaN).
+
+    Scale shape: one full-scan aggregate combining map-side to 15
+    numbers per partition — the cheapest possible statistics pass at
+    any SF; the 6-row output is a stack() projection of one row."""
+    li = load(spark, sf_dir, "lineitem")
+    short = {c: c[2:3] for c in _CORR_COLS}
+    vals = [F.col(c).cast("decimal(12,2)").alias(f"v_{short[c]}") for c in _CORR_COLS]
+    aggs = [F.count("*").alias("n")]
+    for c in _CORR_COLS:
+        s = short[c]
+        aggs.append(F.sum(f"v_{s}").cast("double").alias(f"s_{s}"))
+        aggs.append(
+            F.sum(F.col(f"v_{s}") * F.col(f"v_{s}")).cast("double").alias(f"s_{s}{s}")
+        )
+    for a, b in _CORR_PAIRS:
+        sa, sb = short[a], short[b]
+        aggs.append(
+            F.sum(F.col(f"v_{sa}") * F.col(f"v_{sb}"))
+            .cast("double")
+            .alias(f"s_{sa}{sb}")
+        )
+    m = li.select(*vals).agg(*aggs)
+    n = F.col("n")
+    corrs = []
+    for a, b in _CORR_PAIRS:
+        sa, sb = short[a], short[b]
+        num = n * F.col(f"s_{sa}{sb}") - F.col(f"s_{sa}") * F.col(f"s_{sb}")
+        den = F.sqrt(
+            (n * F.col(f"s_{sa}{sa}") - F.col(f"s_{sa}") * F.col(f"s_{sa}"))
+            * (n * F.col(f"s_{sb}{sb}") - F.col(f"s_{sb}") * F.col(f"s_{sb}"))
+        )
+        r6 = F.floor(num / F.nullif(den, F.lit(0.0)) * 1000000 + F.lit(0.5)) / 1000000
+        corrs.append(r6.alias(f"r_{sa}{sb}"))
+    wide = m.select(n.cast("long").alias("n"), *corrs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', r_{short[a]}{short[b]}" for a, b in _CORR_PAIRS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_CORR_PAIRS)}, {stack_args}) AS (col_a, col_b, corr)"
+        ),
+        "n",
+    ).select("col_a", "col_b", "n", "corr")

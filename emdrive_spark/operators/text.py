@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from emdrive_spark.functions.ckpt import ckpt
 from emdrive_spark.registry import register
 from emdrive_spark.sources.tables import load
 
@@ -929,58 +930,14 @@ _WIN_W = 4  # grams per winnowing window
 _WIN_POS = 1_048_576  # 2^20: positions packed below the 40-bit gram hash
 
 
-@register(
-    "text_winnowing",
-    oracle=rf"""
-    WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-      FROM documents
-    ),
-    grams AS (
-      SELECT doc_id, i AS pos,
-             CAST(('0x' || substr(md5(
-               array_to_string(t[i : i + {_WIN_K} - 1], ' ')), 1, 10)) AS BIGINT) AS gk
-      FROM toks,
-           unnest(generate_series(1, greatest(len(t) - {_WIN_K} + 1, 0))) AS u(i)
-    ),
-    c AS (
-      SELECT doc_id, pos,
-             count(*) OVER (PARTITION BY doc_id) AS n,
-             min(gk * {_WIN_POS} + pos) OVER (
-               PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN CURRENT ROW AND {_WIN_W} - 1 FOLLOWING) AS m
-      FROM grams
-    )
-    SELECT DISTINCT doc_id, CAST(m // {_WIN_POS} AS BIGINT) AS fp,
-           CAST(m % {_WIN_POS} AS BIGINT) AS pos
-    FROM c WHERE pos <= n - {_WIN_W} + 1
-    """,
-)
-def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003) — the
-    plagiarism-detection / local-dedup standard: hash every token
-    4-gram, slide a 4-gram-wide window, keep each window's MINIMUM
-    hash (leftmost on ties), dedupe. The selection guarantee: any
-    verbatim overlap of >= k+w-1 = 7 tokens shares at least one
-    selected fingerprint, at ~2/(w+1) the storage of all grams —
-    the density/guarantee trade doc_fingerprint (one hash per doc)
-    and dedup_spans_exact (every gram) bracket from either side.
-
-    Exactness: the tie-aware window min runs on ONE packed BIGINT
-    (40-bit md5-prefix gram hash * 2^20 + position; positions bound
-    at 2^20 tokens/doc — split longer docs upstream), so both
-    engines pick the identical (hash, pos) per window with no
-    struct-comparison semantics in play.
-
-    Scale shape: the gram projection amplifies the narrow (id, text)
-    scan (spread() parallelizes past few input splits), then ONE
-    doc_id-partitioned ordered window — per-doc O(n), parallel
-    across docs, no corpus-global state — and an in-partition
-    distinct. Fingerprint matching downstream is a plain equality
-    join on fp, the same 8-byte-key shuffle shape as _dup_spans."""
+def _winnow_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-keyed 40-bit token-4-gram hashes, one row per (doc,
+    pos): the shared input of the winnowing selection window
+    (text_winnowing) and the exact gram-set verify
+    (dedup_winnowing_verified)."""
     from emdrive_spark.functions.layout import spread
 
-    K, W_, P = _WIN_K, _WIN_W, _WIN_POS
+    K = _WIN_K
     d = load(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
 
@@ -1006,12 +963,75 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.array().cast("array<struct<pos:int,gk:bigint>>"))
 
     gram_arr = F.transform(F.array(toks), _grams)[0]
-    g = (
+    return (
         spread(d.select("doc_id", "text"))
         .select("doc_id", F.explode(gram_arr).alias("x"))
         .select("doc_id", F.col("x.pos").alias("pos"), F.col("x.gk").alias("gk"))
     )
-    from pyspark.sql import Window as W
+
+
+def _winnow_ctes() -> str:
+    """Shared oracle CTE block: tokenize -> 40-bit 4-gram hashes ->
+    packed window-min -> selected (doc_id, fp, pos) rows as `sel`.
+    Used by text_winnowing and dedup_winnowing_verified so the
+    selection semantics can never drift between the two."""
+    return rf"""
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             CAST(('0x' || substr(md5(
+               array_to_string(t[i : i + {_WIN_K} - 1], ' ')), 1, 10)) AS BIGINT) AS gk
+      FROM toks,
+           unnest(generate_series(1, greatest(len(t) - {_WIN_K} + 1, 0))) AS u(i)
+    ),
+    c AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY doc_id) AS n,
+             min(gk * {_WIN_POS} + pos) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {_WIN_W} - 1 FOLLOWING) AS m
+      FROM grams
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, CAST(m // {_WIN_POS} AS BIGINT) AS fp,
+             CAST(m % {_WIN_POS} AS BIGINT) AS pos
+      FROM c WHERE pos <= n - {_WIN_W} + 1
+    )
+"""
+
+
+@register(
+    "text_winnowing",
+    oracle="WITH " + _winnow_ctes() + "SELECT doc_id, fp, pos FROM sel",
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003) — the
+    plagiarism-detection / local-dedup standard: hash every token
+    4-gram, slide a 4-gram-wide window, keep each window's MINIMUM
+    hash (leftmost on ties), dedupe. The selection guarantee: any
+    verbatim overlap of >= k+w-1 = 7 tokens shares at least one
+    selected fingerprint, at ~2/(w+1) the storage of all grams —
+    the density/guarantee trade doc_fingerprint (one hash per doc)
+    and dedup_spans_exact (every gram) bracket from either side.
+
+    Exactness: the tie-aware window min runs on ONE packed BIGINT
+    (40-bit md5-prefix gram hash * 2^20 + position; positions bound
+    at 2^20 tokens/doc — split longer docs upstream), so both
+    engines pick the identical (hash, pos) per window with no
+    struct-comparison semantics in play.
+
+    Scale shape: the gram projection amplifies the narrow (id, text)
+    scan (spread() parallelizes past few input splits), then ONE
+    doc_id-partitioned ordered window — per-doc O(n), parallel
+    across docs, no corpus-global state — and an in-partition
+    distinct. Fingerprint matching downstream is a plain equality
+    join on fp, the same 8-byte-key shuffle shape as _dup_spans
+    (dedup_winnowing_verified is exactly that consumer)."""
+    W_, P = _WIN_W, _WIN_POS
+    g = _winnow_grams(spark, sf_dir)
 
     byd = W.partitionBy("doc_id")
     win = byd.orderBy("pos").rowsBetween(0, W_ - 1)
@@ -1029,4 +1049,120 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("m") % P).cast("long").alias("pos"),
         )
         .distinct()
+    )
+
+
+_BPE_ROUNDS = 6
+
+
+def _bpe_oracle() -> str:
+    """Unrolled BPE-merge oracle: one (pairs -> argmax -> replace)
+    CTE block per round. The chosen pair enters the next round's
+    replace() as scalar subqueries; each symbol owns a trailing ';'
+    so replace('l;r;' -> 'lr;') is exactly the greedy left-to-right
+    merge (no boundary char is shared between adjacent matches)."""
+    ctes = [
+        r"""w0 AS (
+      SELECT regexp_replace(word, '(.)', '\1;', 'g') AS w, freq FROM (
+        SELECT tok AS word, count(*) AS freq FROM (
+          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents
+        ) WHERE regexp_matches(tok, '^[a-z0-9]+$')
+        GROUP BY tok
+      )
+    )"""
+    ]
+    sel = []
+    for i in range(1, _BPE_ROUNDS + 1):
+        ctes.append(
+            f"""p{i} AS (
+      SELECT arr[j] AS l, arr[j + 1] AS r, sum(freq) AS cnt
+      FROM (SELECT string_split(w, ';') AS arr, freq FROM w{i - 1}),
+           unnest(generate_series(1, greatest(len(arr) - 2, 0))) AS t(j)
+      GROUP BY 1, 2
+    ),
+    b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+    w{i} AS (
+      SELECT replace(w, (SELECT l || ';' || r || ';' FROM b{i}),
+                        (SELECT l || r || ';' FROM b{i})) AS w, freq
+      FROM w{i - 1}
+    )"""
+        )
+        sel.append(
+            f"SELECT {i} AS merge_round, l AS left_sym, r AS right_sym,"
+            f" CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(sel)
+
+
+@register("bpe_train_merges", oracle=_bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary training (Sennrich et al. 2016), the first 6
+    merges: count corpus word frequencies ONCE, split words to
+    characters, then per round count adjacent symbol pairs weighted
+    by word frequency, merge the most frequent pair everywhere, and
+    emit (round, left, right, count) — the tokenizer-training step
+    every LLM data pipeline runs before packing.
+
+    Determinism: the argmax is totally ordered (count desc, left,
+    right asc), the merge is greedy left-to-right via single-pass
+    replace() on ';'-terminated symbols (each symbol owns its
+    separator, so adjacent matches share no boundary byte and both
+    engines' replace() scan identically), and pair counts are exact
+    integers — a training loop with a full value-hash oracle.
+
+    Scale shape: the ONLY corpus-sized work is the word-frequency
+    groupBy (one combinable shuffle); the training loop then runs
+    entirely on the VOCABULARY table — per round one pair explode
+    (|vocab| x word-length rows), one combinable aggregate, one
+    1-row argmax collect, one codegen replace projection. This is
+    the map-reduce BPE everybody ships: corpus pass once, vocab
+    loop after. Symbols stay [a-z0-9]+ by the word filter, so the
+    ';' separator and the pair literals are injection-safe."""
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").rlike("^[a-z0-9]+$"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.regexp_replace("tok", "(.)", "$1;").alias("w"),
+            "freq",
+        )
+        .transform(ckpt)  # the one corpus-sized pass; loop is vocab-bounded
+    )
+
+    def _pairs(w):
+        arr = F.split(w, ";")
+        n = F.size(arr) - 2  # trailing '' element; n_pairs = n_sym - 1
+        return F.when(
+            n >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda j: F.struct(
+                    F.element_at(arr, j).alias("l"),
+                    F.element_at(arr, j + F.lit(1)).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+
+    merges = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pc = (
+            words.select(F.explode(_pairs(F.col("w"))).alias("p"), "freq")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pc.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(1).collect()[0]
+        merges.append((rnd, best["l"], best["r"], int(best["cnt"])))
+        words = words.select(
+            F.replace(
+                F.col("w"),
+                F.lit(f"{best['l']};{best['r']};"),
+                F.lit(f"{best['l']}{best['r']};"),
+            ).alias("w"),
+            "freq",
+        ).transform(ckpt)  # vocab-bounded; keeps each round's action flat
+    return spark.createDataFrame(
+        merges, "merge_round int, left_sym string, right_sym string, pair_count long"
     )

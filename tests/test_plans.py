@@ -466,6 +466,8 @@ _SCALE_MARKER_ALLOWLIST = {
     "text_collocation_pmi": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
     # 1-row grand-total N broadcast into the cell projection (r7)
     "agg_mutual_info": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
+    # global 15-scalar aggregate: map-side combine -> 1-row final (r7)
+    "agg_corr_matrix": {"Exchange SinglePartition"},
     "agg_benford": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
     "ann_recall": {"BroadcastNestedLoopJoin"},  # k-row recall compare
     # node-count scalar broadcast into each PageRank iteration (1-row

@@ -178,3 +178,118 @@ def test_winnowing_density_and_positions(spark):
     for r in registry.queries()["text_winnowing"](spark, SF_SMOKE).collect():
         assert 1 <= r["pos"] <= ntok[r["doc_id"]] - 3
         assert 0 <= r["fp"] < 2**40
+
+
+# ------------------------------------------------------ bpe_train_merges
+
+
+def test_bpe_merges_match_reference_python(spark):
+    """Re-run classic greedy BPE in plain python (collections.Counter
+    over the word-frequency table, leftmost-lowest tie order, greedy
+    left-to-right merging) and require identical merge rules."""
+    import re
+    from collections import Counter
+
+    docs = load(spark, SF_SMOKE, "documents").select("text").collect()
+    freq = Counter(
+        t
+        for r in docs
+        for t in r["text"].strip().split()
+        if re.fullmatch(r"[a-z0-9]+", t)
+    )
+    words = {w: list(w) for w in freq}
+    want = []
+    for rnd in range(1, 7):
+        pc = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += freq[w]
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rnd, l, r, cnt))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    got = [
+        (r["merge_round"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in registry.queries()["bpe_train_merges"](spark, SF_SMOKE).collect()
+    ]
+    assert sorted(got) == want
+
+
+# ------------------------------------------------------- agg_corr_matrix
+
+
+def test_corr_matrix_matches_numpy(spark):
+    import numpy as np
+
+    li = load(spark, SF_SMOKE, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    pdf = li.toPandas()
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in registry.queries()["agg_corr_matrix"](spark, SF_SMOKE).collect()
+    }
+    assert len(got) == 6
+    for (a, b), r6 in got.items():
+        want = np.corrcoef(pdf[a], pdf[b])[0, 1]
+        assert abs(r6 - want) < 1e-5, (a, b, r6, want)
+
+
+# ----------------------------------------------- dedup_winnowing_verified
+
+
+def test_winnowing_verified_catches_shared_span_pairs(spark, tmp_path):
+    """A pair sharing a long verbatim span must surface as a verified
+    candidate; disjoint docs must not pair at all."""
+    shared = " ".join(f"tok{i}" for i in range(20))
+    rows = [
+        (1, "one lead in " + shared + " trailing alpha", "en", "web"),
+        (2, "two other start " + shared + " trailing beta", "en", "web"),
+        (3, "entirely different words with no overlap at all here okay", "en", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = registry.queries()["dedup_winnowing_verified"](spark, str(tmp_path)).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in out}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r["n_shared_fp"] >= 2
+    assert 0 < r["jaccard_ppm"] < 1_000_000
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnowing_verified_jaccard_is_exact(spark):
+    """Spot-verify the reported gram Jaccard against a python
+    recomputation of distinct 4-gram hashes for the top pair."""
+    import hashlib
+
+    out = registry.queries()["dedup_winnowing_verified"](spark, SF_SMOKE).collect()
+    assert out, "smoke corpus has near-dup docs with shared spans"
+    best = max(out, key=lambda r: r["jaccard_ppm"])
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF_SMOKE, "documents")
+        .filter(F.col("doc_id").isin([best["doc_a"], best["doc_b"]]))
+        .collect()
+    }
+
+    def gramset(text):
+        toks = text.strip().split()
+        out = set()
+        for i in range(len(toks) - 3):
+            g = " ".join(toks[i : i + 4])
+            out.add(int(hashlib.md5(g.encode()).hexdigest()[:10], 16))
+        return out
+
+    ga, gb = gramset(texts[best["doc_a"]]), gramset(texts[best["doc_b"]])
+    common = len(ga & gb)
+    assert best["n_common"] == common
+    assert best["jaccard_ppm"] == common * 1_000_000 // (len(ga) + len(gb) - common)

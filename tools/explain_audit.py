@@ -91,6 +91,9 @@ FLAGSHIPS = {
     "agg_mutual_info": "one combinable cell groupBy; marginals re-aggregate the checkpointed cell table; 1-row N broadcast",
     "text_feature_hashing": "explode + combinable (doc, bucket) groupBy; constant 1024-dim reduce side; no vocab table",
     "text_winnowing": "gram projection spread()-parallelized; ONE doc-partitioned ordered window; in-partition distinct",
+    "bpe_train_merges": "one corpus word-count shuffle; training loop vocab-bounded with 1-row argmax collects; codegen replace merges",
+    "agg_corr_matrix": "single map-side-combinable aggregate to 15 exact-decimal scalars; stack() projection of one row",
+    "dedup_winnowing_verified": "checkpointed gram frame shared by selection window and verify; fp band-join candidates; gram-set joins on candidates only",
 }
 
 
