@@ -169,6 +169,12 @@ def main() -> None:
         F.avg("n_chunk_tokens").alias("avg_tokens"),
     ).show()
 
+    # 8. Tokenizer training: the first BPE merge rules on the cleaned
+    # corpus (one corpus word-count pass, vocab-bounded loop after)
+    merges = q["bpe_train_merges"].fn(spark, sf_dir)
+    print("== first BPE merges ==")
+    merges.orderBy("merge_round").show(truncate=False)
+
     spark.stop()
 
 
