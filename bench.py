@@ -206,13 +206,21 @@ def main() -> None:
     # still admits one excursion + one slow rep. Median of 5 held
     # stable across back-to-back runs that disagreed wildly at 3.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "5")))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        runs = []
-        for _ in range(reps):
+    # Reps are ROUND-ROBIN across queries (rep 1 of everything, then
+    # rep 2, ...), not back-to-back per query: this host's co-tenant
+    # noise arrives in minutes-long patches, and with consecutive
+    # reps one patch lands on ALL samples of whichever query is
+    # running (r7: graph_related_topk measured 9.2s and 24.1s in two
+    # same-code quiet-gate runs an hour apart — 3 of 5 consecutive
+    # reps inflated). Spreading each query's samples across the whole
+    # session turns a patch into <=1 bad sample per query, which the
+    # median then discards.
+    samples: dict[str, list] = {name: [] for name in HEADLINE}
+    for _ in range(reps):
+        for name in HEADLINE:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+            samples[name].append(time.perf_counter() - t0)
             # Outside the timer: drop the rep's lineage-truncation
             # blocks so every rep (and every query) starts with a
             # clean block store. Without this, nine checkpoint-heavy
@@ -223,8 +231,9 @@ def main() -> None:
             # the async removal storm must not overlap the next
             # timed rep.
             release(spark, blocking=True)
-        runs.sort()
-        timings[name] = round(runs[len(runs) // 2], 3)  # median
+    timings = {
+        name: round(sorted(rs)[len(rs) // 2], 3) for name, rs in samples.items()
+    }
 
     total = round(sum(timings.values()), 3)
     # Host-load context for cross-round comparison: sub-second

@@ -34,6 +34,7 @@ sys.path.insert(0, REPO)
 from pyspark.sql import functions as F  # noqa: E402
 
 from emdrive_spark import registry  # noqa: E402
+from emdrive_spark.functions.ckpt import release  # noqa: E402
 from emdrive_spark.operators.dedup import band_members  # noqa: E402
 from emdrive_spark.operators.text import minhash_sig_array, shingles  # noqa: E402
 from emdrive_spark.session import get_spark  # noqa: E402
@@ -150,10 +151,16 @@ def main() -> None:
         "dedup_components",
         "dedup_spans_exact",
         "dedup_spans_cut",
+        # round 7: fingerprint-selection dedup rides the same staged
+        # corpus — exact-copy clusters share ALL fingerprints, so the
+        # candidate mass is exactly the cluster law's pair count
+        "text_winnowing",
+        "dedup_winnowing_verified",
     ):
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 1)
+        release(spark, blocking=True)  # r7: isolate ops from block pressure
 
     prof = bucket_profile(spark, sf_dir)
     try:
