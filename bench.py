@@ -198,7 +198,10 @@ def main() -> None:
     warm_sf = "/root/testdata/sf0.001"
     for warm in ("scan_full", *HEADLINE):
         qs[warm](spark, warm_sf).write.format("noop").mode("overwrite").save()
-    release(spark)  # warm-up blocks must not bill to the first query
+    # blocking: unpersist's block-removal storm is async and would
+    # otherwise overlap the first timed rep (r7 ADVICE) — the exact
+    # contamination this call exists to prevent.
+    release(spark, blocking=True)  # warm-up blocks must not bill to rep 1
 
     # Default raised 3 → 5 (round 5): single queries show random 3-4×
     # excursions run-to-run on this host (different queries each run,

@@ -1717,8 +1717,14 @@ def entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k"), F.col("c_name").alias("n")
     )
-    keys = c.select(
-        "k", "n", F.explode(F.sequence(F.lit(1), F.length("n"))).alias("p")
+    keys = c.filter(F.length("n") >= 1).select(
+        # length guard: F.sequence DESCENDS when start > stop, so an empty
+        # name would explode to bogus p=1,0 deletion keys while the
+        # oracle's range(1, len+1) is empty — filter the degenerate rows
+        # out before the explode (r7 ADVICE).
+        "k",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.length("n"))).alias("p"),
     ).select(
         "k",
         "n",

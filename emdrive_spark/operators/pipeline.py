@@ -608,9 +608,12 @@ def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity bucketing with a corpus-derived unigram
     LM: pass 1 aggregates token counts into a vocabulary (one shuffle
     keyed by token — bounded by vocabulary size, not corpus size);
-    pass 2 broadcasts the log-prob table back onto the token stream and
-    reduces mean negative log-likelihood per doc (one doc_id shuffle of
-    (id, decimal) pairs). Docs land in head/middle/tail via FIXED cut
+    pass 2 joins the log-prob table back onto the token stream — an
+    UNHINTED equality join (the log-prob table has one row per distinct
+    token, corpus-unbounded, so a forced broadcast OOMs at 100 TB; AQE
+    broadcasts it only when it measures small — the r7 PMI precedent)
+    — and reduces mean negative log-likelihood per doc (one doc_id
+    shuffle of (id, decimal) pairs). Docs land in head/middle/tail via FIXED cut
     points, exactly how CCNet ships per-language thresholds — so the
     bucket step is a pure projection and the whole op is two narrow
     shuffles at 100 TB. Per-token log-probs are floor-rounded to 6
@@ -625,7 +628,7 @@ def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fixed(F.log(F.col("cnt").cast("double") / F.col("total")), 6).alias("logp"),
     )
     scored = (
-        tok.join(F.broadcast(lp), "tok")
+        tok.join(lp, "tok")
         .groupBy("doc_id")
         .agg(
             _fixed(

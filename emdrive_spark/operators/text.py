@@ -382,8 +382,13 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF weights per (doc, term), thresholded — the classical
     relevance/quality signal, fully relational: term frequencies and
     document frequencies are two aggregations over one explode; idf
-    joins back on the term (broadcastable — vocab << corpus). At 100 TB
-    the only large shuffle is the (token, doc) pair stream."""
+    joins back on the term as a plain vocabulary-sized equality join
+    left to AQE, NOT a hinted broadcast — the df table has one row per
+    DISTINCT TOKEN, which is corpus-unbounded (billions at 100 TB), so
+    forcing it onto the driver is an OOM hazard (the r7 PMI precedent,
+    text_collocation_pmi). AQE still broadcasts when the built side
+    measures small. At 100 TB the only large shuffle is the
+    (token, doc) pair stream."""
     toks = load(spark, sf_dir, "documents").select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
@@ -392,7 +397,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = load(spark, sf_dir, "documents").count()
     tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
     return (
-        tf.join(F.broadcast(df), "tok")
+        tf.join(df, "tok")
         .filter(tfidf > 1.0)
         .select("doc_id", "tok", F.round(tfidf, 6).alias("tfidf"))
     )
@@ -482,7 +487,9 @@ def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-stable) — the metadata-enrichment step behind search facets
     and topic labeling. Same two aggregations as text_tfidf plus a
     doc-partitioned window; the per-doc rank never needs a global
-    sort."""
+    sort. The df join is unhinted (vocabulary-sized build side is
+    corpus-unbounded — see text_tfidf); AQE broadcasts it only when
+    it measures small."""
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
@@ -494,7 +501,7 @@ def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfidf = F.floor(
         F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 1e6 + F.lit(0.5)
     ) / F.lit(1e6)
-    scored = tf.join(F.broadcast(df), "tok").select(
+    scored = tf.join(df, "tok").select(
         "doc_id", "tok", tfidf.alias("tfidf")
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
@@ -944,6 +951,19 @@ def _winnow_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _grams(t):
         n = F.size(t) - (K - 1)
         return F.when(
+            # The gk*2^20+pos pack downstream is injective only for
+            # pos < 2^20 — fail LOUDLY on longer docs instead of
+            # silently corrupting fingerprints (r7 ADVICE); split such
+            # docs upstream before fingerprinting.
+            F.size(t) >= _WIN_POS,
+            F.raise_error(
+                F.concat(
+                    F.lit("winnowing: document exceeds 2^20 tokens ("),
+                    F.size(t).cast("string"),
+                    F.lit(") — position packing would corrupt fingerprints; split upstream"),
+                )
+            ).cast("array<struct<pos:int,gk:bigint>>"),
+        ).when(
             n >= 1,
             F.transform(
                 F.sequence(F.lit(1), n),  # guarded: sequence descends for n < 1
@@ -1055,15 +1075,36 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 6
 
 
-def _bpe_oracle() -> str:
-    """Unrolled BPE-merge oracle: one (pairs -> argmax -> replace)
-    CTE block per round. The chosen pair enters the next round's
-    replace() as scalar subqueries; each symbol owns a trailing ';'
-    so replace('l;r;' -> 'lr;') is exactly the greedy left-to-right
-    merge (no boundary char is shared between adjacent matches)."""
+def _bpe_merge_cte(i: int, src: str, extra_cols: str = "") -> str:
+    """One merge-application CTE: apply round-i's chosen pair b{i} to
+    every word of ``src`` via a greedy left-to-right fold over the
+    SYMBOL LIST (list_reduce with a string accumulator carrying a
+    leading ';' sentinel, so "last symbol == l" is the exact test
+    ``ends_with(acc, ';l;')`` — a naive ``replace('l;r;'→'lr;')``
+    can match starting MID-symbol when l is a proper suffix of a
+    preceding symbol, e.g. 'er;s;'→'ers;' under pair (r,s), which is
+    the r7 ADVICE over-merge bug this fold fixes in both engines)."""
+    return f"""w{i} AS (
+      SELECT {extra_cols}substr(
+        list_reduce(
+          list_prepend(';', list_filter(string_split(w, ';'), x -> len(x) > 0)),
+          (acc, x) -> CASE WHEN ends_with(acc, ';' || b{i}.l || ';') AND x = b{i}.r
+                      THEN left(acc, len(acc) - len(b{i}.l) - 1) || b{i}.l || b{i}.r || ';'
+                      ELSE acc || x || ';' END
+        ), 2) AS w, freq
+      FROM {src}, b{i}
+    )"""
+
+
+def _bpe_train_ctes(carry_tok: bool = False) -> list[str]:
+    """The shared train-side CTE ladder w0,p1,b1,w1..b{N},w{N} —
+    reused verbatim by the bpe_train_merges oracle (emits b{i}) and
+    the bpe_apply oracle (carries the source token through so w{N}
+    is a tok -> merged-symbols lookup)."""
+    carry = "tok, " if carry_tok else ""
     ctes = [
-        r"""w0 AS (
-      SELECT regexp_replace(word, '(.)', '\1;', 'g') AS w, freq FROM (
+        rf"""w0 AS (
+      SELECT {"word AS tok, " if carry_tok else ""}regexp_replace(word, '(.)', '\1;', 'g') AS w, freq FROM (
         SELECT tok AS word, count(*) AS freq FROM (
           SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
           FROM documents
@@ -1072,7 +1113,6 @@ def _bpe_oracle() -> str:
       )
     )"""
     ]
-    sel = []
     for i in range(1, _BPE_ROUNDS + 1):
         ctes.append(
             f"""p{i} AS (
@@ -1082,17 +1122,56 @@ def _bpe_oracle() -> str:
       GROUP BY 1, 2
     ),
     b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-    w{i} AS (
-      SELECT replace(w, (SELECT l || ';' || r || ';' FROM b{i}),
-                        (SELECT l || r || ';' FROM b{i})) AS w, freq
-      FROM w{i - 1}
-    )"""
+    {_bpe_merge_cte(i, f"w{i - 1}", carry)}"""
         )
-        sel.append(
-            f"SELECT {i} AS merge_round, l AS left_sym, r AS right_sym,"
-            f" CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
-        )
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(sel)
+    return ctes
+
+
+def _bpe_oracle() -> str:
+    """Unrolled BPE-merge oracle: one (pairs -> argmax -> fold-merge)
+    CTE block per round; the merge itself is the symbol-list fold of
+    _bpe_merge_cte (not string replace — see its docstring)."""
+    sel = [
+        f"SELECT {i} AS merge_round, l AS left_sym, r AS right_sym,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, _BPE_ROUNDS + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(_bpe_train_ctes())
+        + "\n    "
+        + "\n    UNION ALL ".join(sel)
+    )
+
+
+def _bpe_merge_word(w, l: str, r: str):
+    """Apply one BPE merge (l, r) to a ';'-terminated symbol string,
+    greedy left-to-right, SYMBOL-level: fold over the split symbol
+    list with a string accumulator that carries a leading ';'
+    sentinel, so "last accumulated symbol == l" is the exact test
+    ``acc endswith ';l;'`` and a merge can never start mid-symbol.
+    (The previous ``F.replace(w, 'l;r;', 'lr;')`` matched mid-symbol
+    whenever l was a proper suffix of a preceding symbol —
+    'er;s;'→'ers;' under pair (r, s) — the r7 ADVICE over-merge.)
+    A freshly merged symbol is 'lr' != l (r is non-empty), so the
+    fold cannot double-merge; this is exactly reference-Python
+    greedy merging. l and r are [a-z0-9]+ by the corpus word filter,
+    so embedding them as literals is injection-safe. The whole fold
+    is a codegen higher-order function over vocabulary-sized rows —
+    no Python, no shuffle."""
+    syms = F.filter(F.split(w, ";"), lambda s: F.length(s) > 0)
+    folded = F.aggregate(
+        syms,
+        F.lit(";"),
+        lambda acc, x: F.when(
+            acc.endswith(F.lit(f";{l};")) & (x == F.lit(r)),
+            F.concat(
+                acc.substr(F.lit(1), F.length(acc) - F.lit(len(l) + 1)),
+                F.lit(f"{l}{r};"),
+            ),
+        ).otherwise(F.concat(acc, x, F.lit(";"))),
+    )
+    return folded.substr(F.lit(2), F.length(folded))
 
 
 @register("bpe_train_merges", oracle=_bpe_oracle())
@@ -1105,11 +1184,11 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     every LLM data pipeline runs before packing.
 
     Determinism: the argmax is totally ordered (count desc, left,
-    right asc), the merge is greedy left-to-right via single-pass
-    replace() on ';'-terminated symbols (each symbol owns its
-    separator, so adjacent matches share no boundary byte and both
-    engines' replace() scan identically), and pair counts are exact
-    integers — a training loop with a full value-hash oracle.
+    right asc), the merge is greedy left-to-right over the SYMBOL
+    LIST (the _bpe_merge_word fold — identical construction in the
+    DuckDB oracle via _bpe_merge_cte, so both engines merge at
+    symbol boundaries only), and pair counts are exact integers —
+    a training loop with a full value-hash oracle.
 
     Scale shape: the ONLY corpus-sized work is the word-frequency
     groupBy (one combinable shuffle); the training loop then runs
@@ -1119,18 +1198,39 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the map-reduce BPE everybody ships: corpus pass once, vocab
     loop after. Symbols stay [a-z0-9]+ by the word filter, so the
     ';' separator and the pair literals are injection-safe."""
+    merges, _ = _bpe_train_loop(_bpe_word_freqs(spark, sf_dir))
+    return spark.createDataFrame(
+        merges, "merge_round int, left_sym string, right_sym string, pair_count long"
+    )
+
+
+def _bpe_word_freqs(spark: SparkSession, sf_dir: str, carry_tok: bool = False) -> DataFrame:
+    """The one corpus-sized pass: word frequencies over [a-z0-9]+
+    tokens, words split to ';'-terminated character symbols. With
+    ``carry_tok`` the source token rides along so the trained frame
+    doubles as a tok -> merged-symbols lookup (bpe_apply)."""
     d = load(spark, sf_dir, "documents")
-    words = (
+    base = (
         d.select(F.explode(tokens(F.col("text"))).alias("tok"))
         .filter(F.col("tok").rlike("^[a-z0-9]+$"))
         .groupBy("tok")
         .agg(F.count("*").alias("freq"))
-        .select(
-            F.regexp_replace("tok", "(.)", "$1;").alias("w"),
-            "freq",
-        )
-        .transform(ckpt)  # the one corpus-sized pass; loop is vocab-bounded
     )
+    cols = (["tok"] if carry_tok else []) + [
+        F.regexp_replace("tok", "(.)", "$1;").alias("w"),
+        "freq",
+    ]
+    return base.select(*cols).transform(ckpt)  # loop below is vocab-bounded
+
+
+def _bpe_train_loop(words: DataFrame):
+    """Run the _BPE_ROUNDS-round merge-training loop on a (w, freq
+    [, tok]) vocabulary frame. Returns (merges, merged_words): the
+    (round, l, r, count) rules and the vocabulary frame with all
+    rules applied. Per round: one pair explode (|vocab| x word-length
+    rows), one combinable aggregate, one 1-row argmax collect, one
+    codegen fold projection (_bpe_merge_word) — the vocabulary-bounded
+    loop after the single corpus pass."""
 
     def _pairs(w):
         arr = F.split(w, ";")
@@ -1146,6 +1246,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
 
+    carry = [c for c in words.columns if c not in ("w", "freq")]
     merges = []
     for rnd in range(1, _BPE_ROUNDS + 1):
         pc = (
@@ -1156,13 +1257,80 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = pc.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(1).collect()[0]
         merges.append((rnd, best["l"], best["r"], int(best["cnt"])))
         words = words.select(
-            F.replace(
-                F.col("w"),
-                F.lit(f"{best['l']};{best['r']};"),
-                F.lit(f"{best['l']}{best['r']};"),
-            ).alias("w"),
+            *carry,
+            _bpe_merge_word(F.col("w"), best["l"], best["r"]).alias("w"),
             "freq",
         ).transform(ckpt)  # vocab-bounded; keeps each round's action flat
-    return spark.createDataFrame(
-        merges, "merge_round int, left_sym string, right_sym string, pair_count long"
+    return merges, words
+
+
+def _bpe_apply_oracle() -> str:
+    ctes = _bpe_train_ctes(carry_tok=True)
+    ctes.append(
+        f"""nsym AS (
+      SELECT tok, len(w) - len(replace(w, ';', '')) AS n_sym FROM w{_BPE_ROUNDS}
+    ),
+    dt AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+      ) WHERE regexp_matches(tok, '^[a-z0-9]+$')
+    ),
+    per AS (
+      SELECT doc_id, count(*) AS n_words, sum(n_sym) AS n_bpe
+      FROM dt JOIN nsym USING (tok) GROUP BY doc_id
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT d.doc_id,
+           CAST(coalesce(per.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(per.n_bpe, 0) AS BIGINT) AS n_bpe
+    FROM documents d LEFT JOIN per USING (doc_id)"""
+    )
+
+
+@register("bpe_apply", oracle=_bpe_apply_oracle())
+def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize with the trained BPE: apply bpe_train_merges' rules
+    back to the corpus and emit per-document token counts — (doc_id,
+    n_words: trainable [a-z0-9]+ words, n_bpe: BPE symbols after all
+    merges) — the train -> tokenize half of the train -> tokenize ->
+    pack loop (pack_sequences packs on a token budget; these counts
+    ARE that budget's unit — see examples/pipeline_sketch.py). Closes
+    the r7 gap where merges were trained but nothing applied them.
+
+    Scale shape: training is bpe_train_merges' own loop (one corpus
+    pass, then vocabulary-bounded rounds) with the source token
+    carried through, so the trained frame IS the tok -> n_sym lookup
+    — applying merges costs nothing beyond training because merges
+    were already applied to the VOCABULARY, never token-by-token to
+    the corpus. The lookup then joins the (doc_id, tok) stream as an
+    UNHINTED equality join (vocabulary build side is corpus-unbounded
+    — the forced-broadcast hazard class; AQE broadcasts only when it
+    measures small), and one doc_id-keyed combinable groupBy reduces
+    counts. Docs with zero trainable words keep a row via the left
+    join (count 0 in both engines)."""
+    merges, merged = _bpe_train_loop(_bpe_word_freqs(spark, sf_dir, carry_tok=True))
+    nsym = merged.select(
+        "tok",
+        (F.length("w") - F.length(F.replace(F.col("w"), F.lit(";"), F.lit("")))).alias(
+            "n_sym"
+        ),
+    )
+    d = load(spark, sf_dir, "documents")
+    dt = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).filter(
+        F.col("tok").rlike("^[a-z0-9]+$")
+    )
+    per = (
+        dt.join(nsym, "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_words"), F.sum("n_sym").alias("n_bpe"))
+    )
+    return d.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_words"), F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce(F.col("n_bpe"), F.lit(0)).cast("long").alias("n_bpe"),
     )

@@ -45,21 +45,21 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("ab-graph")
     variants = {
-        "hits_fixed": lambda: analytics.graph_hits(spark, sf_dir),
-        "pagerank": lambda: analytics.graph_pagerank(spark, sf_dir),
-        "related_current": lambda: analytics.graph_related_topk(spark, sf_dir),
-        "related_ckpt": lambda: related_ckpt(spark, sf_dir),
+        "hits_fixed": lambda sf: analytics.graph_hits(spark, sf),
+        "pagerank": lambda sf: analytics.graph_pagerank(spark, sf),
+        "related_current": lambda sf: analytics.graph_related_topk(spark, sf),
+        "related_ckpt": lambda sf: related_ckpt(spark, sf),
     }
+    # Warm EVERY variant (r7 ADVICE: pagerank was timed cold relative
+    # to the others) so A/B medians are comparable.
     warm = "/root/testdata/sf0.001"
     for fn in variants.values():
-        fn_df = fn.__call__
-    analytics.graph_hits(spark, warm).write.format("noop").mode("overwrite").save()
-    analytics.graph_related_topk(spark, warm).write.format("noop").mode("overwrite").save()
+        fn(warm).write.format("noop").mode("overwrite").save()
     for name, fn in variants.items():
         runs = []
         for _ in range(REPS):
             t0 = time.perf_counter()
-            fn().write.format("noop").mode("overwrite").save()
+            fn(sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         runs.sort()
         print(

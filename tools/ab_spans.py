@@ -78,21 +78,20 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("ab-spans")
     variants = {
-        "detect": lambda: dedup._dup_spans(spark, sf_dir),
-        "cut_current": lambda: dedup.dedup_spans_cut(spark, sf_dir),
-        "cut_prebind": lambda: cut_prebind(spark, sf_dir),
-        "exact_current": lambda: dedup.dedup_spans_exact(spark, sf_dir),
+        "detect": lambda sf: dedup._dup_spans(spark, sf),
+        "cut_current": lambda sf: dedup.dedup_spans_cut(spark, sf),
+        "cut_prebind": lambda sf: cut_prebind(spark, sf),
+        "exact_current": lambda sf: dedup.dedup_spans_exact(spark, sf),
     }
-    # warm at sf0.001
-    for fn in variants.values():
-        pass
+    # Warm EVERY variant so A/B medians are comparable (r7 ADVICE).
     warm = "/root/testdata/sf0.001"
-    dedup.dedup_spans_cut(spark, warm).write.format("noop").mode("overwrite").save()
+    for fn in variants.values():
+        fn(warm).write.format("noop").mode("overwrite").save()
     for name, fn in variants.items():
         runs = []
         for _ in range(REPS):
             t0 = time.perf_counter()
-            fn().write.format("noop").mode("overwrite").save()
+            fn(sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         runs.sort()
         print(
