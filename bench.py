@@ -153,6 +153,9 @@ HEADLINE = (
     "bpe_train_merges",         # tokenizer merge-rule training loop
     "agg_corr_matrix",          # one-pass exact-decimal Pearson matrix
     "dedup_winnowing_verified",  # fingerprint candidates + exact verify
+    # round 8 addition (totals not comparable across this boundary;
+    # per-query keys are)
+    "bpe_apply",                # trained-merge tokenization + counts
 )
 
 

@@ -1870,8 +1870,26 @@ def graph_related_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge frame is checkpointed before the both-direction union so
     single execution of the wedge join is STRUCTURAL, not
     AQE-exchange-reuse-dependent (r6 verdict item 4; A/B at sf0.1:
-    14.3s ckpt vs 27.5s relying on reuse)."""
+    14.3s ckpt vs 27.5s relying on reuse).
+
+    Co-resident pipelines: the edge build dominates (~90%+ of this
+    op's cost); the top-k tail on an ALREADY materialized frame is
+    <1 s at sf0.1 (r8 A/B: tail 0.88 s vs 10.1 s full rebuild, ~11x).
+    A stage computing several consumers of the scored edge list
+    (related_topk, per-node strength rollups, ...) should call
+    graph_edge_jaccard ONCE, ckpt it, and derive each consumer via
+    related_topk_from_edges below — SCALING.md 'Co-resident graph
+    consumers'."""
     ej = graph_edge_jaccard(spark, sf_dir).transform(ckpt)
+    return related_topk_from_edges(ej)
+
+
+def related_topk_from_edges(ej: DataFrame) -> DataFrame:
+    """The serving-table tail of graph_related_topk, derived from an
+    already-scored (u, v, common, jscore) edge frame — exposed so
+    co-resident pipelines can share one materialized
+    graph_edge_jaccard frame across consumers (r8 A/B: 0.88 s per
+    extra consumer vs 10.1 s per full rebuild at sf0.1)."""
     both = ej.select(
         F.col("u").alias("part_id"),
         F.col("v").alias("neighbor"),

@@ -175,6 +175,24 @@ def main() -> None:
     print("== first BPE merges ==")
     merges.orderBy("merge_round").show(truncate=False)
 
+    # 8b. Tokenize with the trained rules: bpe_apply re-applies the
+    # merges to the corpus (via the vocabulary, never token-by-token)
+    # and emits per-doc BPE token counts — the REAL budget unit the
+    # packing stage above should bin on once a production tokenizer
+    # replaces whitespace counting: pack_sequences' 2048-token budget
+    # is denominated in whatever n_tokens means, and bpe_apply's
+    # n_bpe is that number for the trained tokenizer.
+    bpe = q["bpe_apply"].fn(spark, sf_dir)
+    print("== BPE tokenization (train -> tokenize loop closed) ==")
+    bpe.agg(
+        F.sum("n_words").alias("whitespace_tokens"),
+        F.sum("n_bpe").alias("bpe_tokens"),
+        (F.sum("n_bpe") / F.sum("n_words")).alias("symbols_per_word"),
+    ).show()
+    est = bpe.agg((F.ceil(F.sum("n_bpe") / 2048)).alias("est_packed_seqs"))
+    print("packed-sequence estimate under the BPE budget:")
+    est.show()
+
     spark.stop()
 
 

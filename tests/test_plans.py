@@ -268,11 +268,15 @@ def test_cdc_changes_is_one_full_outer_merge_join(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
-def test_perplexity_bucket_broadcasts_lm(spark):
-    # the log-prob table joins back onto the token stream as a
-    # broadcast — the corpus side never shuffles for the scoring join
+def test_perplexity_bucket_lm_join_unhinted(spark):
+    # r8 (r7 VERDICT item 1): the log-prob table is VOCABULARY-sized —
+    # corpus-unbounded — so its join onto the token stream must carry
+    # no broadcast hint (AQE broadcasts only when the built side
+    # measures small). The only hint left is the 1-row token total.
+    df = registry.REGISTRY["text_perplexity_bucket"].fn(spark, SF_SMOKE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("UnresolvedHint") + analyzed.count("ResolvedHint") <= 1
     plan = _plan(spark, "text_perplexity_bucket")
-    assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
@@ -356,12 +360,17 @@ def test_federated_join_broadcasts_json_dim(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_keyword_extract_broadcasts_df_table(spark):
-    # the token document-frequency table broadcasts onto the tf side —
-    # the corpus-cardinality tf stream never shuffles for the join
-    plan = _plan(spark, "text_keyword_extract")
-    assert "BroadcastHashJoin" in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+def test_keyword_extract_df_join_unhinted(spark):
+    # r8 (r7 VERDICT item 1): the document-frequency table has one row
+    # per DISTINCT TOKEN — corpus-unbounded — so its join must carry
+    # no broadcast hint at all (same for text_tfidf, which shares the
+    # df construction); AQE decides at runtime.
+    for op in ("text_keyword_extract", "text_tfidf"):
+        df = registry.REGISTRY[op].fn(spark, SF_SMOKE)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert analyzed.count("UnresolvedHint") + analyzed.count("ResolvedHint") == 0
+        plan = _plan(spark, op)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_mm_shard_pack_no_single_partition(spark):

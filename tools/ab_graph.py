@@ -22,6 +22,11 @@ from emdrive_spark.session import get_spark  # noqa: E402
 REPS = int(os.environ.get("SPARK_GRAFT_REPS", "5"))
 
 
+# The tail now lives in the engine (analytics.related_topk_from_edges,
+# r7 VERDICT item 6) — the A/B times the shared function directly.
+related_topk_from = analytics.related_topk_from_edges
+
+
 def related_ckpt(spark, sf_dir):
     ej = analytics.graph_edge_jaccard(spark, sf_dir).transform(ckpt)
     both = ej.select(
@@ -67,6 +72,27 @@ def main() -> None:
             f"min={runs[0]:.3f} max={runs[-1]:.3f}",
             flush=True,
         )
+
+    # -- shared-frame decomposition (r7 VERDICT item 6): materialize
+    # the scored edge frame ONCE, then time (a) that build and (b) the
+    # top-k tail alone. build + tail ~= related_current's median; the
+    # tail is what a co-resident pipeline pays per additional consumer
+    # of a shared graph_edge_jaccard view.
+    t0 = time.perf_counter()
+    ej = analytics.graph_edge_jaccard(spark, sf_dir).transform(ckpt)
+    ej.write.format("noop").mode("overwrite").save()
+    build = time.perf_counter() - t0
+    tails = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        related_topk_from(ej).write.format("noop").mode("overwrite").save()
+        tails.append(time.perf_counter() - t0)
+    tails.sort()
+    print(
+        f"ej_build_once    {build:.3f}s; related tail median="
+        f"{tails[len(tails) // 2]:.3f}s min={tails[0]:.3f} max={tails[-1]:.3f}",
+        flush=True,
+    )
     spark.stop()
 
 

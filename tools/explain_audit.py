@@ -43,7 +43,7 @@ FLAGSHIPS = {
     "sample_domain_mix": "rate table broadcasts; corpus side is scan + filter, no document shuffle",
     "dedup_lines_global": "chunk-keyed count then doc_id reassembly; no Python eval nodes",
     "text_repetition": "per-(doc,bigram) count reuses the doc_id exchange; no single-partition window",
-    "text_perplexity_bucket": "vocabulary-bounded LM aggregation; log-prob table broadcasts onto the token stream",
+    "text_perplexity_bucket": "vocabulary-bounded LM aggregation; log-prob join UNHINTED (vocab is corpus-unbounded; AQE broadcasts only when it measures small)",
     "text_search_bm25": "postings filtered to the query terms before any shuffle; df/idf broadcast",
     "zorder_cluster": "the RangePartitioning exchange IS the clustering; codegen integer interleave, no Python",
     "cdc_changes": "one PK sort-merge FullOuter join; unchanged rows dropped before any consumer",
@@ -91,9 +91,11 @@ FLAGSHIPS = {
     "agg_mutual_info": "one combinable cell groupBy; marginals re-aggregate the checkpointed cell table; 1-row N broadcast",
     "text_feature_hashing": "explode + combinable (doc, bucket) groupBy; constant 1024-dim reduce side; no vocab table",
     "text_winnowing": "gram projection spread()-parallelized; ONE doc-partitioned ordered window; in-partition distinct",
-    "bpe_train_merges": "one corpus word-count shuffle; training loop vocab-bounded with 1-row argmax collects; codegen replace merges",
+    "bpe_train_merges": "one corpus word-count shuffle; training loop vocab-bounded with 1-row argmax collects; codegen symbol-fold merges",
     "agg_corr_matrix": "single map-side-combinable aggregate to 15 exact-decimal scalars; stack() projection of one row",
     "dedup_winnowing_verified": "checkpointed gram frame shared by selection window and verify; fp band-join candidates; gram-set joins on candidates only",
+    # round 8
+    "bpe_apply": "merges apply to the VOCABULARY (training's own loop, tok carried); tok->n_sym lookup joins the token stream UNHINTED; one doc_id combinable groupBy",
 }
 
 

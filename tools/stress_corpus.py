@@ -32,6 +32,15 @@ OPS = (
     "corpus_mix_entropy",
     "text_zipf_fit",
     "quality_filter_gopher",  # round-3 baseline pass for comparison
+    # round 8: the vocabulary-shaped additions/de-hints under the
+    # ~REPx vocabulary growth this corpus is built to maximize —
+    # BPE's "loop is vocab-bounded" claim and the unhinted
+    # vocabulary joins (text_tfidf df table, perplexity log-prob
+    # table) that AQE must now plan without a forced broadcast.
+    "bpe_train_merges",
+    "bpe_apply",
+    "text_tfidf",
+    "text_perplexity_bucket",
 )
 
 
