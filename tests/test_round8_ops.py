@@ -165,6 +165,60 @@ def test_bpe_apply_compresses(spark):
     assert tot_w > 0 and tot_w <= tot_b
 
 
+def test_bpe_merge_fold_randomized_three_engines(spark):
+    """Randomized property pin for the fixed over-merge class: for 300
+    seeded random (symbol-list, pair) cases — alphabet {a, b, ab, ba,
+    aa} chosen so left-is-a-suffix collisions are COMMON — the Spark
+    fold, the DuckDB list_reduce fold, and reference-python greedy
+    merging must agree exactly. One DataFrame pass per engine."""
+    import random
+
+    rng = random.Random(8)
+    syms_pool = ["a", "b", "ab", "ba", "aa"]
+    cases = []
+    for i in range(300):
+        syms = [rng.choice(syms_pool) for _ in range(rng.randint(0, 8))]
+        l, r = rng.choice(syms_pool), rng.choice(syms_pool)
+        w = "".join(s + ";" for s in syms)
+        want = "".join(s + ";" for s in _ref_merge(syms, l, r))
+        cases.append((i, w, l, r, want))
+
+    # spark: group cases by (l, r) — the fold embeds the pair as literals
+    by_pair: dict[tuple[str, str], list] = {}
+    for i, w, l, r, want in cases:
+        by_pair.setdefault((l, r), []).append((i, w, want))
+    for (l, r), rows in by_pair.items():
+        df = spark.createDataFrame(
+            [(i, w, want) for i, w, want in rows], "i int, w string, want string"
+        )
+        bad = df.filter(
+            _bpe_merge_word(F.col("w"), l, r) != F.col("want")
+        ).collect()
+        assert not bad, f"spark fold mismatch for pair {(l, r)}: {bad[:3]}"
+
+    # duckdb: one batch over all cases (pair rides as columns)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE cases(i INT, w VARCHAR, l VARCHAR, r VARCHAR, want VARCHAR)"
+    )
+    con.executemany("INSERT INTO cases VALUES (?,?,?,?,?)", cases)
+    bad = con.execute(
+        """
+        SELECT i, w, l, r, want, got FROM (
+          SELECT *, substr(
+            list_reduce(
+              list_prepend(';', list_filter(string_split(w, ';'), x -> len(x) > 0)),
+              (acc, x) -> CASE WHEN ends_with(acc, ';' || l || ';') AND x = r
+                          THEN left(acc, len(acc) - len(l) - 1) || l || r || ';'
+                          ELSE acc || x || ';' END
+            ), 2) AS got
+          FROM cases
+        ) WHERE got IS DISTINCT FROM want
+        """
+    ).fetchall()
+    assert not bad, f"duckdb fold mismatch: {bad[:3]}"
+
+
 # ------------------------------------------------- entity blocking guard
 
 
