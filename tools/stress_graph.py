@@ -72,6 +72,11 @@ def main() -> None:
         "graph_bfs_distance",
         "graph_label_propagation",
         "graph_modularity",
+        # round 7/8 additions (lineitem-only, so the replica drives
+        # them): AA runs on the thresholded graph, related_topk on the
+        # triangle machinery + serving-table tail
+        "graph_adamic_adar",
+        "graph_related_topk",
     )
     for name in ops:
         t0 = time.time()
