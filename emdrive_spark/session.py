@@ -57,6 +57,19 @@ def get_spark(app_name: str = _DEFAULT_APP, extra_conf: dict | None = None) -> S
             "spark.sql.warehouse.dir",
             os.path.join(tempfile.gettempdir(), "emdrive_warehouse"),
         )
+        # Whole-stage-codegen class cache (STATIC conf): the default
+        # 100 entries thrash under a session running a large query
+        # fleet — this engine's registry alone compiles ~20 generated
+        # classes per complex query, so any rotation of more than a
+        # handful of queries evicts everything between a query's runs
+        # and re-pays Janino compilation every time. Measured (r8,
+        # tools A/B, 6-query cold rotation at sf0.1): total 31.5 s at
+        # 100 entries vs 21.3 s at a large cache — a 32% session-level
+        # win with identical plans. 2000 entries bounds the cache well
+        # above the fleet's working set at single-digit-MB-per-class
+        # worst-case cost; long-running production sessions (the 100 TB
+        # deployment shape) want exactly this.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         # Keep the UI off in headless runs.
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
