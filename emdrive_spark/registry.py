@@ -138,6 +138,13 @@ _ROUND_WINDOW = (
     "vector_cosine",
     "vector_dot",
 )
+# Round-9 rotation plan (precomputed from the CORRECTNESS ledger +
+# this window): after r8 lands, the oldest rows are the 49 r3-certified
+# ops — the streaming family (stream_*), the multimodal family (mm_*),
+# the source/sink roundtrips, the udf_* surface, the as-of trio, and
+# assorted relational/maintenance ops (full list: ops whose latest row
+# is r3 in the cumulative ledger). They fit one 50-op window alongside
+# r9 additions if ~one new op ships, mirroring this round's shape.
 
 _loaded = False
 
