@@ -156,6 +156,8 @@ HEADLINE = (
     # round 8 addition (totals not comparable across this boundary;
     # per-query keys are)
     "bpe_apply",                # trained-merge tokenization + counts
+    # round 9 addition (same caveat)
+    "pack_sequences_bpe",       # train -> tokenize -> pack, BPE budget
 )
 
 
@@ -168,8 +170,18 @@ def _load_gate() -> tuple[bool, float]:
     (default 600) elapse. Returns (noisy, load_at_start): if the gate
     never opened the run proceeds anyway — the driver needs its one
     JSON line — but the artifact carries "noisy": true so nobody reads
-    contended numbers as a regression."""
+    contended numbers as a regression.
+
+    The noisy flag also trips below the WAIT gate, at
+    $SPARK_GRAFT_LOAD_NOISY (default 2.0): the r8 official artifact
+    started at load 3.57 — under the 4.0 wait gate, so `noisy` stayed
+    false — yet showed a 1.1-1.4x tail over ~15 sub-second queries vs
+    the same code's quiet medians, silently contradicting SCALING.md's
+    quiet A/B (r8 verdict item 4). Elevated-but-under-gate start load
+    is exactly the regime where this host's numbers mislead, so the
+    artifact of record now says so."""
     gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4"))
+    flag = float(os.environ.get("SPARK_GRAFT_LOAD_NOISY", "2"))
     budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "600"))
     deadline = time.monotonic() + budget
     try:
@@ -185,7 +197,7 @@ def _load_gate() -> tuple[bool, float]:
         )
         time.sleep(30)
         load1 = os.getloadavg()[0]
-    return load1 >= gate, round(load1, 2)
+    return load1 > flag, round(load1, 2)
 
 
 def main() -> None:

@@ -17,7 +17,7 @@ from pyspark.sql.window import Window as W
 
 from emdrive_spark.functions.ckpt import ckpt
 from emdrive_spark.functions.layout import spread
-from emdrive_spark.operators.text import shingles, tokens
+from emdrive_spark.operators.text import _bpe_doc_counts, _bpe_per_doc_ctes, shingles, tokens
 from emdrive_spark.registry import register
 from emdrive_spark.sources.tables import load
 
@@ -394,6 +394,58 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_prefix_sum(spark, d, "doc_id", "n_tokens", "start_tok").select(
         "doc_id",
         "n_tokens",
+        "start_tok",
+        F.expr(f"start_tok div {_SEQ_BUDGET}").alias("seq_id"),
+    )
+
+
+def _pack_bpe_oracle() -> str:
+    return (
+        "WITH "
+        + ",\n    ".join(_bpe_per_doc_ctes())
+        + f""",
+    t AS (
+      SELECT d.doc_id, CAST(coalesce(per.n_bpe, 0) AS BIGINT) AS n_bpe
+      FROM documents d LEFT JOIN per USING (doc_id)
+    ),
+    c AS (
+      SELECT doc_id, n_bpe,
+             CAST(sum(n_bpe) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  - n_bpe AS BIGINT) AS start_tok
+      FROM t
+    )
+    SELECT doc_id, n_bpe, start_tok,
+           start_tok // {_SEQ_BUDGET} AS seq_id
+    FROM c"""
+    )
+
+
+@register("pack_sequences_bpe", oracle=_pack_bpe_oracle())
+def pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_sequences with the budget denominated in TRAINED-TOKENIZER
+    tokens: documents are laid out in doc_id order into a contiguous
+    stream of BPE symbols (bpe_apply's n_bpe — "the REAL budget unit",
+    the count the trained tokenizer actually emits per document) and
+    assigned to the 2048-symbol (_SEQ_BUDGET) sequence their first
+    symbol lands in. Closes the r8 verdict seam where bpe_apply only
+    fed a packed-sequence ESTIMATE while the packer binned on
+    whitespace n_tokens.
+
+    Scale shape: the count side is bpe_apply's own plan (one corpus
+    pass for word frequencies, a vocabulary-bounded training loop,
+    one unhinted tok->n_sym join, one combinable doc_id groupBy);
+    packing then runs on the (doc_id, n_bpe) projection ONLY — the
+    two-phase global_prefix_sum (per-range-partition subtotals to the
+    driver, offsets broadcast back) so no task ever windows more than
+    its own range and the collect stays #partitions rows. Docs with
+    zero trainable words occupy zero budget but keep their row
+    (n_bpe = 0), same as the oracle's LEFT JOIN."""
+    counts = _bpe_doc_counts(spark, sf_dir).select("doc_id", "n_bpe")
+    from emdrive_spark.functions.prefix import global_prefix_sum
+
+    return global_prefix_sum(spark, counts, "doc_id", "n_bpe", "start_tok").select(
+        "doc_id",
+        "n_bpe",
         "start_tok",
         F.expr(f"start_tok div {_SEQ_BUDGET}").alias("seq_id"),
     )

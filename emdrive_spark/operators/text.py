@@ -994,11 +994,27 @@ def _winnow_ctes() -> str:
     """Shared oracle CTE block: tokenize -> 40-bit 4-gram hashes ->
     packed window-min -> selected (doc_id, fp, pos) rows as `sel`.
     Used by text_winnowing and dedup_winnowing_verified so the
-    selection semantics can never drift between the two."""
+    selection semantics can never drift between the two.
+
+    The >= 2^20 tokens/doc bound is mirrored from the engine
+    (_winnow_grams): DuckDB's error() is evaluated lazily inside the
+    CASE, so on an oversized doc BOTH sides raise instead of the
+    oracle silently packing corrupted gk*2^20+pos fingerprints while
+    the engine rejects (r8 ADVICE — the two sides now agree on the
+    invalid-input contract, pinned in tests/test_round9_ops.py). The
+    check sits in the per-DOC toks CTE, not the per-gram projection —
+    one length test per document, same cost shape as the engine's
+    guard (per-gram placement made the pin test pay ~2^20 O(n) array
+    slices before the first error row surfaced)."""
     return rf"""
     toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-      FROM documents
+      SELECT doc_id,
+             CASE WHEN len(t) >= {_WIN_POS} THEN [CAST(error(
+                    'winnowing: document exceeds 2^20 tokens — position packing '
+                    || 'would corrupt fingerprints; split upstream') AS VARCHAR)]
+                  ELSE t END AS t
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents)
     ),
     grams AS (
       SELECT doc_id, i AS pos,
@@ -1083,7 +1099,14 @@ def _bpe_merge_cte(i: int, src: str, extra_cols: str = "") -> str:
     ``ends_with(acc, ';l;')`` — a naive ``replace('l;r;'→'lr;')``
     can match starting MID-symbol when l is a proper suffix of a
     preceding symbol, e.g. 'er;s;'→'ers;' under pair (r,s), which is
-    the r7 ADVICE over-merge bug this fold fixes in both engines)."""
+    the r7 ADVICE over-merge bug this fold fixes in both engines).
+
+    The join against b{i} is a LEFT JOIN ON TRUE (not a cross join)
+    so a DRY round — p{i} empty because every word is already a
+    single symbol — leaves w{i} = w{i-1} unchanged (NULL l/r makes
+    the CASE condition NULL -> ELSE on every fold step) instead of
+    truncating the vocabulary to zero rows. This mirrors the
+    engine's early-stop break in _bpe_train_loop (r8 ADVICE)."""
     return f"""w{i} AS (
       SELECT {extra_cols}substr(
         list_reduce(
@@ -1092,7 +1115,7 @@ def _bpe_merge_cte(i: int, src: str, extra_cols: str = "") -> str:
                       THEN left(acc, len(acc) - len(b{i}.l) - 1) || b{i}.l || b{i}.r || ';'
                       ELSE acc || x || ';' END
         ), 2) AS w, freq
-      FROM {src}, b{i}
+      FROM {src} LEFT JOIN b{i} ON TRUE
     )"""
 
 
@@ -1158,7 +1181,17 @@ def _bpe_merge_word(w, l: str, r: str):
     greedy merging. l and r are [a-z0-9]+ by the corpus word filter,
     so embedding them as literals is injection-safe. The whole fold
     is a codegen higher-order function over vocabulary-sized rows —
-    no Python, no shuffle."""
+    no Python, no shuffle.
+
+    Cost gate (r8 verdict item 1): the fold is gated behind a plain
+    substring test — symbol-level adjacency of (l, r) implies
+    ';l;r;' occurs in ';' + w (both symbols then delimiter-bounded),
+    so rows without the substring provably contain no merge site and
+    pass through untouched. Any mid-symbol false positive the test
+    could admit is rejected by the fold itself, so the gate is a
+    pure constant-factor win: most vocabulary rows skip the
+    aggregate entirely (A/B at sf0.1: bpe_train_merges 3.57s -> see
+    SCALING.md round-9 entry)."""
     syms = F.filter(F.split(w, ";"), lambda s: F.length(s) > 0)
     folded = F.aggregate(
         syms,
@@ -1171,7 +1204,10 @@ def _bpe_merge_word(w, l: str, r: str):
             ),
         ).otherwise(F.concat(acc, x, F.lit(";"))),
     )
-    return folded.substr(F.lit(2), F.length(folded))
+    return F.when(
+        F.contains(F.concat(F.lit(";"), w), F.lit(f";{l};{r};")),
+        folded.substr(F.lit(2), F.length(folded)),
+    ).otherwise(w)
 
 
 @register("bpe_train_merges", oracle=_bpe_oracle())
@@ -1254,7 +1290,17 @@ def _bpe_train_loop(words: DataFrame):
             .groupBy("p.l", "p.r")
             .agg(F.sum("freq").alias("cnt"))
         )
-        best = pc.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(1).collect()[0]
+        top = pc.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not top:
+            # Training ran dry: every word is a single symbol, so no
+            # round can ever produce a pair again — emit fewer than
+            # _BPE_ROUNDS merges instead of IndexError (r8 ADVICE).
+            # The oracle agrees by construction: its b{i} CTE is empty
+            # for dry rounds (contributing no UNION ALL rows) and its
+            # merge CTE left-joins b{i}, so w{i} = w{i-1} unchanged —
+            # the same early-stop, expressed without control flow.
+            break
+        best = top[0]
         merges.append((rnd, best["l"], best["r"], int(best["cnt"])))
         words = words.select(
             *carry,
@@ -1264,7 +1310,11 @@ def _bpe_train_loop(words: DataFrame):
     return merges, words
 
 
-def _bpe_apply_oracle() -> str:
+def _bpe_per_doc_ctes() -> list[str]:
+    """The train ladder extended to a per-document count CTE `per`
+    (doc_id, n_words, n_bpe over trainable tokens) — shared by the
+    bpe_apply oracle and the pack_sequences_bpe oracle (pipeline.py)
+    so tokenization semantics can never drift between the two."""
     ctes = _bpe_train_ctes(carry_tok=True)
     ctes.append(
         f"""nsym AS (
@@ -1281,9 +1331,13 @@ def _bpe_apply_oracle() -> str:
       FROM dt JOIN nsym USING (tok) GROUP BY doc_id
     )"""
     )
+    return ctes
+
+
+def _bpe_apply_oracle() -> str:
     return (
         "WITH "
-        + ",\n    ".join(ctes)
+        + ",\n    ".join(_bpe_per_doc_ctes())
         + """
     SELECT d.doc_id,
            CAST(coalesce(per.n_words, 0) AS BIGINT) AS n_words,
@@ -1313,6 +1367,13 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures small), and one doc_id-keyed combinable groupBy reduces
     counts. Docs with zero trainable words keep a row via the left
     join (count 0 in both engines)."""
+    return _bpe_doc_counts(spark, sf_dir)
+
+
+def _bpe_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_words, n_bpe) per document under the trained merges
+    — bpe_apply's body, shared with pack_sequences_bpe (pipeline.py)
+    which bins on n_bpe instead of whitespace n_tokens."""
     merges, merged = _bpe_train_loop(_bpe_word_freqs(spark, sf_dir, carry_tok=True))
     nsym = merged.select(
         "tok",

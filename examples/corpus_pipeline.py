@@ -177,11 +177,7 @@ def main() -> None:
 
     # 8b. Tokenize with the trained rules: bpe_apply re-applies the
     # merges to the corpus (via the vocabulary, never token-by-token)
-    # and emits per-doc BPE token counts — the REAL budget unit the
-    # packing stage above should bin on once a production tokenizer
-    # replaces whitespace counting: pack_sequences' 2048-token budget
-    # is denominated in whatever n_tokens means, and bpe_apply's
-    # n_bpe is that number for the trained tokenizer.
+    # and emits per-doc BPE token counts — the REAL budget unit.
     bpe = q["bpe_apply"].fn(spark, sf_dir)
     print("== BPE tokenization (train -> tokenize loop closed) ==")
     bpe.agg(
@@ -189,9 +185,20 @@ def main() -> None:
         F.sum("n_bpe").alias("bpe_tokens"),
         (F.sum("n_bpe") / F.sum("n_words")).alias("symbols_per_word"),
     ).show()
-    est = bpe.agg((F.ceil(F.sum("n_bpe") / 2048)).alias("est_packed_seqs"))
-    print("packed-sequence estimate under the BPE budget:")
-    est.show()
+
+    # 8c. Pack on that budget: pack_sequences_bpe bins documents into
+    # 2048-BPE-symbol training sequences (the train -> tokenize ->
+    # pack loop, closed end-to-end — the packer consumes n_bpe, not
+    # whitespace n_tokens and not an estimate).
+    packed_bpe = q["pack_sequences_bpe"].fn(spark, sf_dir)
+    print("== sequences packed under the BPE budget ==")
+    packed_bpe.groupBy("seq_id").agg(
+        F.count("*").alias("docs"), F.sum("n_bpe").alias("seq_symbols")
+    ).agg(
+        F.count("*").alias("n_seqs"),
+        F.avg("docs").alias("avg_docs_per_seq"),
+        F.avg("seq_symbols").alias("avg_symbols"),
+    ).show()
 
     spark.stop()
 
