@@ -1183,15 +1183,15 @@ def _bpe_merge_word(w, l: str, r: str):
     is a codegen higher-order function over vocabulary-sized rows —
     no Python, no shuffle.
 
-    Cost gate (r8 verdict item 1): the fold is gated behind a plain
-    substring test — symbol-level adjacency of (l, r) implies
-    ';l;r;' occurs in ';' + w (both symbols then delimiter-bounded),
-    so rows without the substring provably contain no merge site and
-    pass through untouched. Any mid-symbol false positive the test
-    could admit is rejected by the fold itself, so the gate is a
-    pure constant-factor win: most vocabulary rows skip the
-    aggregate entirely (A/B at sf0.1: bpe_train_merges 3.57s -> see
-    SCALING.md round-9 entry)."""
+    A substring PREFILTER on the fold (r8 verdict item 1 —
+    ``F.when(contains(';'+w, ';l;r;'), fold).otherwise(w)``; exact,
+    since symbols contain no ';') was A/B'd and REJECTED: at sf0.1
+    (2.03s vs 2.01s ungated) and at the ×100-vocabulary stress
+    (2.63s vs 2.42s) it is cost-neutral-to-slightly-slower — the
+    per-round cost lives in the pair explode + aggregate, not this
+    projection, and the r8 bench row that motivated it (3.57s) was
+    ambient load: the same unchanged code's quiet median is ~2.0s
+    (tools/ab_bpe_prefilter.py; SCALING.md round-9 entry)."""
     syms = F.filter(F.split(w, ";"), lambda s: F.length(s) > 0)
     folded = F.aggregate(
         syms,
@@ -1204,10 +1204,7 @@ def _bpe_merge_word(w, l: str, r: str):
             ),
         ).otherwise(F.concat(acc, x, F.lit(";"))),
     )
-    return F.when(
-        F.contains(F.concat(F.lit(";"), w), F.lit(f";{l};{r};")),
-        folded.substr(F.lit(2), F.length(folded)),
-    ).otherwise(w)
+    return folded.substr(F.lit(2), F.length(folded))
 
 
 @register("bpe_train_merges", oracle=_bpe_oracle())

@@ -77,12 +77,12 @@ _ALIASES = {
 # window no op's latest driver row predates r4. That fills all 50
 # seats, so the four ops whose code/oracle changed this round take no
 # seat, each with an argued no-seat decision: bpe_train_merges /
-# bpe_apply (r8 rows; the merge-fold prefilter is EXACT — symbols
-# contain no ';', so a ';l;r;' hit in ';'+w is delimiter-bounded
-# adjacency, and the fold rejects nothing new; the dry-corpus
-# early-stop only changes behavior on corpora where r8 crashed with
-# IndexError; both pinned in tests/test_round9_ops.py plus the
-# 300-case three-engine randomized pin) and text_winnowing /
+# bpe_apply (r8 rows; the only engine change is the dry-corpus
+# early-stop, which changes behavior solely on corpora where r8
+# crashed with IndexError — the oracle's LEFT JOIN mirror is
+# output-identical whenever the argmax row exists; pinned in
+# tests/test_round9_ops.py plus the 300-case three-engine randomized
+# pin) and text_winnowing /
 # dedup_winnowing_verified (r7 rows; the oracle-side error() mirror
 # fires only on >= 2^20-token docs that the ENGINE already rejected,
 # so valid-input output is bit-identical; oracle raise pinned in

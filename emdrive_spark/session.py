@@ -68,8 +68,13 @@ def get_spark(app_name: str = _DEFAULT_APP, extra_conf: dict | None = None) -> S
         # win with identical plans. 2000 entries bounds the cache well
         # above the fleet's working set at single-digit-MB-per-class
         # worst-case cost; long-running production sessions (the 100 TB
-        # deployment shape) want exactly this.
-        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # deployment shape) want exactly this. Env-overridable so
+        # cache-size effects can be bisected in a fresh JVM (static
+        # conf — it cannot change after session creation).
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "2000"),
+        )
         # Keep the UI off in headless runs.
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))

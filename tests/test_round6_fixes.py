@@ -155,13 +155,21 @@ def test_respond_survives_client_that_stops_reading(spark, caplog):
 
 def test_bench_load_gate(monkeypatch):
     """The official bench artifact must either run quiet or say it
-    didn't: gate above current load -> not noisy; gate at 0 with no
-    wait budget -> proceeds but flags noisy."""
+    didn't: below the noisy flag -> not noisy; elevated-but-under-gate
+    start load -> noisy (r9, r8 verdict item 4 — the r8 artifact ran
+    at load 3.57 under the 4.0 wait gate and read as a regression);
+    wait gate never opening -> noisy (load >= gate implies > flag)."""
     import bench
 
     monkeypatch.setenv("SPARK_GRAFT_LOAD_GATE", "10000")
+    monkeypatch.setenv("SPARK_GRAFT_LOAD_NOISY", "10000")
     noisy, load1 = bench._load_gate()
     assert noisy is False and load1 >= 0
+
+    # the r8 failure mode: under the wait gate but above the flag
+    monkeypatch.setenv("SPARK_GRAFT_LOAD_NOISY", "-1")
+    noisy, _ = bench._load_gate()
+    assert noisy is True
 
     monkeypatch.setenv("SPARK_GRAFT_LOAD_GATE", "0")
     monkeypatch.setenv("SPARK_GRAFT_LOAD_WAIT", "0")

@@ -1,8 +1,23 @@
-"""A/B: the exact substring prefilter on the BPE merge fold (r8
-verdict item 1). Times bpe_train_merges at sf0.1 with the shipped
-gated fold vs the ungated r8 fold (reconstructed here, monkeypatched
-in — same session, alternating round-robin reps so host noise spreads
-across both arms). Run:  python tools/ab_bpe_prefilter.py
+"""A/B: a substring prefilter on the BPE merge fold (r8 verdict item
+1) — measured and REJECTED. The hypothesis was that gating the
+F.aggregate fold behind ``contains(';'+w, ';l;r;')`` (an exact test:
+symbols contain no ';', so a hit is delimiter-bounded adjacency) would
+recover the r8 "2.11x regression" by skipping the fold on most
+vocabulary rows. Measured on a quiet host (same session, alternating
+round-robin reps so noise spreads across both arms):
+
+  sf0.1:        gated median 2.03s  vs ungated 2.01s
+  x100 vocab:   gated median 2.63s  vs ungated 2.42s  (stress_dedup
+                stage(100), 500k docs)
+
+i.e. cost-neutral to slightly SLOWER — the per-round cost is the pair
+explode + aggregate, not the merge projection, and the r8 bench row
+that motivated the idea (3.57s at load_at_start 3.57) was ambient
+load: the same unchanged code's quiet median is ~2.0s. The shipped
+fold stays ungated; this tool re-runs the comparison (the gated arm is
+reconstructed below and monkeypatched in).
+
+Run:  python tools/ab_bpe_prefilter.py
 """
 
 from __future__ import annotations
@@ -19,10 +34,14 @@ from pyspark.sql import functions as F
 from emdrive_spark.operators import text
 from emdrive_spark.session import get_spark
 
-
+# kept importable under the old name for scripts that A/B at other scales
 def _ungated_merge_word(w, l: str, r: str):
-    """The r8 fold without the prefilter — pays the F.aggregate on
-    every vocabulary row every round."""
+    """The shipped fold (no prefilter)."""
+    return text._bpe_merge_word(w, l, r)
+
+
+def _gated_merge_word(w, l: str, r: str):
+    """The REJECTED variant: exact substring prefilter on the fold."""
     syms = F.filter(F.split(w, ";"), lambda s: F.length(s) > 0)
     folded = F.aggregate(
         syms,
@@ -35,7 +54,10 @@ def _ungated_merge_word(w, l: str, r: str):
             ),
         ).otherwise(F.concat(acc, x, F.lit(";"))),
     )
-    return folded.substr(F.lit(2), F.length(folded))
+    return F.when(
+        F.contains(F.concat(F.lit(";"), w), F.lit(f";{l};{r};")),
+        folded.substr(F.lit(2), F.length(folded)),
+    ).otherwise(w)
 
 
 def main() -> None:
@@ -44,7 +66,7 @@ def main() -> None:
     spark = get_spark("ab-bpe-prefilter")
     from emdrive_spark.functions.ckpt import release
 
-    gated = text._bpe_merge_word
+    shipped = text._bpe_merge_word
 
     def run(variant) -> float:
         text._bpe_merge_word = variant
@@ -55,19 +77,17 @@ def main() -> None:
         release(spark, blocking=True)
         return dt
 
-    # warm both arms once (codegen/JIT), then alternate
-    for v in (gated, _ungated_merge_word):
+    for v in (shipped, _gated_merge_word):  # warm codegen/JIT once per arm
         run(v)
-    samples: dict[str, list[float]] = {"gated": [], "ungated": []}
+    samples: dict[str, list[float]] = {"shipped_ungated": [], "gated": []}
     for _ in range(reps):
-        samples["gated"].append(run(gated))
-        samples["ungated"].append(run(_ungated_merge_word))
-    text._bpe_merge_word = gated
+        samples["shipped_ungated"].append(run(shipped))
+        samples["gated"].append(run(_gated_merge_word))
 
-    # equality of results on the full sf0.1 corpus, both arms
-    text._bpe_merge_word = _ungated_merge_word
+    # equality of trained merges on the full corpus, both arms
+    text._bpe_merge_word = _gated_merge_word
     want = sorted(map(tuple, text.bpe_train_merges(spark, sf_dir).collect()))
-    text._bpe_merge_word = gated
+    text._bpe_merge_word = shipped
     got = sorted(map(tuple, text.bpe_train_merges(spark, sf_dir).collect()))
     assert got == want, "prefilter changed the trained merges!"
 

@@ -96,6 +96,8 @@ FLAGSHIPS = {
     "dedup_winnowing_verified": "checkpointed gram frame shared by selection window and verify; fp band-join candidates; gram-set joins on candidates only",
     # round 8
     "bpe_apply": "merges apply to the VOCABULARY (training's own loop, tok carried); tok->n_sym lookup joins the token stream UNHINTED; one doc_id combinable groupBy",
+    # round 9
+    "pack_sequences_bpe": "bpe_apply's count plan feeds the two-phase prefix sum on the (doc_id, n_bpe) projection only; broadcast offsets join, NO Exchange SinglePartition",
 }
 
 

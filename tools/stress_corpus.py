@@ -41,6 +41,10 @@ OPS = (
     "bpe_apply",
     "text_tfidf",
     "text_perplexity_bucket",
+    # round 9: the packer on the BPE budget — the prefix sum must stay
+    # two-phase (driver sees #partitions subtotal rows, never docs) as
+    # the corpus AND vocabulary grow
+    "pack_sequences_bpe",
 )
 
 
