@@ -153,3 +153,29 @@ def test_pack_sequences_bpe_is_prefix_sum_of_bpe_apply(spark):
         for r in registry.queries()["pack_sequences"](spark, SF_SMOKE).collect()
     }
     assert any(counts[d] != n_tokens[d] for d in counts)
+
+
+def test_global_prefix_sum_matches_reference_randomized(spark):
+    """Randomized pin for both packers' shared core: for seeded random
+    (unique id, weight>=0) tables — sparse ids, zero weights, sizes
+    from 1 row (fewer rows than range partitions, so empty partitions
+    and NULL subtotals) to 10x the partition count — the two-phase
+    offset machinery must equal a plain Python exclusive prefix sum in
+    id order."""
+    import random
+
+    from emdrive_spark.functions.prefix import global_prefix_sum
+
+    rng = random.Random(9)
+    for size in (1, 3, 17, 64, 320):
+        ids = rng.sample(range(10**9), size)
+        rows = [(i, rng.choice([0, 0, 1, 3, 97, 2048])) for i in ids]
+        df = spark.createDataFrame(rows, "id long, w long")
+        got = {
+            r["id"]: r["off"]
+            for r in global_prefix_sum(spark, df, "id", "w", "off").collect()
+        }
+        run = 0
+        for i, w in sorted(rows):
+            assert got[i] == run, f"size={size} id={i}"
+            run += w
