@@ -440,12 +440,31 @@ def pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     its own range and the collect stays #partitions rows. Docs with
     zero trainable words occupy zero budget but keep their row
     (n_bpe = 0), same as the oracle's LEFT JOIN."""
-    counts = _bpe_doc_counts(spark, sf_dir).select("doc_id", "n_bpe")
+    return pack_sequences_from_counts(
+        spark, _bpe_doc_counts(spark, sf_dir).select("doc_id", "n_bpe")
+    )
+
+
+def pack_sequences_from_counts(
+    spark: SparkSession, counts: DataFrame, weight_col: str = "n_bpe"
+) -> DataFrame:
+    """Pack on an EXISTING per-doc count frame — the multi-consumer
+    API (the related_topk_from_edges precedent): a pipeline that
+    already ran bpe_apply `ckpt`s that frame once and derives both its
+    tokenization stats and the packed-sequence layout from it, instead
+    of re-running the BPE training loop inside the packer (the
+    registered pack_sequences_bpe is self-contained BY DESIGN so the
+    driver can value-check it standalone; a real pipeline composes).
+    `counts` must carry a unique doc_id plus ``weight_col``; the
+    packing itself is the two-phase prefix sum over that 2-column
+    projection only."""
     from emdrive_spark.functions.prefix import global_prefix_sum
 
-    return global_prefix_sum(spark, counts, "doc_id", "n_bpe", "start_tok").select(
+    return global_prefix_sum(
+        spark, counts.select("doc_id", weight_col), "doc_id", weight_col, "start_tok"
+    ).select(
         "doc_id",
-        "n_bpe",
+        weight_col,
         "start_tok",
         F.expr(f"start_tok div {_SEQ_BUDGET}").alias("seq_id"),
     )

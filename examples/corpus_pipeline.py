@@ -177,8 +177,14 @@ def main() -> None:
 
     # 8b. Tokenize with the trained rules: bpe_apply re-applies the
     # merges to the corpus (via the vocabulary, never token-by-token)
-    # and emits per-doc BPE token counts — the REAL budget unit.
-    bpe = q["bpe_apply"].fn(spark, sf_dir)
+    # and emits per-doc BPE token counts — the REAL budget unit. The
+    # frame is ckpt'd once: both the stats below and the packing
+    # stage consume it without re-running the training loop (the
+    # multi-consumer pattern; pack_sequences_from_counts).
+    from emdrive_spark.functions.ckpt import ckpt
+    from emdrive_spark.operators.pipeline import pack_sequences_from_counts
+
+    bpe = ckpt(q["bpe_apply"].fn(spark, sf_dir))
     print("== BPE tokenization (train -> tokenize loop closed) ==")
     bpe.agg(
         F.sum("n_words").alias("whitespace_tokens"),
@@ -186,11 +192,13 @@ def main() -> None:
         (F.sum("n_bpe") / F.sum("n_words")).alias("symbols_per_word"),
     ).show()
 
-    # 8c. Pack on that budget: pack_sequences_bpe bins documents into
-    # 2048-BPE-symbol training sequences (the train -> tokenize ->
-    # pack loop, closed end-to-end — the packer consumes n_bpe, not
-    # whitespace n_tokens and not an estimate).
-    packed_bpe = q["pack_sequences_bpe"].fn(spark, sf_dir)
+    # 8c. Pack on that budget: documents are binned into 2048-BPE-
+    # symbol training sequences (the train -> tokenize -> pack loop,
+    # closed end-to-end — the packer consumes n_bpe, not whitespace
+    # n_tokens and not an estimate). The registered pack_sequences_bpe
+    # op is this same plan self-contained (it trains internally so the
+    # driver can value-check it standalone).
+    packed_bpe = pack_sequences_from_counts(spark, bpe)
     print("== sequences packed under the BPE budget ==")
     packed_bpe.groupBy("seq_id").agg(
         F.count("*").alias("docs"), F.sum("n_bpe").alias("seq_symbols")

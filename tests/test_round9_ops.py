@@ -155,6 +155,24 @@ def test_pack_sequences_bpe_is_prefix_sum_of_bpe_apply(spark):
     assert any(counts[d] != n_tokens[d] for d in counts)
 
 
+def test_pack_from_counts_equals_registered_op(spark):
+    """The multi-consumer API (pack on an existing bpe_apply frame,
+    no re-train) must produce byte-identical packing to the
+    self-contained registered op."""
+    from emdrive_spark.functions.ckpt import ckpt
+    from emdrive_spark.operators.pipeline import pack_sequences_from_counts
+
+    bpe = ckpt(registry.queries()["bpe_apply"](spark, SF_SMOKE))
+    composed = sorted(
+        tuple(r) for r in pack_sequences_from_counts(spark, bpe).collect()
+    )
+    registered = sorted(
+        tuple(r)
+        for r in registry.queries()["pack_sequences_bpe"](spark, SF_SMOKE).collect()
+    )
+    assert composed == registered
+
+
 def test_global_prefix_sum_matches_reference_randomized(spark):
     """Randomized pin for both packers' shared core: for seeded random
     (unique id, weight>=0) tables — sparse ids, zero weights, sizes
