@@ -65,6 +65,23 @@ def test_readme_counts_match_registry():
     assert got == want, f"SURVEY says {got}, registry has {want}"
 
 
+def test_bench_headline_names_exist_in_registry():
+    """Every bench.py HEADLINE entry must resolve in the live registry:
+    a rename/removal would otherwise surface only as a KeyError in the
+    driver's per-round bench run — the same silent-drift class as the
+    README/SURVEY counts, pinned the same way."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    qs = registry.queries()
+    missing = [n for n in ("scan_full", *bench.HEADLINE) if n not in qs]
+    assert not missing, f"bench HEADLINE names absent from registry: {missing}"
+    dupes = [n for n in set(bench.HEADLINE) if bench.HEADLINE.count(n) > 1]
+    assert not dupes, f"bench HEADLINE has duplicate entries: {dupes}"
+
+
 # ------------------------------------------------ BPE dry-corpus early stop
 
 
