@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -197,7 +198,46 @@ def _load_gate() -> tuple[bool, float]:
         )
         time.sleep(30)
         load1 = os.getloadavg()[0]
-    return load1 > flag, round(load1, 2)
+    # A run that proceeds with its own wait gate still closed is noisy
+    # BY DEFINITION, even if the operator configured gate <= flag
+    # (e.g. SPARK_GRAFT_LOAD_GATE=1): the >= gate term keeps the
+    # original timeout-path guarantee independent of the flag level.
+    return (load1 > flag or load1 >= gate), round(load1, 2)
+
+
+_TAIL_CAP = 1900  # driver keeps the last 2000 chars; leave newline margin
+
+
+def _fit_tail_cap(payload: dict) -> dict:
+    """Shrink the stdout copy of the payload until its compact JSON
+    serialization fits the driver's 2000-char output tail, so the
+    artifact of record is parseable again (BENCH_r06..r08 show
+    "parsed": null — the one JSON line crossed 2000 chars when the
+    headline set grew past ~55 queries, and the driver could no
+    longer recover {metric, value, queries} from its capped window).
+
+    Policy: drop the CHEAPEST per-query rows first — their
+    cross-round deltas are noise-dominated on this host (r4/r8
+    findings: sub-second rows swing 20-90% with load), while the
+    expensive rows are the regression signal. The count of elided
+    rows rides in "queries_elided", and the COMPLETE per-query dict
+    is always in BENCH_LOCAL.json (written by main() before this
+    trim, same directory as the driver's BENCH_r{N}.json)."""
+    slim = dict(payload)
+    line = json.dumps(slim, separators=(",", ":"))
+    if len(line) <= _TAIL_CAP:
+        return slim
+    qs = dict(payload["queries"])
+    elided = 0
+    for name in sorted(qs, key=qs.get):
+        if len(line) <= _TAIL_CAP:
+            break
+        del qs[name]
+        elided += 1
+        slim["queries"] = qs
+        slim["queries_elided"] = elided
+        line = json.dumps(slim, separators=(",", ":"))
+    return slim
 
 
 def main() -> None:
@@ -250,7 +290,9 @@ def main() -> None:
             # timed rep.
             release(spark, blocking=True)
     timings = {
-        name: round(sorted(rs)[len(rs) // 2], 3) for name, rs in samples.items()
+        # statistics.median, not sorted[n//2]: reps is env-overridable
+        # and the upper-middle pick is biased high at even counts
+        name: round(statistics.median(rs), 3) for name, rs in samples.items()
     }
 
     total = round(sum(timings.values()), 3)
@@ -262,22 +304,31 @@ def main() -> None:
         load_avg = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         load_avg = None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "reps": reps,
-                "load_avg": load_avg,
-                "load_at_start": load_at_start,
-                "noisy": noisy,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "reps": reps,
+        "load_avg": load_avg,
+        "load_at_start": load_at_start,
+        "noisy": noisy,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full-fidelity record, uncapped: the driver keeps only the LAST
+    # 2000 chars of bench output and json-parses the artifact of
+    # record out of that window — the headline set outgrew it at r6
+    # (line ~2.4k chars), which is why BENCH_r06..r08 carry
+    # "parsed": null. Every run now also lands the complete payload
+    # here, next to the driver's own artifacts.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
+    # Stop FIRST: the driver's tail window is the last 2000 chars of
+    # combined stdout+stderr, so any JVM shutdown chatter must land
+    # before the JSON line, never after it.
     spark.stop()
+    print(json.dumps(_fit_tail_cap(payload), separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

@@ -171,6 +171,11 @@ def test_bench_load_gate(monkeypatch):
     noisy, _ = bench._load_gate()
     assert noisy is True
 
+    # the timeout path must flag on its own, even when the operator
+    # configured a stricter gate than the noisy flag (GATE=0 with
+    # NOISY back above any real load): proceeding with the wait gate
+    # still closed is noisy by definition, not via the flag term
+    monkeypatch.setenv("SPARK_GRAFT_LOAD_NOISY", "10000")
     monkeypatch.setenv("SPARK_GRAFT_LOAD_GATE", "0")
     monkeypatch.setenv("SPARK_GRAFT_LOAD_WAIT", "0")
     noisy, _ = bench._load_gate()

@@ -34,29 +34,25 @@ from pyspark.sql import functions as F
 from emdrive_spark.operators import text
 from emdrive_spark.session import get_spark
 
-# kept importable under the old name for scripts that A/B at other scales
+# Capture the SHIPPED fold at import time: run() monkeypatches
+# text._bpe_merge_word, so any variant that looked it up lazily would
+# recurse into itself once patched in (r9 review finding).
+_SHIPPED_MERGE_WORD = text._bpe_merge_word
+
+
 def _ungated_merge_word(w, l: str, r: str):
     """The shipped fold (no prefilter)."""
-    return text._bpe_merge_word(w, l, r)
+    return _SHIPPED_MERGE_WORD(w, l, r)
 
 
 def _gated_merge_word(w, l: str, r: str):
-    """The REJECTED variant: exact substring prefilter on the fold."""
-    syms = F.filter(F.split(w, ";"), lambda s: F.length(s) > 0)
-    folded = F.aggregate(
-        syms,
-        F.lit(";"),
-        lambda acc, x: F.when(
-            acc.endswith(F.lit(f";{l};")) & (x == F.lit(r)),
-            F.concat(
-                acc.substr(F.lit(1), F.length(acc) - F.lit(len(l) + 1)),
-                F.lit(f"{l}{r};"),
-            ),
-        ).otherwise(F.concat(acc, x, F.lit(";"))),
-    )
+    """The REJECTED variant: exact substring prefilter on the fold.
+    Wraps the SHIPPED fold (rather than duplicating its 15-line body)
+    so a future change to the fold keeps this A/B measuring shipped
+    code against its gated form instead of a stale copy."""
     return F.when(
         F.contains(F.concat(F.lit(";"), w), F.lit(f";{l};{r};")),
-        folded.substr(F.lit(2), F.length(folded)),
+        _SHIPPED_MERGE_WORD(w, l, r),
     ).otherwise(w)
 
 

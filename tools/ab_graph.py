@@ -7,6 +7,7 @@ Usage: python tools/ab_graph.py [sf_dir]
 from __future__ import annotations
 
 import os
+import statistics
 import sys
 import time
 
@@ -68,7 +69,7 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         runs.sort()
         print(
-            f"{name:16s} median={runs[len(runs) // 2]:.3f}s "
+            f"{name:16s} median={statistics.median(runs):.3f}s "
             f"min={runs[0]:.3f} max={runs[-1]:.3f}",
             flush=True,
         )
@@ -90,7 +91,7 @@ def main() -> None:
     tails.sort()
     print(
         f"ej_build_once    {build:.3f}s; related tail median="
-        f"{tails[len(tails) // 2]:.3f}s min={tails[0]:.3f} max={tails[-1]:.3f}",
+        f"{statistics.median(tails):.3f}s min={tails[0]:.3f} max={tails[-1]:.3f}",
         flush=True,
     )
     spark.stop()

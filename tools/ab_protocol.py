@@ -20,6 +20,7 @@ Usage: python tools/ab_protocol.py [sf_dir]
 from __future__ import annotations
 
 import os
+import statistics
 import sys
 import time
 
@@ -67,7 +68,7 @@ def main() -> None:
         for label, runs in (("warm", warm[name]), ("cold", cold[name])):
             s = sorted(runs)
             print(
-                f"{name:22s} {label} median={s[len(s) // 2]:.2f}s "
+                f"{name:22s} {label} median={statistics.median(s):.2f}s "
                 f"min={s[0]:.2f} max={s[-1]:.2f} "
                 f"reps=[{', '.join(f'{r:.2f}' for r in runs)}]",
                 flush=True,

@@ -95,7 +95,7 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         runs.sort()
         print(
-            f"{name:14s} median={runs[len(runs) // 2]:.3f}s "
+            f"{name:14s} median={statistics.median(runs):.3f}s "
             f"min={runs[0]:.3f} max={runs[-1]:.3f} "
             f"mean={statistics.mean(runs):.3f}",
             flush=True,

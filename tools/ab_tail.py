@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -53,12 +54,31 @@ def main() -> None:
 
     prior = {}
     for rnd in (7, 8):
+        # Driver artifacts are {n, rc, cpus, sf, tail, parsed}: "parsed"
+        # is the payload when the stdout line fit the driver's 2000-char
+        # tail (r1-r5, r9+), null when it didn't (r6-r8) — in which case
+        # the per-query rows live as a regex-recoverable fragment in
+        # "tail". Plain {"queries": ...} files (BENCH_LOCAL.json shape)
+        # also pass through the first branch.
+        prior[rnd] = {}
         try:
-            prior[rnd] = json.load(open(f"/root/repo/BENCH_r0{rnd}.json"))["queries"]
+            art = json.load(open(f"/root/repo/BENCH_r0{rnd}.json"))
+            parsed = art.get("parsed") or art
+            if isinstance(parsed.get("queries"), dict):
+                prior[rnd] = parsed["queries"]
+            else:
+                import re
+
+                prior[rnd] = {
+                    m.group(1): float(m.group(2))
+                    for m in re.finditer(r'"([a-z0-9_]+)": ([0-9.]+)[,}]', art.get("tail", ""))
+                    # the payload's scalar fields match the regex too
+                    if m.group(1) not in ("value", "reps", "load_at_start", "sf")
+                }
         except Exception:
-            prior[rnd] = {}
+            pass
     for name, xs in samples.items():
-        med = sorted(xs)[len(xs) // 2]
+        med = statistics.median(xs)  # upper-middle pick biased high at even REPS
         print(
             f"{name}: quiet median {med:.3f}s | r7 {prior[7].get(name)} | "
             f"r8 {prior[8].get(name)} | reps {[round(x, 3) for x in xs]}"
