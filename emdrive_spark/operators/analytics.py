@@ -917,14 +917,24 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("node").alias("part_id"), F.col("rank").alias("pagerank"))
 
 
-def _copurchase_triangles(spark: SparkSession, sf_dir: str):
+def _copurchase_triangles(spark: SparkSession, sf_dir: str, *, ckpt_und: bool = True):
     """Shared co-purchase triangle machinery: returns (und, deg, tri)
     where und is the both-direction edge list, deg the undirected
     degree table (checkpointed), and tri one row per triangle
     (tri_u, v, w; vertex order is degree-oriented, NOT id-ordered).
     graph_triangle_count counts per node; graph_edge_jaccard counts
     per edge. See graph_triangle_count for the degree-orientation
-    O(m^1.5) bound."""
+    O(m^1.5) bound.
+
+    und is checkpointed FIRST (graph_pagerank's precedent): without
+    it, the basket self-join + distinct (~5 s of the op at sf0.1,
+    2.39M edges) re-executes once per downstream materialization —
+    the deg ckpt, the oriented ckpt, and (for graph_edge_jaccard)
+    the final action's canonical edge list — i.e. 2-3 full rebuilds
+    of the most expensive shared frame. One materialization + block
+    reads is strictly less work at any scale; measured at sf0.1 in
+    tools/ab_ckpt_und.py (ckpt_und exists so the A/B stays
+    re-runnable)."""
     li = (
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
@@ -936,6 +946,8 @@ def _copurchase_triangles(spark: SparkSession, sf_dir: str):
         .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
         .distinct()
     )
+    if ckpt_und:
+        und = ckpt(und)
     # Both directions are present, so out-degree here IS the undirected
     # degree, and deg's key set IS the node set.
     deg = und.groupBy("src").agg(F.count("*").alias("d")).transform(ckpt)
