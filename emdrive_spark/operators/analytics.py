@@ -1146,6 +1146,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = und.select("src").distinct().transform(ckpt)
     alive = nodes
+    prev_n = None
     for _ in range(_KCORE_ROUNDS):
         e_alive = und.join(alive, "src", "semi").join(
             alive.select(F.col("src").alias("dst")), "dst", "semi"
@@ -1157,6 +1158,18 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src")
             .transform(ckpt)
         )
+        # Exactly-output-preserving early stop: alive_{t+1} is ALWAYS a
+        # subset of alive_t (peeling only removes), so an unchanged
+        # count proves an unchanged set, and every remaining round is
+        # the identity — the full _KCORE_ROUNDS output is reproduced
+        # bit-for-bit while the fixpoint tail (rounds 6-8 on the
+        # fixtures) costs one count over already-ckpt'd blocks instead
+        # of two semi-joins + an aggregate + a checkpoint per round.
+        # Value-neutrality pinned in tests/test_round9_ops.py.
+        n = alive.count()
+        if n == prev_n:
+            break
+        prev_n = n
     core_deg = (
         und.join(alive, "src", "semi")
         .join(alive.select(F.col("src").alias("dst")), "dst", "semi")
