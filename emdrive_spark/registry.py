@@ -145,10 +145,20 @@ _ROUND_WINDOW = (
 )
 # Round-10 rotation plan (precomputed from the CORRECTNESS ledger +
 # this window): after r9 lands, the oldest rows are the 44 r4-certified
-# ops. Seat text_winnowing + dedup_winnowing_verified FIRST (guard/
+# ops. Seat FIRST: text_winnowing + dedup_winnowing_verified (guard/
 # oracle-mirror changes shipped in r8/r9 without a re-cert — the r8
-# judge's "cheap insurance"), then the 44 r4 rows, leaving ~4 seats
-# for r10 additions.
+# judge's "cheap insurance") and the four graph ops whose engine code
+# changed in the r9 second half without a seat (window already full):
+# graph_triangle_count / graph_edge_jaccard / graph_related_topk (the
+# shared edge list is now checkpointed before anything derives from it
+# — value probes equal both arms, oracle-exact at sf0.01 AND sf0.1
+# post-change, ckpt-arm parity pytest-pinned) and graph_kcore (peeling
+# early-stops at its provable fixpoint — alive sets only shrink, so an
+# unchanged count is an unchanged set; direct 8-round A/B EQUAL at
+# sf0.1, oracle-exact at sf0.01; the sf0.1 oracle itself exhausts
+# DuckDB disk spill, see SCALING.md). Then the 44 r4 rows fill the
+# remainder — r10 additions, if any, must displace from the r4 cohort
+# or wait for r11.
 
 _loaded = False
 
