@@ -237,6 +237,13 @@ def _fit_tail_cap(payload: dict) -> dict:
         slim["queries"] = qs
         slim["queries_elided"] = elided
         line = json.dumps(slim, separators=(",", ":"))
+    if len(line) > _TAIL_CAP:
+        # Last resort (r9 ADVICE): if the non-query fields alone
+        # exceed the cap (e.g. a pathological sf_dir-derived sf
+        # string), drop the queries dict entirely so the driver can
+        # always recover at least {metric, value}.
+        slim.pop("queries", None)
+        slim["queries_elided"] = len(payload["queries"])
     return slim
 
 
@@ -320,14 +327,23 @@ def main() -> None:
     # record out of that window — the headline set outgrew it at r6
     # (line ~2.4k chars), which is why BENCH_r06..r08 carry
     # "parsed": null. Every run now also lands the complete payload
-    # here, next to the driver's own artifacts.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
+    # here, next to the driver's own artifacts. Noisy runs land in a
+    # .noisy sidecar instead (r9 ADVICE): the tracked quiet record
+    # must not be clobbered by a contaminated run — r9's working tree
+    # showed exactly that drift after the noisy official run.
+    local_name = "BENCH_LOCAL.noisy.json" if noisy else "BENCH_LOCAL.json"
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), local_name), "w") as f:
         json.dump(payload, f, indent=1)
         f.write("\n")
     # Stop FIRST: the driver's tail window is the last 2000 chars of
     # combined stdout+stderr, so any JVM shutdown chatter must land
-    # before the JSON line, never after it.
-    spark.stop()
+    # before the JSON line, never after it. But the JSON line must be
+    # emitted even if stop() raises (py4j/JVM shutdown errors happen;
+    # r9 ADVICE) — a failed stop must not cost the artifact of record.
+    try:
+        spark.stop()
+    except Exception:
+        pass  # shutdown chatter < losing the artifact line
     print(json.dumps(_fit_tail_cap(payload), separators=(",", ":")), flush=True)
 
 

@@ -210,7 +210,13 @@ def test_copurchase_triangles_ckpt_arm_is_value_neutral(spark):
                     tuple(r)
                     for r in getattr(analytics, op)(spark, SF_SMOKE).collect()
                 )
-                for op in ("graph_triangle_count", "graph_edge_jaccard")
+                for op in (
+                    "graph_triangle_count",
+                    "graph_edge_jaccard",
+                    # third consumer of the shared machinery (r9 ADVICE:
+                    # it was covered only by the re-runnable tool probe)
+                    "graph_related_topk",
+                )
             }
         assert results[True] == results[False]
         assert len(results[True]["graph_triangle_count"]) > 0

@@ -69,11 +69,22 @@ def main() -> None:
             else:
                 import re
 
+                # Anchor recovery to the "queries": {...} span instead of
+                # denylisting scalar field names (r9 ADVICE): a headline
+                # op sharing a scalar's name, or a new numeric scalar in
+                # a historical payload, must not pollute or lose rows.
+                # The tail is the LAST 2000 chars, so the window usually
+                # starts MID-dict: the span runs from after the
+                # "queries":{ marker if visible, else from the window
+                # start, up to the dict's closing brace (the first "}").
+                tail = art.get("tail", "")
+                marker = re.search(r'"queries":\s*\{', tail)
+                start = marker.end() if marker else 0
+                end = tail.find("}", start)
+                span = tail[start : end if end != -1 else len(tail)]
                 prior[rnd] = {
                     m.group(1): float(m.group(2))
-                    for m in re.finditer(r'"([a-z0-9_]+)": ([0-9.]+)[,}]', art.get("tail", ""))
-                    # the payload's scalar fields match the regex too
-                    if m.group(1) not in ("value", "reps", "load_at_start", "sf")
+                    for m in re.finditer(r'"([a-z0-9_]+)":\s*([0-9.]+)', span)
                 }
         except Exception:
             pass
