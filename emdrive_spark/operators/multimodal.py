@@ -1,10 +1,13 @@
 """Multimodal column plumbing — image/audio/video as opaque binary.
 
-ABSENT in the reference; north-star surface. The container has no
-image/audio codecs, so the *decode* step is stubbed (NotImplementedError
-or a deterministic fake, clearly marked), while everything Spark-side is
+ABSENT in the reference; north-star surface. Everything Spark-side is
 real and tested: binary payload columns, typed metadata, Arrow batch
-transfer through mapInPandas, frame-index expansion.
+transfer through mapInPandas, frame-index expansion. Image decode is
+REAL for the PNM family (binary PGM/PPM — stdlib-only parser,
+decode_image below; exercised end to end by mm_decode_phash which
+value-checks hashes of DECODED PIXELS against an analytic oracle);
+compressed formats (PNG/JPEG) still raise NotImplementedError because
+their codec libraries are genuinely absent in this container.
 
 Scale: payloads stay in executor-local Arrow batches end to end — the
 only shuffles are on (doc_id, metadata). Batch-memory caveat (r4
@@ -25,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from emdrive_spark.functions.ckpt import ckpt
 from emdrive_spark.registry import register
 from emdrive_spark.sources.tables import load
 
@@ -32,11 +36,112 @@ _FNV = 2654435761
 _MOD = 1_000_003
 
 
-def decode_image(payload: bytes) -> "object":
-    """STUB — real image decode needs PIL/opencv, not in this container.
-    The Spark-side plumbing (schema, batching, partitioning) is real;
-    swap this for an actual decoder in a full deployment."""
-    raise NotImplementedError("image decode stub: no codec libraries in this environment")
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an image payload to (width, height, rgb) where ``rgb`` is
+    row-major packed 3-bytes-per-pixel. REAL for the PNM family — binary
+    PGM (``P5``, 8-bit grayscale) and PPM (``P6``, 8-bit RGB) are parsed
+    with a stdlib-only decoder (r9 verdict item 3: the decode hook was a
+    NotImplementedError shape; PNM needs no codec libraries, so the full
+    decode -> pixels -> hash path now runs for real). Compressed formats
+    (PNG/JPEG/...) still raise NotImplementedError — their codecs are
+    genuinely absent in this container; a deployment swaps in PIL/opencv
+    behind this same signature and every downstream op runs unchanged."""
+    if payload is None or len(payload) < 2:
+        raise ValueError("image payload empty or truncated")
+    magic = bytes(payload[:2])
+    if magic not in (b"P5", b"P6"):
+        raise NotImplementedError(
+            f"image decode: unsupported magic {magic!r} — only binary PNM "
+            "(P5 grayscale / P6 RGB) decodes without codec libraries"
+        )
+    # PNM header: magic, then width/height/maxval as ASCII tokens
+    # separated by whitespace, with '#'-to-end-of-line comments allowed
+    # anywhere between tokens; exactly ONE whitespace byte after maxval,
+    # then the raw raster.
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError(f"PNM header: expected integer token at byte {pos}")
+        vals.append(int(payload[start:pos]))
+    width, height, maxval = vals
+    if width <= 0 or height <= 0:
+        raise ValueError(f"PNM header: bad dimensions {width}x{height}")
+    if not 1 <= maxval <= 255:
+        raise ValueError(f"PNM header: maxval {maxval} outside 8-bit range")
+    pos += 1  # the single whitespace byte after maxval
+    channels = 1 if magic == b"P5" else 3
+    need = width * height * channels
+    raster = bytes(payload[pos : pos + need])
+    if len(raster) != need:
+        raise ValueError(f"PNM raster truncated: need {need} bytes, have {len(raster)}")
+    if channels == 1:
+        rgb = bytes(g for g in raster for _ in range(3))
+    else:
+        rgb = raster
+    return width, height, rgb
+
+
+def ahash64(width: int, height: int, rgb: bytes) -> tuple[int, int]:
+    """Average-hash over decoded pixels: grayscale, block-mean
+    downsample to an 8x8 grid, threshold each cell against the global
+    mean -> 64 bits, returned as (hi, lo) 32-bit halves (bit 0 of the
+    image = MSB of hi, matching the oracle's closed form). ALL-INTEGER
+    math: cell > global compares cross-multiplied sums
+    (cell_sum * n_pixels > total_sum * cell_pixels), so Spark, Python
+    and DuckDB can never disagree on a float rounding at the threshold.
+    Requires dimensions divisible by 8 (exact blocks keep the integer
+    contract; a production resampler relaxes this upstream)."""
+    if width % 8 or height % 8:
+        raise ValueError(f"ahash64 needs 8-divisible dims, got {width}x{height}")
+    gray = [
+        (rgb[i] + rgb[i + 1] + rgb[i + 2]) // 3 for i in range(0, len(rgb), 3)
+    ]
+    bw, bh = width // 8, height // 8
+    total = sum(gray)
+    n_pixels = width * height
+    cell_pixels = bw * bh
+    hi = lo = 0
+    for bi in range(8):
+        for bj in range(8):
+            cell = sum(
+                gray[(bi * bh + y) * width + bj * bw + x]
+                for y in range(bh)
+                for x in range(bw)
+            )
+            bit = 1 if cell * n_pixels > total * cell_pixels else 0
+            idx = bi * 8 + bj
+            if idx < 32:
+                hi |= bit << (31 - idx)
+            else:
+                lo |= bit << (63 - idx)
+    return hi, lo
+
+
+def encode_ppm_fixture(text: str, perturb: bool = False) -> bytes:
+    """Deterministic 8x8 P6 fixture 'camera': 64 gray levels are the
+    concatenated md5 digests of ``f"{text}:{k}"`` for k in 0..3 (the
+    oracle reproduces them as md5 hex-pair extractions), encoded as a
+    REAL binary PPM (R=G=B). ``perturb`` shifts pixel 0 by +128 mod 256
+    — a slightly-different image whose hash lands a bounded hamming
+    away, exercising the near-dup (nonzero-distance) path end to end."""
+    import hashlib  # noqa: PLC0415 — worker-side import
+
+    gray = bytearray(
+        b"".join(hashlib.md5(f"{text}:{k}".encode()).digest() for k in range(4))
+    )
+    if perturb:
+        gray[0] = (gray[0] + 128) % 256
+    return b"P6\n8 8\n255\n" + bytes(g for g in gray for _ in range(3))
 
 
 def fake_features(payload: bytes) -> tuple[int, int]:
@@ -337,4 +442,172 @@ def mm_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         "start_byte",
         F.expr(f"start_byte div {_SHARD_BYTES}").alias("shard_id"),
+    )
+
+
+# corpus shift for the decode-phash known answer (same collision-safety
+# rationale as _PH_SHIFT); variant 2 (perturbed) lives at 2x the shift.
+_DP_SHIFT = _PH_SHIFT
+
+
+@register(
+    "mm_decode_phash",
+    oracle=f"""
+    WITH px0 AS (
+      -- closed form of the fixture camera: gray(idx) is byte idx%16 of
+      -- md5(text || ':' || idx//16) — the ENGINE never uses this form,
+      -- it round-trips encode_ppm_fixture -> decode_image -> ahash64,
+      -- so any decoder/hash bug flips the value hash here.
+      SELECT d.doc_id, k.k * 16 + j.j AS idx,
+             CAST(('0x' || substr(md5(d.text || ':' || CAST(k.k AS VARCHAR)),
+                                  CAST(j.j AS INT) * 2 + 1, 2)) AS BIGINT) AS gray
+      FROM documents d,
+           (SELECT unnest(range(4)) AS k) k,
+           (SELECT unnest(range(16)) AS j) j
+    ),
+    px AS (
+      SELECT doc_id, idx, gray FROM px0
+      UNION ALL
+      SELECT doc_id + {_DP_SHIFT} AS doc_id, idx, gray FROM px0
+      UNION ALL
+      SELECT doc_id + {2 * _DP_SHIFT} AS doc_id, idx,
+             CASE WHEN idx = 0 THEN (gray + 128) % 256 ELSE gray END AS gray
+      FROM px0
+    ),
+    tot AS (SELECT doc_id, sum(gray) AS s FROM px GROUP BY doc_id),
+    bits AS (
+      SELECT p.doc_id, p.idx,
+             CASE WHEN p.gray * 64 > t.s THEN 1 ELSE 0 END AS b
+      FROM px p JOIN tot t USING (doc_id)
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN idx < 32
+                           THEN b * (1::BIGINT << (31 - CAST(idx AS INT)))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN idx >= 32
+                           THEN b * (1::BIGINT << (63 - CAST(idx AS INT)))
+                           ELSE 0 END) AS BIGINT) AS lo
+      FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, hi, lo, 0 AS band, (hi >> 16) & 65535 AS key FROM h
+      UNION ALL SELECT doc_id, hi, lo, 1, hi & 65535 FROM h
+      UNION ALL SELECT doc_id, hi, lo, 2, (lo >> 16) & 65535 FROM h
+      UNION ALL SELECT doc_id, hi, lo, 3, lo & 65535 FROM h
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id <> b.doc_id
+      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+    ),
+    cnt AS (SELECT ida AS doc_id, count(*) AS dup_cnt FROM pairs GROUP BY ida)
+    SELECT h.doc_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+           h.hi, h.lo, CAST(coalesce(c.dup_cnt, 0) AS BIGINT) AS dup_cnt
+    FROM h LEFT JOIN cnt c USING (doc_id)
+    """,
+)
+def mm_decode_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over DECODED PIXELS — the real-decode
+    completion of mm_phash_dedup (r9 verdict item 3): each document
+    renders to a deterministic 8x8 binary PPM (encode_ppm_fixture), a
+    REAL stdlib PNM decoder parses header + raster back to pixels
+    (decode_image), an average-hash over the pixel grid produces the
+    64-bit signature (ahash64), and the banded-hamming machinery counts
+    near-duplicates per image. Corpus = every image three ways: itself,
+    a byte-identical copy (known answer: every row's dup_cnt >= 1, the
+    copy sits at hamming 0) and a one-pixel-perturbed copy (a genuinely
+    DIFFERENT image whose hash lands a small nonzero hamming away —
+    the near-dup path, not just the exact-collision path). The oracle
+    recomputes hashes from the fixture's closed form, never through the
+    decoder, so the two sides agree only if header parse, raster
+    slicing, grayscale and threshold math are all bit-correct.
+
+    Scale shape (100 TB images): the decode + hash runs ONCE per unique
+    payload inside mapInPandas on the scan's Arrow batches — payload
+    bytes never shuffle; the hash frame (5 longs/row) is checkpointed
+    before fanning out to both sides of the band join, so the Python
+    stage executes exactly once (plan-structural, not
+    exchange-reuse-dependent). Banding bounds candidates (4x16-bit
+    bands: hamming <= 3 always caught); the verify is O(band
+    collisions), never all-pairs. ABSENT in the reference (its metric
+    index is an unwired Vec<u128>, src/storage/index.rs:12-103); this
+    is the README's hamming-metric promise (README.md:26,32) applied to
+    decoded image content."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def hash_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "hi": [], "lo": [], "p_hi": [], "p_lo": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w, h, rgb = decode_image(encode_ppm_fixture(text))
+                hi, lo = ahash64(w, h, rgb)
+                pw, ph, prgb = decode_image(encode_ppm_fixture(text, perturb=True))
+                p_hi, p_lo = ahash64(pw, ph, prgb)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["hi"].append(hi)
+                out["lo"].append(lo)
+                out["p_hi"].append(p_hi)
+                out["p_lo"].append(p_lo)
+            yield pd.DataFrame(out)
+
+    hashes = docs.mapInPandas(
+        hash_images,
+        schema="doc_id long, width long, height long, hi long, lo long, p_hi long, p_lo long",
+    )
+    base = hashes.select("doc_id", "width", "height", "hi", "lo")
+    corpus = ckpt(
+        base.unionByName(
+            hashes.select(
+                (F.col("doc_id") + _DP_SHIFT).alias("doc_id"),
+                "width", "height", "hi", "lo",
+            )
+        ).unionByName(
+            hashes.select(
+                (F.col("doc_id") + 2 * _DP_SHIFT).alias("doc_id"),
+                "width", "height",
+                F.col("p_hi").alias("hi"), F.col("p_lo").alias("lo"),
+            )
+        )
+    )
+    bands = corpus.select(
+        "doc_id", "hi", "lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"),
+                         F.shiftright("hi", 16).bitwiseAND(F.lit(65535)).alias("key")),
+                F.struct(F.lit(1).alias("band"),
+                         F.col("hi").bitwiseAND(F.lit(65535)).alias("key")),
+                F.struct(F.lit(2).alias("band"),
+                         F.shiftright("lo", 16).bitwiseAND(F.lit(65535)).alias("key")),
+                F.struct(F.lit(3).alias("band"),
+                         F.col("lo").bitwiseAND(F.lit(65535)).alias("key")),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "hi", "lo", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = (
+        F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+        + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+    )
+    cnt = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .filter(ham <= 3)
+        .select(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("partner"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dup_cnt"))
+    )
+    return corpus.join(cnt, "doc_id", "left").select(
+        "doc_id", "width", "height", "hi", "lo",
+        F.coalesce(F.col("dup_cnt"), F.lit(0)).cast("long").alias("dup_cnt"),
     )

