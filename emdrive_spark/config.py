@@ -9,6 +9,12 @@ Keys (reference names, config.rs:6-12):
 
 The reference's transport is a raw TCP listener; ours is HTTP on the
 same host/port contract, so the env names are kept verbatim.
+
+Engine-quality addition (no reference twin — its encoder serializes
+every row unconditionally, encoding.rs:327-338, which on a distributed
+engine is a driver OOM waiting for a no-LIMIT SELECT):
+- ``max_result_rows`` — HTTP result-set ceiling, default 100_000 rows;
+  <= 0 disables the cap (reference-faithful unbounded mode).
 """
 
 from __future__ import annotations
@@ -20,6 +26,7 @@ _DEFAULTS = {
     "data_directory": "/var/lib/emdrive/data",  # config.rs:17
     "tcp_listen_host": "127.0.0.1",
     "tcp_listen_port": 8824,
+    "max_result_rows": 100_000,
 }
 
 
@@ -33,17 +40,21 @@ class Config:
     data_directory: str = _DEFAULTS["data_directory"]
     tcp_listen_host: str = _DEFAULTS["tcp_listen_host"]
     tcp_listen_port: int = _DEFAULTS["tcp_listen_port"]
+    max_result_rows: int = _DEFAULTS["max_result_rows"]
 
     @classmethod
     def from_env(cls) -> "Config":
         """Read each key from EMDRIVE_* with defaults (config.rs:40-48).
-        A non-numeric port falls back to the default, mirroring the
+        A non-numeric integer falls back to the default, mirroring the
         reference's parse-or-default cast (config.rs:66-74)."""
-        port_raw = os.environ.get(_envify("tcp_listen_port"), "")
-        try:
-            port = int(port_raw) if port_raw else _DEFAULTS["tcp_listen_port"]
-        except ValueError:
-            port = _DEFAULTS["tcp_listen_port"]
+
+        def _int_env(key: str) -> int:
+            raw = os.environ.get(_envify(key), "")
+            try:
+                return int(raw) if raw else _DEFAULTS[key]
+            except ValueError:
+                return _DEFAULTS[key]
+
         return cls(
             data_directory=os.environ.get(
                 _envify("data_directory"), _DEFAULTS["data_directory"]
@@ -51,12 +62,18 @@ class Config:
             tcp_listen_host=os.environ.get(
                 _envify("tcp_listen_host"), _DEFAULTS["tcp_listen_host"]
             ),
-            tcp_listen_port=port,
+            tcp_listen_port=_int_env("tcp_listen_port"),
+            max_result_rows=_int_env("max_result_rows"),
         )
 
     def render(self) -> str:
         """Display form, one ENV_NAME='value' per line (config.rs:24-37)."""
         return "\n".join(
             f"{_envify(k)}={getattr(self, k)!r}"
-            for k in ("data_directory", "tcp_listen_host", "tcp_listen_port")
+            for k in (
+                "data_directory",
+                "tcp_listen_host",
+                "tcp_listen_port",
+                "max_result_rows",
+            )
         )

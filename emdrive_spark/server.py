@@ -36,16 +36,45 @@ DEFAULT_HOST = "127.0.0.1"
 DEFAULT_PORT = 8824  # the reference's default (config.rs:14-22)
 
 
-def _rows_json(df) -> str:
+class ResultTooLarge(Exception):
+    """A statement's result exceeds the configured HTTP row ceiling."""
+
+    def __init__(self, cap: int):
+        self.cap = cap
+        super().__init__(
+            f"Result exceeds the {cap}-row HTTP limit; add a LIMIT clause "
+            "or raise EMDRIVE_MAX_RESULT_ROWS."
+        )
+
+
+def _rows_json(df, max_rows: int) -> str:
     if df is None:
         return json.dumps({"column_names": [], "rows": []})
-    rows = [r.asDict(recursive=True) for r in df.collect()]
+    # The cap rides INSIDE the plan (limit -> CollectLimit), not as a
+    # post-collect truncation: a no-LIMIT SELECT over a big table must
+    # never materialize on the driver (r9 verdict item 4 — the
+    # reference serializes everything, encoding.rs:327-338, which is
+    # fine for its single-node page store and an OOM for ours). One
+    # sentinel row past the cap distinguishes at-the-limit from over
+    # it.
+    if max_rows > 0:
+        rows = df.limit(max_rows + 1).collect()
+        if len(rows) > max_rows:
+            raise ResultTooLarge(max_rows)
+    else:  # cap disabled — reference-faithful unbounded collect
+        rows = df.collect()
     return json.dumps(
-        {"column_names": df.columns, "rows": rows}, default=str
+        {"column_names": df.columns, "rows": [r.asDict(recursive=True) for r in rows]},
+        default=str,
     )
 
 
-def make_handler(engine: Engine):
+def make_handler(engine: Engine, max_result_rows: int | None = None):
+    cap = (
+        max_result_rows
+        if max_result_rows is not None
+        else Config.from_env().max_result_rows
+    )
     class Handler(BaseHTTPRequestHandler):
         # Connection timeout (StreamRequestHandler.setup applies it to
         # the socket): a client that promises more body bytes than it
@@ -69,11 +98,17 @@ def make_handler(engine: Engine):
                 # smuggle a mutation through GET; WITH/VALUES/TABLE query
                 # forms are allowed, matching the ANSI passthrough.
                 df = engine.execute_script(sql, read_only=read_only)
-                body = _rows_json(df)
+                body = _rows_json(df, cap)
                 code = 200
             except EmdriveError as exc:
                 body = json.dumps(exc.to_json())
                 code = 400
+            except ResultTooLarge as exc:
+                # Same typed shape + 413 as the request-body ceiling:
+                # resource limits are client-correctable, not server
+                # faults.
+                body = json.dumps({"type": "validation", "message": str(exc)})
+                code = 413
             except Exception as exc:  # server-class error (errors.rs:28-34)
                 # First line only (r4 review): a Py4J error's str() is a
                 # full JVM stack trace with internal class names and
@@ -218,7 +253,9 @@ def serve(
     # restart.
     if explicit and os.path.exists(os.path.join(data_directory, "_catalog.json")):
         engine.catalog.restore(data_directory)
-    httpd = _DrainingHTTPServer((host, port), make_handler(engine))
+    httpd = _DrainingHTTPServer(
+        (host, port), make_handler(engine, max_result_rows=cfg.max_result_rows)
+    )
     httpd.engine = engine  # type: ignore[attr-defined]
     httpd.data_directory = data_directory  # type: ignore[attr-defined]
     return httpd

@@ -112,3 +112,34 @@ def test_request_log_stream(endpoint, caplog):
     msgs = [r.getMessage() for r in caplog.records if r.name == "emdrive_spark.server"]
     assert any(m == f"received request ID {rid}" for m in msgs)
     assert any(m.startswith(f"finished request ID {rid} in ") and m.endswith(" µs") for m in msgs)
+
+
+def test_result_cap_413_and_at_cap_ok(spark, monkeypatch):
+    """A no-LIMIT SELECT past EMDRIVE_MAX_RESULT_ROWS must NOT
+    unbounded-collect on the driver (r9 verdict item 4): the cap rides
+    inside the plan (limit cap+1) and the overflow returns the same
+    typed-413 shape as the request-body ceiling. A result exactly AT
+    the cap still returns 200 with every row — the limit is a guard,
+    not a silent truncation."""
+    monkeypatch.setenv("EMDRIVE_MAX_RESULT_ROWS", "5")
+    httpd = serve(spark, host="127.0.0.1", port=18825)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    url = "http://127.0.0.1:18825"
+    try:
+        values = ", ".join(f"({i})" for i in range(1, 11))
+        status, body, _ = _post(
+            url,
+            "CREATE TABLE capt (id UINT32 PRIMARY KEY);"
+            f"INSERT INTO capt (id) VALUES {values};"
+            "SELECT id FROM capt",
+        )
+        assert status == 413
+        assert body["type"] == "validation"
+        assert "LIMIT" in body["message"]
+        assert "EMDRIVE_MAX_RESULT_ROWS" in body["message"]
+        status, body, _ = _post(url, "SELECT id FROM capt LIMIT 5")
+        assert status == 200
+        assert len(body["rows"]) == 5
+    finally:
+        httpd.shutdown()
