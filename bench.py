@@ -103,6 +103,7 @@ HEADLINE = (
     "zorder_cluster",          # Morton interleave + range repartition
     "merge_scd2",              # SCD-2 history merge
     "mm_shard_pack",           # size-bounded media shard assignment
+    "mm_decode_phash",         # real PNM decode -> pixel phash dedup (r10)
     # round 5 addition — SQL statement lifecycle (parse -> rewrite ->
     # catalog -> execute, the reference's per-request path whose µs log
     # is its only perf artifact, server/mod.rs:97,132-136). Timing is
