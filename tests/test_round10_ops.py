@@ -128,3 +128,65 @@ def test_mm_decode_phash_known_answer(spark):
     for r in rows:
         if r.doc_id < 2 * _DP_SHIFT:  # base or exact copy
             assert r.dup_cnt >= 1, f"doc {r.doc_id} lost its exact twin"
+
+
+# ------------------------------------------------ decoder properties
+
+
+def test_decode_roundtrip_property():
+    """Hypothesis roundtrip: any (w, h, raster) encodes to a P6 that
+    decodes back exactly; any P5 gray raster expands channel-faithfully.
+    Catches off-by-ones in header token/raster boundary handling that a
+    fixed fixture can miss."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        data=st.data(),
+        gray=st.booleans(),
+        maxval=st.integers(1, 255),
+    )
+    def check(w, h, data, gray, maxval):
+        ch = 1 if gray else 3
+        raster = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch
+                )
+            )
+        )
+        magic = b"P5" if gray else b"P6"
+        payload = magic + f"\n{w} {h}\n{maxval}\n".encode() + raster
+        dw, dh, rgb = decode_image(payload)
+        assert (dw, dh) == (w, h)
+        if gray:
+            assert rgb == bytes(g for g in raster for _ in range(3))
+        else:
+            assert rgb == raster
+
+    check()
+
+
+def test_decode_junk_never_miscategorizes():
+    """Arbitrary bytes must raise NotImplementedError (unknown magic)
+    or ValueError (malformed PNM) — never decode garbage into pixels,
+    never escape with an unrelated exception type (an IndexError here
+    would kill a whole Arrow batch in production)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(payload=st.binary(max_size=200))
+    def check(payload):
+        try:
+            w, h, rgb = decode_image(payload)
+        except (NotImplementedError, ValueError):
+            return
+        # a successful decode of random bytes must be a genuine PNM
+        assert bytes(payload[:2]) in (b"P5", b"P6")
+        assert len(rgb) == w * h * 3
+
+    check()
