@@ -45,7 +45,11 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     decode -> pixels -> hash path now runs for real). Compressed formats
     (PNG/JPEG/...) still raise NotImplementedError — their codecs are
     genuinely absent in this container; a deployment swaps in PIL/opencv
-    behind this same signature and every downstream op runs unchanged."""
+    behind this same signature and every downstream op runs unchanged.
+    Raster bytes are returned UNSCALED (0..maxval, not normalized to
+    0..255): ahash64 thresholds each cell against the image's own mean,
+    so the hash is scale-invariant and rescaling would only add a
+    rounding step two engines could disagree on."""
     if payload is None or len(payload) < 2:
         raise ValueError("image payload empty or truncated")
     magic = bytes(payload[:2])
