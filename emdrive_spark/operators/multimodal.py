@@ -36,35 +36,12 @@ _FNV = 2654435761
 _MOD = 1_000_003
 
 
-def decode_image(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode an image payload to (width, height, rgb) where ``rgb`` is
-    row-major packed 3-bytes-per-pixel. REAL for the PNM family — binary
-    PGM (``P5``, 8-bit grayscale) and PPM (``P6``, 8-bit RGB) are parsed
-    with a stdlib-only decoder (r9 verdict item 3: the decode hook was a
-    NotImplementedError shape; PNM needs no codec libraries, so the full
-    decode -> pixels -> hash path now runs for real). Compressed formats
-    (PNG/JPEG/...) still raise NotImplementedError — their codecs are
-    genuinely absent in this container; a deployment swaps in PIL/opencv
-    behind this same signature and every downstream op runs unchanged.
-    Raster bytes are returned UNSCALED (0..maxval, not normalized to
-    0..255): ahash64 thresholds each cell against the image's own mean,
-    so the hash is scale-invariant and rescaling would only add a
-    rounding step two engines could disagree on."""
-    if payload is None or len(payload) < 2:
-        raise ValueError("image payload empty or truncated")
-    magic = bytes(payload[:2])
-    if magic not in (b"P5", b"P6"):
-        raise NotImplementedError(
-            f"image decode: unsupported magic {magic!r} — only binary PNM "
-            "(P5 grayscale / P6 RGB) decodes without codec libraries"
-        )
-    # PNM header: magic, then width/height/maxval as ASCII tokens
-    # separated by whitespace, with '#'-to-end-of-line comments allowed
-    # anywhere between tokens; exactly ONE whitespace byte after maxval,
-    # then the raw raster.
-    pos = 2
+def _pnm_tokens(payload: bytes, pos: int, count: int) -> tuple[list[int], int]:
+    """Read ``count`` ASCII integer tokens from a PNM header/raster:
+    whitespace-separated, '#'-to-end-of-line comments allowed between
+    tokens. Returns (values, position after the last token)."""
     vals: list[int] = []
-    while len(vals) < 3:
+    while len(vals) < count:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
             pos += 1
         if pos < len(payload) and payload[pos : pos + 1] == b"#":
@@ -77,17 +54,53 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
         if pos == start:
             raise ValueError(f"PNM header: expected integer token at byte {pos}")
         vals.append(int(payload[start:pos]))
-    width, height, maxval = vals
+    return vals, pos
+
+
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an image payload to (width, height, rgb) where ``rgb`` is
+    row-major packed 3-bytes-per-pixel. REAL for the PNM family — PGM
+    grayscale (``P2`` ASCII / ``P5`` binary) and PPM RGB (``P3`` ASCII /
+    ``P6`` binary) are parsed with a stdlib-only decoder (r9 verdict
+    item 3: the decode hook was a NotImplementedError shape; PNM needs
+    no codec libraries, so the full decode -> pixels -> hash path now
+    runs for real). Compressed formats (PNG/JPEG/...) still raise
+    NotImplementedError — their codecs are genuinely absent in this
+    container; a deployment swaps in PIL/opencv behind this same
+    signature and every downstream op runs unchanged.
+    Raster bytes are returned UNSCALED (0..maxval, not normalized to
+    0..255): ahash64 thresholds each cell against the image's own mean,
+    so the hash is scale-invariant and rescaling would only add a
+    rounding step two engines could disagree on."""
+    if payload is None or len(payload) < 2:
+        raise ValueError("image payload empty or truncated")
+    magic = bytes(payload[:2])
+    if magic not in (b"P2", b"P3", b"P5", b"P6"):
+        raise NotImplementedError(
+            f"image decode: unsupported magic {magic!r} — only PNM "
+            "(P2/P5 grayscale, P3/P6 RGB) decodes without codec libraries"
+        )
+    channels = 1 if magic in (b"P2", b"P5") else 3
+    # header: width/height/maxval as ASCII tokens, '#' comments allowed.
+    (width, height, maxval), pos = _pnm_tokens(payload, 2, 3)
     if width <= 0 or height <= 0:
         raise ValueError(f"PNM header: bad dimensions {width}x{height}")
     if not 1 <= maxval <= 255:
         raise ValueError(f"PNM header: maxval {maxval} outside 8-bit range")
-    pos += 1  # the single whitespace byte after maxval
-    channels = 1 if magic == b"P5" else 3
     need = width * height * channels
-    raster = bytes(payload[pos : pos + need])
-    if len(raster) != need:
-        raise ValueError(f"PNM raster truncated: need {need} bytes, have {len(raster)}")
+    if magic in (b"P2", b"P3"):
+        # ASCII raster: integer tokens (comments legal here too)
+        samples, _ = _pnm_tokens(payload, pos, need)
+        if any(s > maxval for s in samples):
+            raise ValueError("PNM raster: sample exceeds declared maxval")
+        raster = bytes(samples)
+    else:
+        pos += 1  # the single whitespace byte after maxval
+        raster = bytes(payload[pos : pos + need])
+        if len(raster) != need:
+            raise ValueError(
+                f"PNM raster truncated: need {need} bytes, have {len(raster)}"
+            )
     if channels == 1:
         rgb = bytes(g for g in raster for _ in range(3))
     else:

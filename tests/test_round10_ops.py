@@ -134,10 +134,11 @@ def test_mm_decode_phash_known_answer(spark):
 
 
 def test_decode_roundtrip_property():
-    """Hypothesis roundtrip: any (w, h, raster) encodes to a P6 that
-    decodes back exactly; any P5 gray raster expands channel-faithfully.
-    Catches off-by-ones in header token/raster boundary handling that a
-    fixed fixture can miss."""
+    """Hypothesis roundtrip across all four PNM variants: any
+    (w, h, raster) encodes to a P2/P3/P5/P6 that decodes back exactly;
+    gray rasters expand channel-faithfully. Catches off-by-ones in
+    header token/raster boundary handling that a fixed fixture can
+    miss, and pins binary/ASCII raster equivalence."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -147,9 +148,9 @@ def test_decode_roundtrip_property():
         h=st.integers(1, 40),
         data=st.data(),
         gray=st.booleans(),
-        maxval=st.integers(1, 255),
+        ascii_form=st.booleans(),
     )
-    def check(w, h, data, gray, maxval):
+    def check(w, h, data, gray, ascii_form):
         ch = 1 if gray else 3
         raster = bytes(
             data.draw(
@@ -158,8 +159,13 @@ def test_decode_roundtrip_property():
                 )
             )
         )
-        magic = b"P5" if gray else b"P6"
-        payload = magic + f"\n{w} {h}\n{maxval}\n".encode() + raster
+        if ascii_form:
+            magic = b"P2" if gray else b"P3"
+            body = " ".join(str(s) for s in raster).encode()
+        else:
+            magic = b"P5" if gray else b"P6"
+            body = raster
+        payload = magic + f"\n{w} {h}\n255\n".encode() + body
         dw, dh, rgb = decode_image(payload)
         assert (dw, dh) == (w, h)
         if gray:
@@ -168,6 +174,19 @@ def test_decode_roundtrip_property():
             assert rgb == raster
 
     check()
+
+
+def test_decode_ascii_variants_known_case():
+    # P3 with comments inside the raster (legal PNM), P2 gray expansion,
+    # over-maxval sample rejection.
+    w, h, rgb = decode_image(b"P3\n2 1\n255\n10 20 30 # mid-raster\n40 50 60")
+    assert (w, h, rgb) == (2, 1, bytes([10, 20, 30, 40, 50, 60]))
+    w, h, rgb = decode_image(b"P2\n1 2\n200\n7\n200")
+    assert (w, h, rgb) == (1, 2, bytes([7, 7, 7, 200, 200, 200]))
+    with pytest.raises(ValueError, match="exceeds declared maxval"):
+        decode_image(b"P2\n1 1\n100\n101")
+    with pytest.raises(ValueError, match="expected integer"):
+        decode_image(b"P3\n2 1\n255\n10 20 30")  # truncated ASCII raster
 
 
 def test_decode_junk_never_miscategorizes():
