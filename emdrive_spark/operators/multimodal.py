@@ -81,6 +81,16 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
             "(P2/P5 grayscale, P3/P6 RGB) decodes without codec libraries"
         )
     channels = 1 if magic in (b"P2", b"P5") else 3
+    # The magic must be FOLLOWED by whitespace or a comment: without
+    # this, b"P21 1 1 0" parses as P2 with the width merging into the
+    # byte after the magic, silently decoding corrupt/non-PNM headers
+    # (r10 ADVICE). payload[2:3] == b"" (len-2 payload) fails both
+    # arms and raises here too.
+    sep = payload[2:3]
+    if not (sep.isspace() or sep == b"#"):
+        raise ValueError(
+            f"PNM header: magic must be followed by whitespace or '#', got {sep!r}"
+        )
     # header: width/height/maxval as ASCII tokens, '#' comments allowed.
     (width, height, maxval), pos = _pnm_tokens(payload, 2, 3)
     if width <= 0 or height <= 0:
@@ -541,12 +551,14 @@ def mm_decode_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder, so the two sides agree only if header parse, raster
     slicing, grayscale and threshold math are all bit-correct.
 
-    Scale shape (100 TB images): the decode + hash runs ONCE per unique
-    payload inside mapInPandas on the scan's Arrow batches — payload
-    bytes never shuffle; the hash frame (5 longs/row) is checkpointed
-    before fanning out to both sides of the band join, so the Python
-    stage executes exactly once (plan-structural, not
-    exchange-reuse-dependent). Banding bounds candidates (4x16-bit
+    Scale shape (100 TB images): the decode + hash runs once per
+    document row (base + perturbed payloads both decoded in that row's
+    visit) inside a SINGLE mapInPandas Python stage on the scan's Arrow
+    batches — payload bytes never shuffle; the hash frame (5 longs/row)
+    is checkpointed before fanning out to both sides of the band join,
+    so the Python stage executes exactly once per run (plan-structural,
+    not exchange-reuse-dependent; the once-only property is
+    stage-level, duplicate payload BYTES are not deduped before decode). Banding bounds candidates (4x16-bit
     bands: hamming <= 3 always caught); the verify is O(band
     collisions), never all-pairs. ABSENT in the reference (its metric
     index is an unwired Vec<u128>, src/storage/index.rs:12-103); this

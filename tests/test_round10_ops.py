@@ -204,8 +204,11 @@ def test_decode_junk_never_miscategorizes():
             w, h, rgb = decode_image(payload)
         except (NotImplementedError, ValueError):
             return
-        # a successful decode of random bytes must be a genuine PNM
-        assert bytes(payload[:2]) in (b"P5", b"P6")
+        # a successful decode of random bytes must be a genuine PNM —
+        # any of the four magics (ASCII P2/P3 are legitimately
+        # decodable, e.g. b"P2 1 1 1 0"; r10 ADVICE) — and the decoded
+        # raster is always packed RGB regardless of source form.
+        assert bytes(payload[:2]) in (b"P2", b"P3", b"P5", b"P6")
         assert len(rgb) == w * h * 3
 
     check()

@@ -82,6 +82,14 @@ def main() -> None:
                 start = marker.end() if marker else 0
                 end = tail.find("}", start)
                 span = tail[start : end if end != -1 else len(tail)]
+                # No marker + span holds top-level scalars ("metric")
+                # -> the window does NOT start mid-queries-dict (e.g.
+                # the payload had its queries elided entirely, or the
+                # window opens on pre-JSON chatter). Scanning from 0
+                # would record "value"/"reps"/"sf" as per-query rows
+                # (r10 ADVICE) — skip recovery for that round instead.
+                if marker is None and '"metric"' in span:
+                    continue
                 prior[rnd] = {
                     m.group(1): float(m.group(2))
                     for m in re.finditer(r'"([a-z0-9_]+)":\s*([0-9.]+)', span)
