@@ -5,6 +5,19 @@ Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+r11: the artifact is now steal-invariant. Every rep is bracketed by
+guest CPU-counter snapshots (emdrive_spark/functions/hostmeter.py), so
+next to the wall medians ("queries") the payload carries per-query
+executor CPU medians ("cpu" — the cross-round regression metric: a
+hypervisor-stolen patch stretches wall but adds no cpu), per-query
+steal medians ("steal", BENCH_LOCAL.json only), and run-level
+"steal_total"/"steal_share". Two in-run canaries mark a run noisy
+independent of start load: steal_share > $SPARK_GRAFT_STEAL_NOISY
+(default 0.05) and canary_ratio > $SPARK_GRAFT_CANARY_NOISY (default
+1.2, pinned stable queries vs the committed quiet record). Rationale:
+r9/r10 both shipped flagged-noisy official artifacts and four
+same-code runs spanned 157-226 s — wall alone stopped being evidence.
+
 Each query executes end-to-end into a noop sink (full computation, no
 collect-to-driver cost in the measurement). Each query runs
 $SPARK_GRAFT_REPS times (default 3) and reports the PER-QUERY MEDIAN —
@@ -49,6 +62,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from emdrive_spark import registry  # noqa: E402
+from emdrive_spark.functions import hostmeter  # noqa: E402
 from emdrive_spark.functions.ckpt import release  # noqa: E402
 from emdrive_spark.session import get_spark  # noqa: E402
 
@@ -206,6 +220,42 @@ def _load_gate() -> tuple[bool, float]:
     return (load1 > flag or load1 >= gate), round(load1, 2)
 
 
+# Post-run canary (r10 verdict item 4): a pinned set of stable,
+# many-rounds-untouched, >=0.8 s queries whose wall medians are
+# compared against the committed quiet record (BENCH_LOCAL.json as it
+# stood at run START). A median ratio beyond $SPARK_GRAFT_CANARY_NOISY
+# (default 1.2) marks the run noisy even when the start load was quiet
+# — the r10 quiet-start runs (load 0.05-0.21) were still
+# steal-inflated and nothing in-run said so. This catches mid-run
+# contamination of ANY origin; the steal counter (hostmeter) catches
+# the hypervisor specifically and attributes it per query. A genuine
+# engine change to a canary op would also trip this — keep the set to
+# ops under the freeze list, and read `canary_ratio` next to
+# `steal_share` to tell the two apart (engine change: ratio moves,
+# steal ~0; co-tenancy: both move).
+_CANARY = (
+    "dedup_lsh_verified",
+    "dedup_embedding",
+    "text_perplexity_bucket",
+    "dedup_edit_verified",
+    "pack_sequences",
+)
+
+
+def _canary_ratio(timings: dict, baseline: dict) -> float | None:
+    """Median over the canary set of this-run/committed-record wall
+    medians; None when fewer than 3 canaries are comparable (first
+    instrumented run, renamed ops, or a missing record)."""
+    ratios = [
+        timings[n] / baseline[n]
+        for n in _CANARY
+        if n in timings and isinstance(baseline.get(n), (int, float)) and baseline[n] > 0
+    ]
+    if len(ratios) < 3:
+        return None
+    return round(statistics.median(ratios), 3)
+
+
 _TAIL_CAP = 1900  # driver keeps the last 2000 chars; leave newline margin
 
 
@@ -220,30 +270,40 @@ def _fit_tail_cap(payload: dict) -> dict:
     Policy: drop the CHEAPEST per-query rows first — their
     cross-round deltas are noise-dominated on this host (r4/r8
     findings: sub-second rows swing 20-90% with load), while the
-    expensive rows are the regression signal. The count of elided
-    rows rides in "queries_elided", and the COMPLETE per-query dict
+    expensive rows are the regression signal. A dropped row leaves
+    BOTH its wall ("queries") and cpu ("cpu") entries, so the two
+    dicts stay aligned for readers. The per-query steal dict never
+    rides on stdout at all (attribution detail; run-level
+    steal_share/steal_total carry the headline signal). The count of
+    elided rows rides in "queries_elided", and the COMPLETE payload
     is always in BENCH_LOCAL.json (written by main() before this
     trim, same directory as the driver's BENCH_r{N}.json)."""
     slim = dict(payload)
+    slim.pop("steal", None)
     line = json.dumps(slim, separators=(",", ":"))
     if len(line) <= _TAIL_CAP:
         return slim
     qs = dict(payload["queries"])
+    cpu = dict(payload.get("cpu") or {})
     elided = 0
     for name in sorted(qs, key=qs.get):
         if len(line) <= _TAIL_CAP:
             break
         del qs[name]
+        cpu.pop(name, None)
         elided += 1
         slim["queries"] = qs
+        if "cpu" in slim:
+            slim["cpu"] = cpu
         slim["queries_elided"] = elided
         line = json.dumps(slim, separators=(",", ":"))
     if len(line) > _TAIL_CAP:
         # Last resort (r9 ADVICE): if the non-query fields alone
         # exceed the cap (e.g. a pathological sf_dir-derived sf
-        # string), drop the queries dict entirely so the driver can
-        # always recover at least {metric, value}.
+        # string), drop the per-query dicts entirely so the driver
+        # can always recover at least {metric, value}.
         slim.pop("queries", None)
+        slim.pop("cpu", None)
         slim["queries_elided"] = len(payload["queries"])
     return slim
 
@@ -251,6 +311,19 @@ def _fit_tail_cap(payload: dict) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    here = os.path.dirname(os.path.abspath(__file__))
+    # Canary baseline: the quiet record as it stands at run START —
+    # i.e. the committed BENCH_LOCAL.json, before this run overwrites
+    # it. Only comparable at the default SF (the record is an sf0.1
+    # artifact).
+    canary_base: dict = {}
+    try:
+        with open(os.path.join(here, "BENCH_LOCAL.json")) as f:
+            rec = json.load(f)
+        if rec.get("sf") == 0.1 and sf == "0.1":
+            canary_base = rec.get("queries") or {}
+    except (OSError, ValueError):
+        pass
     noisy, load_at_start = _load_gate()
     spark = get_spark("emdrive-bench")
 
@@ -281,12 +354,30 @@ def main() -> None:
     # reps inflated). Spreading each query's samples across the whole
     # session turns a patch into <=1 bad sample per query, which the
     # median then discards.
+    # Steal-invariant metering (r10 verdict item 1): around every timed
+    # rep, snapshot guest CPU counters (hostmeter). The cpu_s delta is
+    # the CPU the query actually EXECUTED — a hypervisor-stolen patch
+    # stretches wall but adds no cpu, so cross-round regression claims
+    # read the "cpu" dict, not wall. The steal_s delta attributes any
+    # wall outlier to co-tenancy per rep, with no committed-record
+    # comparison needed. Metering reads two proc files per rep (~µs).
+    metered = hostmeter.snapshot()["busy_s"] is not None
+    run_t0 = hostmeter.snapshot()
     samples: dict[str, list] = {name: [] for name in HEADLINE}
+    cpu_samples: dict[str, list] = {name: [] for name in HEADLINE}
+    steal_samples: dict[str, list] = {name: [] for name in HEADLINE}
     for _ in range(reps):
         for name in HEADLINE:
+            m0 = hostmeter.snapshot() if metered else None
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+            if metered:
+                d = hostmeter.delta(m0, hostmeter.snapshot())
+                if d["cpu_s"] is not None:
+                    cpu_samples[name].append(d["cpu_s"])
+                if d["steal_s"] is not None:
+                    steal_samples[name].append(d["steal_s"])
             # Outside the timer: drop the rep's lineage-truncation
             # blocks so every rep (and every query) starts with a
             # clean block store. Without this, nine checkpoint-heavy
@@ -297,10 +388,19 @@ def main() -> None:
             # the async removal storm must not overlap the next
             # timed rep.
             release(spark, blocking=True)
+    run_delta = hostmeter.delta(run_t0, hostmeter.snapshot()) if metered else {}
     timings = {
         # statistics.median, not sorted[n//2]: reps is env-overridable
         # and the upper-middle pick is biased high at even counts
         name: round(statistics.median(rs), 3) for name, rs in samples.items()
+    }
+    cpu_med = {
+        name: round(statistics.median(rs), 3)
+        for name, rs in cpu_samples.items() if rs
+    }
+    steal_med = {
+        name: round(statistics.median(rs), 3)
+        for name, rs in steal_samples.items() if rs
     }
 
     total = round(sum(timings.values()), 3)
@@ -312,17 +412,38 @@ def main() -> None:
         load_avg = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         load_avg = None
+    # Two in-run noise canaries, independent of start-load (r10 verdict
+    # items 1+4 — quiet-START runs were still steal-inflated):
+    # steal_share measures the hypervisor directly over the timed
+    # section; canary_ratio compares pinned stable queries against the
+    # committed quiet record. Either tripping marks the run noisy.
+    share = hostmeter.steal_share(run_delta) if metered else None
+    steal_gate = float(os.environ.get("SPARK_GRAFT_STEAL_NOISY", "0.05"))
+    canary_gate = float(os.environ.get("SPARK_GRAFT_CANARY_NOISY", "1.2"))
+    ratio = _canary_ratio(timings, canary_base)
+    noisy = bool(
+        noisy
+        or (share is not None and share > steal_gate)
+        or (ratio is not None and ratio > canary_gate)
+    )
     payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "cpu": cpu_med or None,
+        "cpu_total": round(sum(cpu_med.values()), 1) if cpu_med else None,
+        "steal": steal_med or None,
+        "steal_total": run_delta.get("steal_s"),
+        "steal_share": share,
+        "canary_ratio": ratio,
         "reps": reps,
         "load_avg": load_avg,
         "load_at_start": load_at_start,
         "noisy": noisy,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    payload = {k: v for k, v in payload.items() if v is not None}
     # Full-fidelity record, uncapped: the driver keeps only the LAST
     # 2000 chars of bench output and json-parses the artifact of
     # record out of that window — the headline set outgrew it at r6
@@ -332,7 +453,14 @@ def main() -> None:
     # .noisy sidecar instead (r9 ADVICE): the tracked quiet record
     # must not be clobbered by a contaminated run — r9's working tree
     # showed exactly that drift after the noisy official run.
-    local_name = "BENCH_LOCAL.noisy.json" if noisy else "BENCH_LOCAL.json"
+    # Non-default-SF runs land in an sf-suffixed sidecar: the tracked
+    # BENCH_LOCAL.json is the sf0.1 quiet record — a quiet dev run at
+    # sf0.001 must not clobber it (r11: it is now also the canary
+    # baseline, so clobbering would poison the noise gate itself).
+    if sf == "0.1":
+        local_name = "BENCH_LOCAL.noisy.json" if noisy else "BENCH_LOCAL.json"
+    else:
+        local_name = f"BENCH_LOCAL.sf{sf}{'.noisy' if noisy else ''}.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), local_name), "w") as f:
         json.dump(payload, f, indent=1)
         f.write("\n")

@@ -1,0 +1,91 @@
+"""Steal-invariant host CPU metering for the bench harness.
+
+Problem (r9/r10 verdicts): this host is a VM whose hypervisor steals
+CPU in minutes-long patches that are INVISIBLE to in-guest load
+average — two consecutive official bench artifacts measured the host,
+not the engine, and four same-code runs spanned 157-226 s within
+hours. Wall-clock alone can no longer prove or refute any cross-round
+perf claim.
+
+Instrument, don't guess. The guest kernel exposes exactly the two
+counters that settle it:
+
+- ``/proc/stat`` row ``cpu``: cumulative jiffies per state. Fields
+  user+nice+system+irq+softirq = CPU the guest actually EXECUTED
+  ("busy"); field 8 (``steal``) = time the hypervisor ran someone else
+  while this guest had runnable vCPUs — the paravirt steal clock, the
+  direct co-tenancy signal loadavg cannot see.
+- cgroup v1 ``cpuacct.usage``: cumulative ns of CPU executed by the
+  guest's process tree, ns resolution (finer than the 10 ms jiffy).
+
+Per-query CPU time (busy/cpuacct deltas) is the steal-invariant
+regression metric: a hypervisor-stolen patch stretches WALL time but
+adds no BUSY time, so cross-round comparisons of cpu_s survive the
+noise that wall medians drown in. Per-query steal deltas attribute any
+wall outlier to co-tenancy on the spot, per rep, with no committed-
+record comparison needed.
+
+All readers return None on hosts without the counter (non-Linux, no
+cgroup v1) — the bench degrades to wall-only exactly as before.
+"""
+
+from __future__ import annotations
+
+import os
+
+_PROC_STAT = "/proc/stat"
+_CPUACCT = "/sys/fs/cgroup/cpuacct/cpuacct.usage"
+
+try:
+    _HZ = float(os.sysconf("SC_CLK_TCK"))
+except (AttributeError, ValueError, OSError):
+    _HZ = 100.0
+
+
+def snapshot() -> dict[str, float | None]:
+    """One coherent reading: ``{"busy_s", "steal_s", "cpu_s"}``.
+
+    busy_s/steal_s come from one ``/proc/stat`` read (guest-wide,
+    jiffy resolution); cpu_s from cgroup cpuacct (ns resolution),
+    falling back to busy_s when the cgroup file is absent. Values are
+    cumulative-since-boot seconds; callers diff two snapshots.
+    """
+    busy = steal = None
+    try:
+        with open(_PROC_STAT) as f:
+            parts = f.readline().split()
+        # cpu user nice system idle iowait irq softirq steal ...
+        vals = [int(x) for x in parts[1:9]]
+        busy = (vals[0] + vals[1] + vals[2] + vals[5] + vals[6]) / _HZ
+        steal = vals[7] / _HZ
+    except (OSError, ValueError, IndexError):
+        pass
+    cpu = None
+    try:
+        with open(_CPUACCT) as f:
+            cpu = int(f.read()) / 1e9
+    except (OSError, ValueError):
+        cpu = busy
+    return {"busy_s": busy, "steal_s": steal, "cpu_s": cpu}
+
+
+def delta(before: dict, after: dict) -> dict[str, float | None]:
+    """Per-field difference of two snapshots (None-propagating)."""
+    return {
+        k: (round(after[k] - before[k], 3)
+            if before.get(k) is not None and after.get(k) is not None
+            else None)
+        for k in ("busy_s", "steal_s", "cpu_s")
+    }
+
+
+def steal_share(d: dict) -> float | None:
+    """Fraction of demanded CPU the hypervisor stole during the
+    interval: steal / (steal + busy). The noisy-run canary that works
+    where loadavg doesn't (r10 quiet-START runs at load 0.05-0.21 were
+    still steal-inflated). None when either counter is missing or the
+    interval shows no demand at all."""
+    s, b = d.get("steal_s"), d.get("busy_s")
+    if s is None or b is None or s + b <= 0:
+        return None
+    return round(s / (s + b), 4)
