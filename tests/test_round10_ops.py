@@ -44,8 +44,13 @@ def test_decode_header_comments_and_multiline_whitespace():
 
 
 def test_decode_error_taxonomy():
-    with pytest.raises(NotImplementedError, match="unsupported magic"):
+    # r11: the PNG signature now routes to the real PNG decoder, so a
+    # garbage body behind it is CORRUPTION (ValueError), not an
+    # unsupported format; JPEG remains the unsupported-magic case.
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n" + bytes(16))
+    with pytest.raises(NotImplementedError, match="unsupported magic"):
+        decode_image(b"\xff\xd8\xff\xe0" + bytes(16))  # JPEG/JFIF
     with pytest.raises(ValueError, match="truncated"):
         decode_image(b"P6\n2 2\n255\n" + bytes(5))  # need 12
     with pytest.raises(ValueError, match="maxval"):
