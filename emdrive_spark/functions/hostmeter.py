@@ -27,6 +27,13 @@ record comparison needed.
 
 All readers return None on hosts without the counter (non-Linux, no
 cgroup v1) — the bench degrades to wall-only exactly as before.
+
+Attribution caveat: busy/cpuacct are GUEST-WIDE, so a per-rep cpu
+delta attributes any co-resident in-guest work to the rep's query.
+That is the right trade for the driver's bench (nothing else runs in
+the guest, and a process-tree-scoped reader would miss the JVM's
+detached Python workers); the steal counter is immune either way —
+only the hypervisor can produce steal.
 """
 
 from __future__ import annotations
