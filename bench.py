@@ -174,8 +174,9 @@ HEADLINE = (
     "bpe_apply",                # trained-merge tokenization + counts
     # round 9 addition (same caveat)
     "pack_sequences_bpe",       # train -> tokenize -> pack, BPE budget
-    # round 11 addition (same caveat)
+    # round 11 additions (same caveat)
     "mm_decode_phash_png",      # real PNG decode -> pixel phash dedup
+    "mm_decode_resize_phash",   # decode -> real block-mean resize -> phash
 )
 
 

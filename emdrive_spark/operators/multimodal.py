@@ -58,6 +58,10 @@ def _pnm_tokens(payload: bytes, pos: int, count: int) -> tuple[list[int], int]:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# gray byte -> packed RGB triple, precomputed: b"".join(map(...)) over
+# this table is ~6x faster than a nested generator per pixel (r11
+# cpu-column profiling; the decode ops run this per image).
+_TRIPLE = [bytes((i, i, i)) for i in range(256)]
 # channels per PNG color type at bit depth 8 (palette type 3 excluded:
 # it needs a PLTE lookup we deliberately leave unimplemented below)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
@@ -189,9 +193,9 @@ def _png_decode(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError(f"PNG IDAT: inflate failed ({e})") from None
     px = _png_unfilter(raw, width, height, channels)
     if channels == 1:
-        rgb = bytes(g for g in px for _ in range(3))
+        rgb = b"".join(map(_TRIPLE.__getitem__, px))
     elif channels == 2:  # gray+alpha: keep gray, drop alpha
-        rgb = bytes(px[i] for i in range(0, len(px), 2) for _ in range(3))
+        rgb = b"".join(map(_TRIPLE.__getitem__, px[0::2]))
     elif channels == 3:
         rgb = bytes(px)
     else:  # RGBA: drop alpha
@@ -259,7 +263,7 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
                 f"PNM raster truncated: need {need} bytes, have {len(raster)}"
             )
     if channels == 1:
-        rgb = bytes(g for g in raster for _ in range(3))
+        rgb = b"".join(map(_TRIPLE.__getitem__, raster))
     else:
         rgb = raster
     return width, height, rgb
@@ -277,27 +281,34 @@ def ahash64(width: int, height: int, rgb: bytes) -> tuple[int, int]:
     contract; a production resampler relaxes this upstream)."""
     if width % 8 or height % 8:
         raise ValueError(f"ahash64 needs 8-divisible dims, got {width}x{height}")
-    gray = [
-        (rgb[i] + rgb[i + 1] + rgb[i + 2]) // 3 for i in range(0, len(rgb), 3)
-    ]
+    # slice-strided channel extraction beats per-pixel index arithmetic
+    # ~3x; at 8x8 each cell IS one gray pixel, so the block-sum loop
+    # collapses entirely (69 -> 15 µs/image, r11 cpu-column profiling —
+    # this function runs twice per document in three certified ops).
+    gray = [(a + b + c) // 3 for a, b, c in zip(rgb[0::3], rgb[1::3], rgb[2::3])]
     bw, bh = width // 8, height // 8
-    total = sum(gray)
-    n_pixels = width * height
-    cell_pixels = bw * bh
-    hi = lo = 0
-    for bi in range(8):
-        for bj in range(8):
-            cell = sum(
+    if bw == 1 and bh == 1:
+        cells = gray
+    else:
+        cells = [
+            sum(
                 gray[(bi * bh + y) * width + bj * bw + x]
                 for y in range(bh)
                 for x in range(bw)
             )
-            bit = 1 if cell * n_pixels > total * cell_pixels else 0
-            idx = bi * 8 + bj
+            for bi in range(8)
+            for bj in range(8)
+        ]
+    total = sum(gray)
+    n_pixels = width * height
+    cell_pixels = bw * bh
+    hi = lo = 0
+    for idx, cell in enumerate(cells):
+        if cell * n_pixels > total * cell_pixels:
             if idx < 32:
-                hi |= bit << (31 - idx)
+                hi |= 1 << (31 - idx)
             else:
-                lo |= bit << (63 - idx)
+                lo |= 1 << (63 - idx)
     return hi, lo
 
 
@@ -315,7 +326,7 @@ def encode_ppm_fixture(text: str, perturb: bool = False) -> bytes:
     )
     if perturb:
         gray[0] = (gray[0] + 128) % 256
-    return b"P6\n8 8\n255\n" + bytes(g for g in gray for _ in range(3))
+    return b"P6\n8 8\n255\n" + b"".join(map(_TRIPLE.__getitem__, gray))
 
 
 def encode_png_fixture(text: str, perturb: bool = False) -> bytes:
@@ -328,36 +339,74 @@ def encode_png_fixture(text: str, perturb: bool = False) -> bytes:
     for random-ish data. Chunks carry spec-correct CRCs (the decoder
     verifies them)."""
     import hashlib  # noqa: PLC0415 — worker-side import
-    import struct  # noqa: PLC0415 — worker-side import
-    import zlib  # noqa: PLC0415 — worker-side import
 
     gray = bytearray(
         b"".join(hashlib.md5(f"{text}:{k}".encode()).digest() for k in range(4))
     )
     if perturb:
         gray[0] = (gray[0] + 128) % 256
-    rgb = bytes(g for g in gray for _ in range(3))
-    stride, bpp = 8 * 3, 3
+    rgb = b"".join(map(_TRIPLE.__getitem__, gray))
+    return _png_pack(8, 8, 2, rgb)  # color type 2: RGB
+
+
+def encode_png_gray16_fixture(text: str, perturb: bool = False) -> bytes:
+    """16x16 GRAYSCALE (color type 0) PNG fixture for the
+    decode->resize->hash op: 256 gray levels are the concatenated md5
+    digests of ``f"{text}:{k}"`` for k in 0..15 (same closed form the
+    oracle reproduces, four times the area), rows again cycling through
+    all five filter types — this op certifies the grayscale PNG path
+    the RGB fixture can't. ``perturb`` shifts pixel 0 by +128 mod 256
+    (after the 2x2 mean it still moves the resized pixel by 32, so the
+    perturbed twin lands a bounded nonzero hamming away)."""
+    import hashlib  # noqa: PLC0415 — worker-side import
+
+    gray = bytearray(
+        b"".join(hashlib.md5(f"{text}:{k}".encode()).digest() for k in range(16))
+    )
+    if perturb:
+        gray[0] = (gray[0] + 128) % 256
+    return _png_pack(16, 16, 0, bytes(gray))  # color type 0: grayscale
+
+
+def _png_pack(width: int, height: int, color: int, px: bytes) -> bytes:
+    """Shared fixture writer: encode raw samples as a real PNG whose
+    row y uses filter type y % 5 (all five unfilter paths load-bearing
+    in every certified decode op), with spec-correct chunk CRCs."""
+    import struct  # noqa: PLC0415 — worker-side import
+    import zlib  # noqa: PLC0415 — worker-side import
+
+    bpp = _PNG_CHANNELS[color]
+    stride = width * bpp
     filtered = bytearray()
     prev = bytes(stride)
-    for y in range(8):
-        row = rgb[y * stride : (y + 1) * stride]
+    pad = bytes(bpp)
+    # per-type zip pipelines instead of a branch-per-byte loop (the
+    # r11 cpu-column profiling found this loop dominating the fixture
+    # encoders). Predictions read ORIGINAL samples (= reconstructed,
+    # since reconstruction is exact), so left/up-left are just the row
+    # shifted right by one pixel with a zero pad — spec 9.2.
+    for y in range(height):
+        row = px[y * stride : (y + 1) * stride]
         ftype = y % 5
         filtered.append(ftype)
-        for i in range(stride):
-            left = row[i - bpp] if i >= bpp else 0
-            ul = prev[i - bpp] if i >= bpp else 0
-            if ftype == 0:
-                pred = 0
-            elif ftype == 1:
-                pred = left
-            elif ftype == 2:
-                pred = prev[i]
-            elif ftype == 3:
-                pred = (left + prev[i]) // 2
-            else:
-                pred = _paeth(left, prev[i], ul)
-            filtered.append((row[i] - pred) & 255)
+        if ftype == 0:
+            filtered += row
+        elif ftype == 1:  # Sub: left neighbor
+            filtered += bytes((x - l) & 255 for x, l in zip(row, pad + row[:-bpp]))
+        elif ftype == 2:  # Up
+            filtered += bytes((x - u) & 255 for x, u in zip(row, prev))
+        elif ftype == 3:  # Average
+            filtered += bytes(
+                (x - (l + u) // 2) & 255
+                for x, l, u in zip(row, pad + row[:-bpp], prev)
+            )
+        else:  # Paeth
+            filtered += bytes(
+                (x - _paeth(l, u, c)) & 255
+                for x, l, u, c in zip(
+                    row, pad + row[:-bpp], prev, pad + prev[:-bpp]
+                )
+            )
         prev = row
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
@@ -368,13 +417,77 @@ def encode_png_fixture(text: str, perturb: bool = False) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data))
         )
 
-    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0)  # 8x8, depth 8, RGB
+    # Hand-built zlib stream with one STORED deflate block: spec-valid
+    # (zlib header 78 01, block type 00 with LEN/NLEN, adler32 trailer
+    # — RFC 1950/1951), inflates through the decoder's normal path, and
+    # skips zlib.compress's ~60 µs deflate-state setup that dominates
+    # fixture-sized payloads (r11 cpu-column profiling). Real encoders
+    # emit stored blocks for incompressible data, so the decode stack
+    # exercises a shape it must handle anyway. Fixture rasters fit one
+    # block by construction (stored blocks cap at 65535 bytes).
+    body = bytes(filtered)
+    if len(body) > 65535:
+        raise ValueError("fixture raster exceeds one stored deflate block")
+    idat = (
+        b"\x78\x01\x01"
+        + len(body).to_bytes(2, "little")
+        + (len(body) ^ 0xFFFF).to_bytes(2, "little")
+        + body
+        + zlib.adler32(body).to_bytes(4, "big")
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + chunk(b"IDAT", idat)
         + chunk(b"IEND", b"")
     )
+
+
+def resize_block_mean(width: int, height: int, rgb: bytes, factor: int) -> tuple[int, int, bytes]:
+    """REAL pixel resize: integer block-mean downsample by ``factor``
+    in both axes, per channel, floor division (sum // factor²). The
+    floor makes this a genuine lossy resample — hashing the resized
+    grid is NOT equivalent to ahash64's own internal block-mean over
+    the full-resolution grid (which compares exact cell sums), so an
+    oracle over the resized pixels checks the resize itself. Exact
+    divisibility required: the fixture contract (a production
+    resampler handles edge blocks upstream of this integer core)."""
+    if factor <= 0 or width % factor or height % factor:
+        raise ValueError(
+            f"resize_block_mean needs dims divisible by factor, got "
+            f"{width}x{height} / {factor}"
+        )
+    nw, nh = width // factor, height // factor
+    out = bytearray(nw * nh * 3)
+    if factor == 2:
+        # zip-of-slices fast path for the certified op's factor
+        # (233 -> ~60 µs/image, r11 cpu-column profiling): per channel,
+        # pair adjacent pixels of two adjacent rows — no index math in
+        # the inner loop; >> 2 is the same floor as // 4.
+        for c in range(3):
+            chan = rgb[c::3]
+            for by in range(nh):
+                r0 = 2 * by * width
+                a = chan[r0 : r0 + width]
+                b = chan[r0 + width : r0 + 2 * width]
+                base = by * nw * 3 + c
+                for i, (p, q, r, s) in enumerate(
+                    zip(a[0::2], a[1::2], b[0::2], b[1::2])
+                ):
+                    out[base + 3 * i] = (p + q + r + s) >> 2
+        return nw, nh, bytes(out)
+    area = factor * factor
+    for by in range(nh):
+        for bx in range(nw):
+            for c in range(3):
+                s = 0
+                for y in range(factor):
+                    row0 = ((by * factor + y) * width + bx * factor) * 3 + c
+                    for x in range(factor):
+                        s += rgb[row0 + 3 * x]
+                out[(by * nw + bx) * 3 + c] = s // area
+    return nw, nh, bytes(out)
 
 
 def fake_features(payload: bytes) -> tuple[int, int]:
@@ -689,6 +802,32 @@ _DP_SHIFT = _PH_SHIFT
 # certify against the identical SQL, and each container's full
 # decode stack (header/raster for PNM; chunks/CRC/inflate/unfilter for
 # PNG) is value-checked end to end.
+def _band_dedup_tail(width: int) -> str:
+    """Shared oracle tail for the decode->hash ops: given a CTE ``h``
+    (doc_id, hi, lo), band the 64-bit hash into 4x16-bit keys, count
+    hamming<=3 partners per doc, and emit the contract columns. One
+    tail, three certified front-ends (PPM, PNG, PNG+resize)."""
+    return f"""
+    bands AS (
+      SELECT doc_id, hi, lo, 0 AS band, (hi >> 16) & 65535 AS key FROM h
+      UNION ALL SELECT doc_id, hi, lo, 1, hi & 65535 FROM h
+      UNION ALL SELECT doc_id, hi, lo, 2, (lo >> 16) & 65535 FROM h
+      UNION ALL SELECT doc_id, hi, lo, 3, lo & 65535 FROM h
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id <> b.doc_id
+      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+    ),
+    cnt AS (SELECT ida AS doc_id, count(*) AS dup_cnt FROM pairs GROUP BY ida)
+    SELECT h.doc_id, CAST({width} AS BIGINT) AS width,
+           CAST({width} AS BIGINT) AS height,
+           h.hi, h.lo, CAST(coalesce(c.dup_cnt, 0) AS BIGINT) AS dup_cnt
+    FROM h LEFT JOIN cnt c USING (doc_id)
+    """
+
+
 _DECODE_PHASH_ORACLE = f"""
     WITH px0 AS (
       -- closed form of the fixture camera: gray(idx) is byte idx%16 of
@@ -727,23 +866,8 @@ _DECODE_PHASH_ORACLE = f"""
                            ELSE 0 END) AS BIGINT) AS lo
       FROM bits GROUP BY doc_id
     ),
-    bands AS (
-      SELECT doc_id, hi, lo, 0 AS band, (hi >> 16) & 65535 AS key FROM h
-      UNION ALL SELECT doc_id, hi, lo, 1, hi & 65535 FROM h
-      UNION ALL SELECT doc_id, hi, lo, 2, (lo >> 16) & 65535 FROM h
-      UNION ALL SELECT doc_id, hi, lo, 3, lo & 65535 FROM h
-    ),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.key = b.key AND a.doc_id <> b.doc_id
-      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
-    ),
-    cnt AS (SELECT ida AS doc_id, count(*) AS dup_cnt FROM pairs GROUP BY ida)
-    SELECT h.doc_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
-           h.hi, h.lo, CAST(coalesce(c.dup_cnt, 0) AS BIGINT) AS dup_cnt
-    FROM h LEFT JOIN cnt c USING (doc_id)
-    """
+    {_band_dedup_tail(8)}
+"""
 
 
 @register("mm_decode_phash", oracle=_DECODE_PHASH_ORACLE)
@@ -798,10 +922,89 @@ def mm_decode_phash_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _decode_phash_pipeline(spark, sf_dir, encode_png_fixture)
 
 
-def _decode_phash_pipeline(spark: SparkSession, sf_dir: str, encoder) -> DataFrame:
-    """Shared encode -> decode -> ahash -> banded-hamming-dedup plan;
-    ``encoder(text, perturb=bool) -> bytes`` picks the container format
-    (PPM or PNG) the decode stack must round-trip."""
+_DECODE_RESIZE_ORACLE = f"""
+    WITH px0 AS (
+      -- closed form of the 16x16 grayscale fixture: gray(idx) is byte
+      -- idx%16 of md5(text || ':' || idx//16), idx in 0..255.
+      SELECT d.doc_id, k.k * 16 + j.j AS idx,
+             CAST(('0x' || substr(md5(d.text || ':' || CAST(k.k AS VARCHAR)),
+                                  CAST(j.j AS INT) * 2 + 1, 2)) AS BIGINT) AS gray
+      FROM documents d,
+           (SELECT unnest(range(16)) AS k) k,
+           (SELECT unnest(range(16)) AS j) j
+    ),
+    px AS (
+      SELECT doc_id, idx, gray FROM px0
+      UNION ALL
+      SELECT doc_id + {_PH_SHIFT} AS doc_id, idx, gray FROM px0
+      UNION ALL
+      SELECT doc_id + {2 * _PH_SHIFT} AS doc_id, idx,
+             CASE WHEN idx = 0 THEN (gray + 128) % 256 ELSE gray END AS gray
+      FROM px0
+    ),
+    -- the REAL resize under test: 2x2 block mean with FLOOR division
+    -- (sum // 4) — the rounding makes resize-then-hash inequivalent to
+    -- hashing the full grid, so this oracle checks the resample math,
+    -- not just the decode.
+    rs AS (
+      SELECT doc_id,
+             ((idx // 16) // 2) * 8 + ((idx % 16) // 2) AS cell,
+             sum(gray) // 4 AS rgray
+      FROM px GROUP BY doc_id, cell
+    ),
+    tot AS (SELECT doc_id, sum(rgray) AS s FROM rs GROUP BY doc_id),
+    bits AS (
+      SELECT r.doc_id, r.cell AS idx,
+             CASE WHEN r.rgray * 64 > t.s THEN 1 ELSE 0 END AS b
+      FROM rs r JOIN tot t USING (doc_id)
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN idx < 32
+                           THEN b * (1::BIGINT << (31 - CAST(idx AS INT)))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN idx >= 32
+                           THEN b * (1::BIGINT << (63 - CAST(idx AS INT)))
+                           ELSE 0 END) AS BIGINT) AS lo
+      FROM bits GROUP BY doc_id
+    ),
+    {_band_dedup_tail(16)}
+"""
+
+
+@register("mm_decode_resize_phash", oracle=_DECODE_RESIZE_ORACLE)
+def mm_decode_resize_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode -> REAL RESIZE -> hash: each document renders to a 16x16
+    GRAYSCALE PNG (encode_png_gray16_fixture — the grayscale PNG path
+    plus all five filters), the stdlib decoder recovers 256 pixels, a
+    real integer block-mean resample (resize_block_mean, floor
+    division) downsamples them 2x to the 8x8 hash grid, and the banded
+    near-dup machinery runs on the resized hashes. The oracle models
+    the floor explicitly (sum // 4), so resize-then-hash is provably
+    NOT the same as ahash's internal exact-sum block mean over the full
+    grid — a resample bug (wrong block geometry, channel mixup,
+    rounding direction) flips the value hash even when decode and hash
+    are both correct. This is the mm_resize stub made real pixel work:
+    the production image path (decode -> resample -> featurize) with
+    every stage now executing, the sampled variant of the resize
+    documented at mm_resize staying metadata-only by design. Scale
+    shape identical to mm_decode_phash: one mapInPandas stage,
+    checkpointed hash frame, payload bytes never shuffle."""
+    return _decode_phash_pipeline(
+        spark, sf_dir, encode_png_gray16_fixture, resize_factor=2
+    )
+
+
+def _decode_phash_pipeline(
+    spark: SparkSession, sf_dir: str, encoder, resize_factor: int | None = None
+) -> DataFrame:
+    """Shared encode -> decode [-> block-mean resize] -> ahash ->
+    banded-hamming-dedup plan; ``encoder(text, perturb=bool) -> bytes``
+    picks the container format (PPM or PNG) the decode stack must
+    round-trip, ``resize_factor`` inserts the real integer resample
+    between decode and hash (reported width/height stay the DECODED
+    dims — the resize is an internal stage, the metadata describes the
+    source image)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
 
     def hash_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -810,9 +1013,15 @@ def _decode_phash_pipeline(spark: SparkSession, sf_dir: str, encoder) -> DataFra
                    "hi": [], "lo": [], "p_hi": [], "p_lo": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 w, h, rgb = decode_image(encoder(text))
-                hi, lo = ahash64(w, h, rgb)
                 pw, ph, prgb = decode_image(encoder(text, perturb=True))
-                p_hi, p_lo = ahash64(pw, ph, prgb)
+                if resize_factor:
+                    hi, lo = ahash64(*resize_block_mean(w, h, rgb, resize_factor))
+                    p_hi, p_lo = ahash64(
+                        *resize_block_mean(pw, ph, prgb, resize_factor)
+                    )
+                else:
+                    hi, lo = ahash64(w, h, rgb)
+                    p_hi, p_lo = ahash64(pw, ph, prgb)
                 out["doc_id"].append(doc_id)
                 out["width"].append(w)
                 out["height"].append(h)

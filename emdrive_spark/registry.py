@@ -82,8 +82,9 @@ _ALIASES = {
 _ROUND_WINDOW = (
     # ---- tier 1a: the r4-row op, promised the r11 head seat ----
     "tpch_q6",
-    # ---- tier 1b: op ADDED in round 11 — first-time certification ----
+    # ---- tier 1b: ops ADDED in round 11 — first-time certification ----
     "mm_decode_phash_png",
+    "mm_decode_resize_phash",
     # ---- tier 2: the complete r5-row cohort (staleness floor) ----
     "agg_group_sum",
     "agg_percentile_approx",
@@ -133,7 +134,8 @@ _ROUND_WINDOW = (
     "dedup_exact",
     "window_rank",
     "tpch_q1",
-    "events_session_agg",
+    # events_session_agg (r6) displaced to r12 by the second r11 op —
+    # new ops certify in their own round; r12 has ~19 spare seats.
 )
 # Round-12 rotation plan (precomputed from the CORRECTNESS ledger +
 # this window): after r11 lands, the staleness floor moves to r6 — the

@@ -380,3 +380,112 @@ def test_png_and_ppm_ops_share_oracle():
         registry.REGISTRY["mm_decode_phash"].oracle
         == registry.REGISTRY["mm_decode_phash_png"].oracle
     )
+
+
+# ================================================ real resize (r11)
+
+
+def test_resize_block_mean_known_values():
+    from emdrive_spark.operators.multimodal import resize_block_mean
+
+    # 2x2 -> 1x1: floor mean per channel, channels independent
+    rgb = bytes(
+        [10, 0, 255, 20, 0, 255,
+         30, 1, 255, 43, 1, 255]
+    )
+    nw, nh, out = resize_block_mean(2, 2, rgb, 2)
+    assert (nw, nh) == (1, 1)
+    assert out == bytes([(10 + 20 + 30 + 43) // 4, (0 + 0 + 1 + 1) // 4, 255])
+    # factor 1 is the identity
+    assert resize_block_mean(2, 2, rgb, 1) == (2, 2, rgb)
+    # non-divisible dims refuse (the fixture contract)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible"):
+        resize_block_mean(3, 2, bytes(3 * 2 * 3), 2)
+    with _pytest.raises(ValueError, match="divisible"):
+        resize_block_mean(2, 2, rgb, 0)
+
+
+def test_resize_block_mean_block_geometry():
+    """4x2 -> 2x1 with distinct quadrants: each output pixel must mean
+    ITS OWN 2x2 block (catches x/y transposition and stride bugs)."""
+    from emdrive_spark.operators.multimodal import resize_block_mean
+
+    # rows: [A A B B] / [A A B B] with A=100, B=200 (gray)
+    row = [100] * 6 + [200] * 6
+    rgb = bytes(row * 2)
+    nw, nh, out = resize_block_mean(4, 2, rgb, 2)
+    assert (nw, nh) == (2, 1)
+    assert out == bytes([100, 100, 100, 200, 200, 200])
+
+
+def test_gray16_fixture_matches_closed_form_through_resize():
+    """The certified op's exact math, end to end in-process: decode the
+    16x16 grayscale PNG fixture, block-mean 2x, hash — must equal the
+    oracle's closed form (md5 bytes -> sum//4 cells -> threshold)."""
+    import hashlib
+
+    from emdrive_spark.operators.multimodal import (
+        ahash64,
+        decode_image,
+        encode_png_gray16_fixture,
+        resize_block_mean,
+    )
+
+    for text, perturb in (("round eleven", False), ("round eleven", True)):
+        w, h, rgb = decode_image(encode_png_gray16_fixture(text, perturb))
+        assert (w, h) == (16, 16)
+        got = ahash64(*resize_block_mean(w, h, rgb, 2))
+        gray = [
+            b for k in range(16) for b in hashlib.md5(f"{text}:{k}".encode()).digest()
+        ]
+        if perturb:
+            gray[0] = (gray[0] + 128) % 256
+        cells = [0] * 64
+        for idx, g in enumerate(gray):
+            cells[((idx // 16) // 2) * 8 + ((idx % 16) // 2)] += g
+        cells = [v // 4 for v in cells]
+        s = sum(cells)
+        hi = lo = 0
+        for i, v in enumerate(cells):
+            bit = 1 if v * 64 > s else 0
+            if i < 32:
+                hi |= bit << (31 - i)
+            else:
+                lo |= bit << (63 - i)
+        assert got == (hi, lo)
+
+
+def test_resize_then_hash_is_not_direct_hash():
+    """The floor division makes the resample load-bearing: pin a
+    concrete fixture where hashing the resized grid differs from
+    ahash64's own exact-sum block mean over the full 16x16 — i.e. the
+    op certifies the RESIZE, not a no-op reshuffle of the same bits."""
+    from emdrive_spark.operators.multimodal import (
+        ahash64,
+        decode_image,
+        encode_png_gray16_fixture,
+        resize_block_mean,
+    )
+
+    w, h, rgb = decode_image(encode_png_gray16_fixture("probe8"))
+    assert ahash64(16, 16, rgb) != ahash64(*resize_block_mean(16, 16, rgb, 2))
+
+
+def test_mm_decode_resize_phash_known_answer(spark):
+    """Structure pins on top of the oracle's value hash: metadata
+    reports the DECODED dims (16x16 — the resize is internal), the
+    corpus triples the base, and base+copy rows keep their exact twin."""
+    from emdrive_spark import registry
+    from emdrive_spark.operators.multimodal import _DP_SHIFT
+
+    rows = registry.queries()["mm_decode_resize_phash"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    n_base = sum(1 for r in rows if r.doc_id < _DP_SHIFT)
+    assert len(rows) == 3 * n_base > 0
+    assert all((r.width, r.height) == (16, 16) for r in rows)
+    for r in rows:
+        if r.doc_id < 2 * _DP_SHIFT:
+            assert r.dup_cnt >= 1, f"doc {r.doc_id} lost its exact twin"
