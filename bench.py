@@ -223,38 +223,38 @@ def _load_gate() -> tuple[bool, float]:
     return (load1 > flag or load1 >= gate), round(load1, 2)
 
 
-# Post-run canary (r10 verdict item 4): a pinned set of stable,
-# many-rounds-untouched, >=0.8 s queries whose wall medians are
-# compared against the committed quiet record (BENCH_LOCAL.json as it
+# Post-run canary (r10 verdict item 4): the FLEET-MEDIAN wall ratio of
+# this run against the committed quiet record (BENCH_LOCAL.json as it
 # stood at run START). A median ratio beyond $SPARK_GRAFT_CANARY_NOISY
 # (default 1.2) marks the run noisy even when the start load was quiet
 # — the r10 quiet-start runs (load 0.05-0.21) were still
-# steal-inflated and nothing in-run said so. This catches mid-run
-# contamination of ANY origin; the steal counter (hostmeter) catches
-# the hypervisor specifically and attributes it per query. A genuine
-# engine change to a canary op would also trip this — keep the set to
-# ops under the freeze list, and read `canary_ratio` next to
-# `steal_share` to tell the two apart (engine change: ratio moves,
-# steal ~0; co-tenancy: both move).
-_CANARY = (
-    "dedup_lsh_verified",
-    "dedup_embedding",
-    "text_perplexity_bucket",
-    "dedup_edit_verified",
-    "pack_sequences",
-)
+# steal-inflated and nothing in-run said so. Why the whole fleet and
+# not a pinned stable subset: the r11 calibration run (16 in-guest hog
+# processes, loadavg gates disabled) inflated the total 169 -> 531 s
+# while a pinned 5-op canary read 1.006 — those five are
+# narrow-parallelism ops the scheduler routed AROUND the hogs, so a
+# hand-picked set can be blind to exactly the contention it exists to
+# catch. The median over all ~85 queries is robust to a handful of
+# genuine engine changes in either direction (median, not mean) and
+# has no selection bias; a same-code noisy run moves most rows
+# together, which is the signature this flags. The steal counter
+# (hostmeter) separately attributes the HYPERVISOR's share: in-guest
+# load moves canary_ratio but not steal_share; co-tenant steal moves
+# both. A genuine whole-fleet regression in one round would also trip
+# this — the cpu column is the arbiter (it moves with real
+# regressions, not with noise).
 
 
 def _canary_ratio(timings: dict, baseline: dict) -> float | None:
-    """Median over the canary set of this-run/committed-record wall
-    medians; None when fewer than 3 canaries are comparable (first
-    instrumented run, renamed ops, or a missing record)."""
+    """Fleet-median of this-run/committed-record wall ratios over all
+    queries present in both; None when fewer than 5 rows are comparable
+    (first instrumented run, renamed ops, or a missing record)."""
     ratios = [
-        timings[n] / baseline[n]
-        for n in _CANARY
-        if n in timings and isinstance(baseline.get(n), (int, float)) and baseline[n] > 0
+        t / baseline[n]
+        for n, t in timings.items()
+        if isinstance(baseline.get(n), (int, float)) and baseline[n] > 0
     ]
-    if len(ratios) < 3:
+    if len(ratios) < 5:
         return None
     return round(statistics.median(ratios), 3)
 

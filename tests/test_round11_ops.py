@@ -67,36 +67,39 @@ def test_hostmeter_steal_share_algebra():
 
 
 def test_bench_canary_ratio_contract():
-    """canary_ratio: median this-run/committed ratio over the pinned
-    set; None below 3 comparable canaries (first run, renames, zero or
-    missing baselines) so a missing record can never flag a run."""
+    """canary_ratio: FLEET-MEDIAN this-run/committed wall ratio over
+    the intersection; None below 5 comparable rows (first run, renames,
+    missing record) so a missing record can never flag a run. Fleet
+    median, not a pinned subset: the r11 calibration found a pinned
+    5-op set reading 1.006 under 16 hog processes (narrow-parallelism
+    ops dodge in-guest contention via the scheduler) while the total
+    inflated 3x."""
     bench = _load_bench()
-    names = list(bench._CANARY)
-    assert len(names) == 5
+    names = [f"op_{i}" for i in range(9)]
     timings = {n: 2.0 for n in names}
     base = {n: 1.0 for n in names}
     assert bench._canary_ratio(timings, base) == 2.0
-    # mixed: 3 at 1.0x, 2 at 10x -> median 1.0 (a patch on a minority
-    # of canaries does not flag the run; sustained inflation does)
-    mixed = dict(base, **{names[0]: 0.2, names[1]: 0.2})
+    # a minority of genuine engine changes cannot flag the run: 4 of 9
+    # rows 10x faster in baseline -> median still reads the majority
+    mixed = dict(base, **{n: 0.2 for n in names[:4]})
     assert bench._canary_ratio(timings, mixed) == 2.0
     assert bench._canary_ratio(timings, {}) is None
-    assert bench._canary_ratio(timings, {names[0]: 1.0, names[1]: 1.0}) is None
+    assert bench._canary_ratio(timings, dict(list(base.items())[:4])) is None
     # zero/garbage baselines are excluded, not divided by
-    bad = {n: 0.0 for n in names}
-    assert bench._canary_ratio(timings, bad) is None
+    assert bench._canary_ratio(timings, {n: 0.0 for n in names}) is None
+    # intersection only: extra baseline rows are ignored
+    assert bench._canary_ratio(timings, dict(base, extra=9.9)) == 2.0
 
 
-def test_bench_canary_names_are_headline_members():
-    """Every canary must be a HEADLINE query (else its median never
-    exists at canary time) and must carry a committed quiet-record row
-    to compare against."""
+def test_bench_committed_record_covers_headline():
+    """The committed quiet record must cover enough of HEADLINE that
+    the fleet-median canary is live (>= 5 comparable rows by contract;
+    in practice nearly all of them)."""
     bench = _load_bench()
-    for n in bench._CANARY:
-        assert n in bench.HEADLINE, n
     rec = json.load(open("/root/repo/BENCH_LOCAL.json"))
-    for n in bench._CANARY:
-        assert isinstance(rec["queries"].get(n), (int, float)), n
+    common = [n for n in bench.HEADLINE if isinstance(rec["queries"].get(n), (int, float))]
+    assert len(common) >= 5
+    assert len(common) >= len(bench.HEADLINE) - 5  # only brand-new ops may lack rows
 
 
 def test_fit_tail_cap_trims_wall_and_cpu_in_tandem():
