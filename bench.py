@@ -11,12 +11,15 @@ next to the wall medians ("queries") the payload carries per-query
 executor CPU medians ("cpu" — the cross-round regression metric: a
 hypervisor-stolen patch stretches wall but adds no cpu), per-query
 steal medians ("steal", BENCH_LOCAL.json only), and run-level
-"steal_total"/"steal_share". Two in-run canaries mark a run noisy
-independent of start load: steal_share > $SPARK_GRAFT_STEAL_NOISY
-(default 0.05) and canary_ratio > $SPARK_GRAFT_CANARY_NOISY (default
-1.2, pinned stable queries vs the committed quiet record). Rationale:
-r9/r10 both shipped flagged-noisy official artifacts and four
-same-code runs spanned 157-226 s — wall alone stopped being evidence.
+"steal_total"/"steal_share"/"steal_med_share". Two in-run canaries
+mark a run noisy independent of start load: steal_med_share (median-
+level steal contamination — the whole-run share stays informational
+because round-robin medians legitimately discard patch reps) >
+$SPARK_GRAFT_STEAL_NOISY (default 0.02) and canary_ratio (fleet-median
+wall ratio vs the committed quiet record) > $SPARK_GRAFT_CANARY_NOISY
+(default 1.2). Rationale: r9/r10 both shipped flagged-noisy official
+artifacts and four same-code runs spanned 157-226 s — wall alone
+stopped being evidence.
 
 Each query executes end-to-end into a noop sink (full computation, no
 collect-to-driver cost in the measurement). Each query runs
@@ -259,6 +262,29 @@ def _canary_ratio(timings: dict, baseline: dict) -> float | None:
     return round(statistics.median(ratios), 3)
 
 
+def _noisy_verdict(
+    load_flag: bool,
+    med_share: float | None,
+    ratio: float | None,
+    steal_gate: float,
+    canary_gate: float,
+) -> bool:
+    """Combine the three noise signals. The start-loadavg heuristic
+    PREDICTS contamination; the in-run meters MEASURE it — so when both
+    meters are live, they supersede the heuristic (r10 and r11 each
+    lost their fastest quiet run to a start-load flag from a previous
+    JVM's teardown while the measured medians were provably clean:
+    steal_med_share 0.008, fleet ratio 0.74). The heuristic still
+    decides alone when either meter is unavailable (no /proc/stat, or
+    no committed record to compare against)."""
+    metered = med_share is not None and ratio is not None
+    return bool(
+        (load_flag and not metered)
+        or (med_share is not None and med_share > steal_gate)
+        or (ratio is not None and ratio > canary_gate)
+    )
+
+
 _TAIL_CAP = 1900  # driver keeps the last 2000 chars; leave newline margin
 
 
@@ -417,18 +443,29 @@ def main() -> None:
         load_avg = None
     # Two in-run noise canaries, independent of start-load (r10 verdict
     # items 1+4 — quiet-START runs were still steal-inflated):
-    # steal_share measures the hypervisor directly over the timed
-    # section; canary_ratio compares pinned stable queries against the
-    # committed quiet record. Either tripping marks the run noisy.
+    # steal_med_share measures hypervisor contamination OF THE REPORTED
+    # MEDIANS; canary_ratio compares the fleet against the committed
+    # quiet record. Either tripping marks the run noisy.
+    #
+    # The gate reads the MEDIAN-level steal, not the whole-run total:
+    # the round-robin design discards <=2-of-5 patch reps per query, so
+    # a run can absorb hundreds of patch steal-seconds and still report
+    # clean medians. r11 calibration: a best-ever run (fleet ratio
+    # 0.858, per-query steal medians ~0) carried steal_total 617 s
+    # (whole-run share 0.06) from patches the medians discarded —
+    # steal_med_share 0.0038; the sustained-steal session earlier the
+    # same day put 11.8 MEDIAN steal seconds on just 8 ops (share
+    # >> 0.02) and its medians were genuinely inflated 1.3-1.9x. The
+    # whole-run steal_total/steal_share stay in the payload as context.
     share = hostmeter.steal_share(run_delta) if metered else None
-    steal_gate = float(os.environ.get("SPARK_GRAFT_STEAL_NOISY", "0.05"))
+    med_share = None
+    if cpu_med and steal_med:
+        sm, cm = sum(steal_med.values()), sum(cpu_med.values())
+        med_share = round(sm / (sm + cm), 4) if sm + cm > 0 else None
+    steal_gate = float(os.environ.get("SPARK_GRAFT_STEAL_NOISY", "0.02"))
     canary_gate = float(os.environ.get("SPARK_GRAFT_CANARY_NOISY", "1.2"))
     ratio = _canary_ratio(timings, canary_base)
-    noisy = bool(
-        noisy
-        or (share is not None and share > steal_gate)
-        or (ratio is not None and ratio > canary_gate)
-    )
+    noisy = _noisy_verdict(noisy, med_share, ratio, steal_gate, canary_gate)
     payload = {
         "metric": "headline_queries_total",
         "value": total,
@@ -439,6 +476,7 @@ def main() -> None:
         "steal": steal_med or None,
         "steal_total": run_delta.get("steal_s"),
         "steal_share": share,
+        "steal_med_share": med_share,
         "canary_ratio": ratio,
         "reps": reps,
         "load_avg": load_avg,
@@ -460,10 +498,15 @@ def main() -> None:
     # BENCH_LOCAL.json is the sf0.1 quiet record — a quiet dev run at
     # sf0.001 must not clobber it (r11: it is now also the canary
     # baseline, so clobbering would poison the noise gate itself).
+    # Noisy sidecars carry the run's start time: back-to-back flagged
+    # runs must not overwrite each other (r11: a gate recalibration
+    # needed a prior flagged run's full per-query payload and it was
+    # gone — only the elided stdout line survived).
+    stamp = time.strftime("%Y%m%dT%H%M%S", time.gmtime())
     if sf == "0.1":
-        local_name = "BENCH_LOCAL.noisy.json" if noisy else "BENCH_LOCAL.json"
+        local_name = f"BENCH_LOCAL.noisy.{stamp}.json" if noisy else "BENCH_LOCAL.json"
     else:
-        local_name = f"BENCH_LOCAL.sf{sf}{'.noisy' if noisy else ''}.json"
+        local_name = f"BENCH_LOCAL.sf{sf}{'.noisy.' + stamp if noisy else ''}.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), local_name), "w") as f:
         json.dump(payload, f, indent=1)
         f.write("\n")

@@ -492,3 +492,26 @@ def test_mm_decode_resize_phash_known_answer(spark):
     for r in rows:
         if r.doc_id < 2 * _DP_SHIFT:
             assert r.dup_cnt >= 1, f"doc {r.doc_id} lost its exact twin"
+
+
+def test_noisy_verdict_measurements_supersede_heuristic():
+    """With both in-run meters live, the start-loadavg heuristic cannot
+    flag a run by itself (it twice cost the repo its fastest quiet
+    record via a previous JVM's teardown load); it still decides alone
+    when either meter is missing. Gates flag strictly-above."""
+    bench = _load_bench()
+    v = bench._noisy_verdict
+    # meters live + clean -> heuristic overruled
+    assert v(True, 0.008, 0.74, 0.02, 1.2) is False
+    # meters live + either gate tripped -> noisy regardless of load
+    assert v(False, 0.044, 0.9, 0.02, 1.2) is True
+    assert v(False, 0.001, 1.71, 0.02, 1.2) is True
+    # at-gate is not above-gate
+    assert v(False, 0.02, 1.2, 0.02, 1.2) is False
+    # a meter missing -> heuristic decides alone
+    assert v(True, None, 0.9, 0.02, 1.2) is True
+    assert v(True, 0.008, None, 0.02, 1.2) is True
+    assert v(False, None, None, 0.02, 1.2) is False
+    # missing meter never blocks the other live gate
+    assert v(False, None, 1.71, 0.02, 1.2) is True
+    assert v(False, 0.044, None, 0.02, 1.2) is True
