@@ -8,8 +8,14 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 r11: the artifact is now steal-invariant. Every rep is bracketed by
 guest CPU-counter snapshots (emdrive_spark/functions/hostmeter.py), so
 next to the wall medians ("queries") the payload carries per-query
-executor CPU medians ("cpu" — the cross-round regression metric: a
-hypervisor-stolen patch stretches wall but adds no cpu), per-query
+executor CPU medians ("cpu" — the cross-round regression metric
+BETWEEN QUIET RUNS: hypervisor steal itself adds no busy jiffies, but
+the r11 judge measured cpu medians 1.2-5x inflated in a flagged-noisy
+run on identical code — co-tenancy makes the engine genuinely burn
+more CPU via scheduler churn/GC/spin, and hostmeter attributes
+guest-wide. So cpu is only cross-round evidence when BOTH runs carry
+"cpu_reliable": true, i.e. noisy: false; tools/bench_diff.py --cpu
+enforces this), per-query
 steal medians ("steal", BENCH_LOCAL.json only), and run-level
 "steal_total"/"steal_share"/"steal_med_share". Two in-run canaries
 mark a run noisy independent of start load: steal_med_share (median-
@@ -180,6 +186,9 @@ HEADLINE = (
     # round 11 additions (same caveat)
     "mm_decode_phash_png",      # real PNG decode -> pixel phash dedup
     "mm_decode_resize_phash",   # decode -> real block-mean resize -> phash
+    # round 12 addition (same caveat)
+    "mm_decode_phash_palette",  # palette PNG decode (PLTE lookup) -> phash
+    "mm_decode_phash_deep",     # 16-bit Adam7 PNG decode -> phash
 )
 
 
@@ -244,8 +253,11 @@ def _load_gate() -> tuple[bool, float]:
 # (hostmeter) separately attributes the HYPERVISOR's share: in-guest
 # load moves canary_ratio but not steal_share; co-tenant steal moves
 # both. A genuine whole-fleet regression in one round would also trip
-# this — the cpu column is the arbiter (it moves with real
-# regressions, not with noise).
+# this — the cpu column arbitrates, but ONLY between quiet runs: the
+# r11 judge measured noisy-run cpu medians 1.2-5x above the same-code
+# quiet record (co-tenancy inflates real CPU burn too — scheduler
+# churn, GC, lock-spin, guest-wide attribution), so a flagged run's
+# cpu is not cross-round evidence either (hence "cpu_reliable").
 
 
 def _canary_ratio(timings: dict, baseline: dict) -> float | None:
@@ -353,7 +365,7 @@ def main() -> None:
             canary_base = rec.get("queries") or {}
     except (OSError, ValueError):
         pass
-    noisy, load_at_start = _load_gate()
+    load_flag, load_at_start = _load_gate()
     spark = get_spark("emdrive-bench")
 
     qs = registry.queries()
@@ -374,6 +386,19 @@ def main() -> None:
     # still admits one excursion + one slow rep. Median of 5 held
     # stable across back-to-back runs that disagreed wildly at 3.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "5")))
+    # Bounded retry-until-quiet (r12, r11 verdict item 2): three
+    # consecutive official artifacts (r09-r11) shipped flagged-noisy —
+    # the in-run canaries now DETECT contamination, so the official
+    # invocation retries the whole measured pass up to
+    # $SPARK_GRAFT_NOISY_RETRIES times (default 3 attempts total)
+    # until one comes back quiet. Every flagged attempt still lands
+    # its timestamped .noisy sidecar (evidence that N retries all
+    # flagged, should that happen); the FIRST quiet attempt is the
+    # artifact of record. Co-tenant patches on this host last minutes,
+    # so attempts are separated by $SPARK_GRAFT_RETRY_WAIT seconds
+    # (default 60) plus a fresh load-gate poll.
+    attempts = max(1, int(os.environ.get("SPARK_GRAFT_NOISY_RETRIES", "3")))
+    retry_wait = float(os.environ.get("SPARK_GRAFT_RETRY_WAIT", "60"))
     # Reps are ROUND-ROBIN across queries (rep 1 of everything, then
     # rep 2, ...), not back-to-back per query: this host's co-tenant
     # noise arrives in minutes-long patches, and with consecutive
@@ -391,125 +416,148 @@ def main() -> None:
     # wall outlier to co-tenancy per rep, with no committed-record
     # comparison needed. Metering reads two proc files per rep (~µs).
     metered = hostmeter.snapshot()["busy_s"] is not None
-    run_t0 = hostmeter.snapshot()
-    samples: dict[str, list] = {name: [] for name in HEADLINE}
-    cpu_samples: dict[str, list] = {name: [] for name in HEADLINE}
-    steal_samples: dict[str, list] = {name: [] for name in HEADLINE}
-    for _ in range(reps):
-        for name in HEADLINE:
-            m0 = hostmeter.snapshot() if metered else None
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples[name].append(time.perf_counter() - t0)
-            if metered:
-                d = hostmeter.delta(m0, hostmeter.snapshot())
-                if d["cpu_s"] is not None:
-                    cpu_samples[name].append(d["cpu_s"])
-                if d["steal_s"] is not None:
-                    steal_samples[name].append(d["steal_s"])
-            # Outside the timer: drop the rep's lineage-truncation
-            # blocks so every rep (and every query) starts with a
-            # clean block store. Without this, nine checkpoint-heavy
-            # ops back-to-back inflate later rows 3-6x vs their
-            # standalone quiet medians (r6: triangle 27.8s in-session
-            # vs ~4.6s standalone) and the artifact misleads exactly
-            # like r5's load noise did (r6 verdict item 3). Blocking:
-            # the async removal storm must not overlap the next
-            # timed rep.
-            release(spark, blocking=True)
-    run_delta = hostmeter.delta(run_t0, hostmeter.snapshot()) if metered else {}
-    timings = {
-        # statistics.median, not sorted[n//2]: reps is env-overridable
-        # and the upper-middle pick is biased high at even counts
-        name: round(statistics.median(rs), 3) for name, rs in samples.items()
-    }
-    cpu_med = {
-        name: round(statistics.median(rs), 3)
-        for name, rs in cpu_samples.items() if rs
-    }
-    steal_med = {
-        name: round(statistics.median(rs), 3)
-        for name, rs in steal_samples.items() if rs
-    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    payload: dict = {}
+    for attempt in range(1, attempts + 1):
+        run_t0 = hostmeter.snapshot()
+        samples: dict[str, list] = {name: [] for name in HEADLINE}
+        cpu_samples: dict[str, list] = {name: [] for name in HEADLINE}
+        steal_samples: dict[str, list] = {name: [] for name in HEADLINE}
+        for _ in range(reps):
+            for name in HEADLINE:
+                m0 = hostmeter.snapshot() if metered else None
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples[name].append(time.perf_counter() - t0)
+                if metered:
+                    d = hostmeter.delta(m0, hostmeter.snapshot())
+                    if d["cpu_s"] is not None:
+                        cpu_samples[name].append(d["cpu_s"])
+                    if d["steal_s"] is not None:
+                        steal_samples[name].append(d["steal_s"])
+                # Outside the timer: drop the rep's lineage-truncation
+                # blocks so every rep (and every query) starts with a
+                # clean block store. Without this, nine checkpoint-heavy
+                # ops back-to-back inflate later rows 3-6x vs their
+                # standalone quiet medians (r6: triangle 27.8s in-session
+                # vs ~4.6s standalone) and the artifact misleads exactly
+                # like r5's load noise did (r6 verdict item 3). Blocking:
+                # the async removal storm must not overlap the next
+                # timed rep.
+                release(spark, blocking=True)
+        run_delta = hostmeter.delta(run_t0, hostmeter.snapshot()) if metered else {}
+        timings = {
+            # statistics.median, not sorted[n//2]: reps is env-overridable
+            # and the upper-middle pick is biased high at even counts
+            name: round(statistics.median(rs), 3) for name, rs in samples.items()
+        }
+        cpu_med = {
+            name: round(statistics.median(rs), 3)
+            for name, rs in cpu_samples.items() if rs
+        }
+        steal_med = {
+            name: round(statistics.median(rs), 3)
+            for name, rs in steal_samples.items() if rs
+        }
 
-    total = round(sum(timings.values()), 3)
-    # Host-load context for cross-round comparison: sub-second
-    # compute-bound queries swing 20-90% when the machine is busy
-    # (r4 finding); the 1/5/15-min load averages let a reader judge
-    # whether a delta is signal or contention.
-    try:
-        load_avg = [round(x, 2) for x in os.getloadavg()]
-    except OSError:
-        load_avg = None
-    # Two in-run noise canaries, independent of start-load (r10 verdict
-    # items 1+4 — quiet-START runs were still steal-inflated):
-    # steal_med_share measures hypervisor contamination OF THE REPORTED
-    # MEDIANS; canary_ratio compares the fleet against the committed
-    # quiet record. Either tripping marks the run noisy.
-    #
-    # The gate reads the MEDIAN-level steal, not the whole-run total:
-    # the round-robin design discards <=2-of-5 patch reps per query, so
-    # a run can absorb hundreds of patch steal-seconds and still report
-    # clean medians. r11 calibration: a best-ever run (fleet ratio
-    # 0.858, per-query steal medians ~0) carried steal_total 617 s
-    # (whole-run share 0.06) from patches the medians discarded —
-    # steal_med_share 0.0038; the sustained-steal session earlier the
-    # same day put 11.8 MEDIAN steal seconds on just 8 ops (share
-    # >> 0.02) and its medians were genuinely inflated 1.3-1.9x. The
-    # whole-run steal_total/steal_share stay in the payload as context.
-    share = hostmeter.steal_share(run_delta) if metered else None
-    med_share = None
-    if cpu_med and steal_med:
-        sm, cm = sum(steal_med.values()), sum(cpu_med.values())
-        med_share = round(sm / (sm + cm), 4) if sm + cm > 0 else None
-    steal_gate = float(os.environ.get("SPARK_GRAFT_STEAL_NOISY", "0.02"))
-    canary_gate = float(os.environ.get("SPARK_GRAFT_CANARY_NOISY", "1.2"))
-    ratio = _canary_ratio(timings, canary_base)
-    noisy = _noisy_verdict(noisy, med_share, ratio, steal_gate, canary_gate)
-    payload = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "cpu": cpu_med or None,
-        "cpu_total": round(sum(cpu_med.values()), 1) if cpu_med else None,
-        "steal": steal_med or None,
-        "steal_total": run_delta.get("steal_s"),
-        "steal_share": share,
-        "steal_med_share": med_share,
-        "canary_ratio": ratio,
-        "reps": reps,
-        "load_avg": load_avg,
-        "load_at_start": load_at_start,
-        "noisy": noisy,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }
-    payload = {k: v for k, v in payload.items() if v is not None}
-    # Full-fidelity record, uncapped: the driver keeps only the LAST
-    # 2000 chars of bench output and json-parses the artifact of
-    # record out of that window — the headline set outgrew it at r6
-    # (line ~2.4k chars), which is why BENCH_r06..r08 carry
-    # "parsed": null. Every run now also lands the complete payload
-    # here, next to the driver's own artifacts. Noisy runs land in a
-    # .noisy sidecar instead (r9 ADVICE): the tracked quiet record
-    # must not be clobbered by a contaminated run — r9's working tree
-    # showed exactly that drift after the noisy official run.
-    # Non-default-SF runs land in an sf-suffixed sidecar: the tracked
-    # BENCH_LOCAL.json is the sf0.1 quiet record — a quiet dev run at
-    # sf0.001 must not clobber it (r11: it is now also the canary
-    # baseline, so clobbering would poison the noise gate itself).
-    # Noisy sidecars carry the run's start time: back-to-back flagged
-    # runs must not overwrite each other (r11: a gate recalibration
-    # needed a prior flagged run's full per-query payload and it was
-    # gone — only the elided stdout line survived).
-    stamp = time.strftime("%Y%m%dT%H%M%S", time.gmtime())
-    if sf == "0.1":
-        local_name = f"BENCH_LOCAL.noisy.{stamp}.json" if noisy else "BENCH_LOCAL.json"
-    else:
-        local_name = f"BENCH_LOCAL.sf{sf}{'.noisy.' + stamp if noisy else ''}.json"
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), local_name), "w") as f:
-        json.dump(payload, f, indent=1)
-        f.write("\n")
+        total = round(sum(timings.values()), 3)
+        # Host-load context for cross-round comparison: sub-second
+        # compute-bound queries swing 20-90% when the machine is busy
+        # (r4 finding); the 1/5/15-min load averages let a reader judge
+        # whether a delta is signal or contention.
+        try:
+            load_avg = [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            load_avg = None
+        # Two in-run noise canaries, independent of start-load (r10 verdict
+        # items 1+4 — quiet-START runs were still steal-inflated):
+        # steal_med_share measures hypervisor contamination OF THE REPORTED
+        # MEDIANS; canary_ratio compares the fleet against the committed
+        # quiet record. Either tripping marks the run noisy.
+        #
+        # The gate reads the MEDIAN-level steal, not the whole-run total:
+        # the round-robin design discards <=2-of-5 patch reps per query, so
+        # a run can absorb hundreds of patch steal-seconds and still report
+        # clean medians. r11 calibration: a best-ever run (fleet ratio
+        # 0.858, per-query steal medians ~0) carried steal_total 617 s
+        # (whole-run share 0.06) from patches the medians discarded —
+        # steal_med_share 0.0038; the sustained-steal session earlier the
+        # same day put 11.8 MEDIAN steal seconds on just 8 ops (share
+        # >> 0.02) and its medians were genuinely inflated 1.3-1.9x. The
+        # whole-run steal_total/steal_share stay in the payload as context.
+        share = hostmeter.steal_share(run_delta) if metered else None
+        med_share = None
+        if cpu_med and steal_med:
+            sm, cm = sum(steal_med.values()), sum(cpu_med.values())
+            med_share = round(sm / (sm + cm), 4) if sm + cm > 0 else None
+        steal_gate = float(os.environ.get("SPARK_GRAFT_STEAL_NOISY", "0.02"))
+        canary_gate = float(os.environ.get("SPARK_GRAFT_CANARY_NOISY", "1.2"))
+        ratio = _canary_ratio(timings, canary_base)
+        noisy = _noisy_verdict(load_flag, med_share, ratio, steal_gate, canary_gate)
+        payload = {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "cpu": cpu_med or None,
+            "cpu_total": round(sum(cpu_med.values()), 1) if cpu_med else None,
+            # cpu medians are only cross-round evidence between quiet
+            # runs (r11 judge: a flagged run's cpu read 1.2-5x above
+            # the same-code quiet record) — say so in the artifact
+            "cpu_reliable": (not noisy) if cpu_med else None,
+            "steal": steal_med or None,
+            "steal_total": run_delta.get("steal_s"),
+            "steal_share": share,
+            "steal_med_share": med_share,
+            "canary_ratio": ratio,
+            "reps": reps,
+            "attempt": attempt if attempts > 1 else None,
+            "load_avg": load_avg,
+            "load_at_start": load_at_start,
+            "noisy": noisy,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
+        payload = {k: v for k, v in payload.items() if v is not None}
+        # Full-fidelity record, uncapped: the driver keeps only the LAST
+        # 2000 chars of bench output and json-parses the artifact of
+        # record out of that window — the headline set outgrew it at r6
+        # (line ~2.4k chars), which is why BENCH_r06..r08 carry
+        # "parsed": null. Every run now also lands the complete payload
+        # here, next to the driver's own artifacts. Noisy runs land in a
+        # .noisy sidecar instead (r9 ADVICE): the tracked quiet record
+        # must not be clobbered by a contaminated run — r9's working tree
+        # showed exactly that drift after the noisy official run.
+        # Non-default-SF runs land in an sf-suffixed sidecar: the tracked
+        # BENCH_LOCAL.json is the sf0.1 quiet record — a quiet dev run at
+        # sf0.001 must not clobber it (r11: it is now also the canary
+        # baseline, so clobbering would poison the noise gate itself).
+        # Noisy sidecars carry the run's start time: back-to-back flagged
+        # runs must not overwrite each other (r11: a gate recalibration
+        # needed a prior flagged run's full per-query payload and it was
+        # gone — only the elided stdout line survived).
+        stamp = time.strftime("%Y%m%dT%H%M%S", time.gmtime())
+        if sf == "0.1":
+            local_name = f"BENCH_LOCAL.noisy.{stamp}.json" if noisy else "BENCH_LOCAL.json"
+        else:
+            local_name = f"BENCH_LOCAL.sf{sf}{'.noisy.' + stamp if noisy else ''}.json"
+        with open(os.path.join(here, local_name), "w") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
+        if not noisy or attempt == attempts:
+            break
+        # Flagged and retries remain (r11 verdict item 2): the sidecar
+        # above preserves this attempt; wait out the co-tenant patch,
+        # re-poll the load gate, and measure again. The canary baseline
+        # stays the record as committed at run START.
+        print(
+            f"bench: attempt {attempt}/{attempts} flagged noisy "
+            f"(steal_med_share={med_share}, canary_ratio={ratio}, "
+            f"load_flag={load_flag}); retrying in {retry_wait:.0f}s...",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(retry_wait)
+        load_flag, load_at_start = _load_gate()
     # Stop FIRST: the driver's tail window is the last 2000 chars of
     # combined stdout+stderr, so any JVM shutdown chatter must land
     # before the JSON line, never after it. But the JSON line must be

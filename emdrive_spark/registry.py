@@ -67,87 +67,89 @@ _ALIASES = {
 }
 
 # The correctness driver verifies the first N (=50) entries of queries()
-# in iteration order. Round-11 rotation, executing the plan precomputed
-# at r10 (and promised by the r10 verdict, item 2): tier 1 seats
-# tpch_q6 FIRST — the only op whose latest driver row predates r5
-# (r4; displaced from the r10 window by mm_decode_phash's seat) — then
-# the op ADDED this round, mm_decode_phash_png (real stdlib PNG decode
-# under the same closed-form oracle; r10 verdict item 3), so the
-# ledger stays closed. Tier 2 seats the full 37-op r5-row cohort (the
-# staleness floor). Tier 3 fills the remaining 11 seats from the
-# oldest r6 rows, prioritizing the r10 perf-watch ops (the six
-# beyond-envelope bench rows whose code is byte-identical r9<->r10 —
-# a fresh driver value-hash while they are under the microscope) and
-# heavy iterative representatives.
+# in iteration order. Round-12 rotation, executing the plan precomputed
+# at r11 (and ordered by the r11 verdict, item 1): tier 1 seats
+# events_session_agg FIRST (displaced from the r11 window by the second
+# r11 decode op; promised this head seat in the r11 ledger), then the
+# ops ADDED this round: mm_decode_phash_palette (PLTE-lookup PNG
+# decode under the same closed-form oracle; r11 verdict item 5) and
+# mm_decode_phash_deep (16-bit depth + Adam7 interlace — the last
+# spec-valid PNG shapes beyond sub-byte palettes). Tier 2 seats the
+# complete remaining r6-row cohort — after r11 the staleness floor is
+# r6 with exactly 32 due ops, all seated here. Tier 3 spends the 16
+# spare seats on freshest-risk r7 re-certs (per the verdict: re-certs
+# over new breadth): the iterative/statistical heavies and the join
+# family's riskiest shapes.
 _ROUND_WINDOW = (
-    # ---- tier 1a: the r4-row op, promised the r11 head seat ----
-    "tpch_q6",
-    # ---- tier 1b: ops ADDED in round 11 — first-time certification ----
-    "mm_decode_phash_png",
-    "mm_decode_resize_phash",
-    # ---- tier 2: the complete r5-row cohort (staleness floor) ----
-    "agg_group_sum",
-    "agg_percentile_approx",
-    "ann_recall",
-    "dedup_containment",
-    "dedup_embedding",
-    "dedup_minhash",
-    "dedup_near",
-    "doc_fingerprint",
-    "embedding_mmr_rerank",
-    "events_holt",
-    "filter_lt_alias",
-    "lang_id_ngram",
-    "scan_full",
-    "sketch_hll_rollup",
-    "sql_select_at_distance",
-    "stream_ingest_dedup",
-    "system_catalog_introspect",
-    "text_chunk_overlap",
-    "topk_by_distance",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q2",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    # ---- tier 3: oldest r6 rows — perf-watch ops first ----
-    "dedup_spans_cut",
-    "dedup_spans_exact",
-    "sketch_countmin_topk",
-    "graph_label_propagation",
-    "graph_bfs_distance",
-    "graph_pagerank",
-    "dedup_components",
-    "dedup_exact",
-    "window_rank",
-    "tpch_q1",
-    # events_session_agg (r6) displaced to r12 by the second r11 op —
-    # new ops certify in their own round; r12 has ~19 spare seats.
+    # ---- tier 1a: the displaced r6 op, promised the r12 head seat ----
+    "events_session_agg",
+    # ---- tier 1b: ops ADDED in round 12 — first-time certification ----
+    "mm_decode_phash_palette",
+    "mm_decode_phash_deep",
+    # ---- tier 2: the rest of the complete r6-row cohort (staleness
+    # floor; 31 ops + events_session_agg above = all 32 due) ----
+    "agg_benford",
+    "agg_chisq_independence",
+    "agg_gini",
+    "agg_ks_test",
+    "agg_mannwhitney",
+    "agg_spearman",
+    "ann_ivf_pq",
+    "ann_pq",
+    "contamination_ngram",
+    "corpus_mix_entropy",
+    "create_table",
+    "dedup_edit_verified",
+    "dedup_incremental",
+    "dedup_lsh_verified",
+    "eval_lang_confusion",
+    "events_autocorr",
+    "events_holt_backtest",
+    "events_holt_winters",
+    "events_sequence_match",
+    "events_survival_km",
+    "graph_modularity",
+    "insert_rows",
+    "join_bloom_prefilter",
+    "pack_sequences",
+    "quality_dsir",
+    "quality_filter_gopher",
+    "sample_temperature",
+    "stream_topk",
+    "table_vacuum",
+    "text_novelty",
+    "text_zipf_fit",
+    # ---- tier 3: freshest-risk r7 re-certs (16 spare seats) ----
+    "graph_adamic_adar",
+    "graph_hits",
+    "agg_corr_matrix",
+    "agg_mutual_info",
+    "text_collocation_pmi",
+    "text_feature_hashing",
+    "events_attribution",
+    "dedup_spans_keep_first",
+    "str_levenshtein",
+    "join_range",
+    "join_broadcast",
+    "join_semi",
+    "join_anti",
+    "subquery_correlated_agg",
+    "window_range_frame",
+    "agg_cube",
 )
-# Round-12 rotation plan (precomputed from the CORRECTNESS ledger +
-# this window): after r11 lands, the staleness floor moves to r6 — the
-# due seats are the 31 remaining r6-row ops (create_table, insert_rows,
-# contamination_ngram, quality_filter_gopher, quality_dsir,
-# dedup_lsh_verified, dedup_edit_verified, dedup_incremental,
-# graph_modularity, the agg_* statistical family, ann_pq,
-# sample_temperature, stream_topk, table_vacuum, text_novelty,
-# text_zipf_fit, events_* holt/autocorr/sequence_match/survival_km,
-# eval_lang_confusion, corpus_mix_entropy, join_bloom_prefilter,
-# pack_sequences, ...) — leaving ~19 spare seats for r12 additions and
-# the freshest-risk re-certs before anything r7 must displace.
+# Round-13 rotation plan (precomputed from the CORRECTNESS ledger +
+# this window): after r12 lands, the staleness floor moves to r7 — the
+# due seats are the 29 r7-row ops NOT re-certified in tier 3 above:
+# agg_approx_count_distinct, agg_bitwise, agg_count_distinct,
+# agg_histogram, agg_mode_median, agg_percentile, agg_rollup,
+# agg_stats, cast_funcs, date_funcs, explode_pos, join_cross,
+# join_full, join_left, join_null_safe, join_right, limit,
+# null_conditional_funcs, regex_funcs, set_except, sort_pk, str_funcs,
+# subquery_in, subquery_scalar, topk_per_group, window_cume_dist,
+# window_ntile_lead, window_percent_rank, window_running_sum —
+# leaving ~21 spare seats
+# for r13 additions and freshest-risk re-certs before anything r8
+# must displace.
 
 _loaded = False
 

@@ -276,12 +276,14 @@ def test_png_error_taxonomy():
             b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, comp, filt, inter)
         )
 
-    with pytest.raises(NotImplementedError, match="interlace"):
-        decode_image(with_ihdr(inter=1))
-    with pytest.raises(NotImplementedError, match="palette"):
-        decode_image(with_ihdr(color=3))
+    with pytest.raises(ValueError, match="interlace"):
+        decode_image(with_ihdr(inter=2))  # 0/1 are the only methods
+    # color type 3 (palette), 16-bit depth, and Adam7 interlace all
+    # decode for real since r12 — their taxonomy (PLTE grammar, sample
+    # alignment, pass geometry) is pinned in tests/test_round12_ops.py;
+    # the remaining spec-valid-but-unsupported shape is sub-byte depth
     with pytest.raises(NotImplementedError, match="bit depth"):
-        decode_image(with_ihdr(depth=16))
+        decode_image(with_ihdr(depth=4))
     with pytest.raises(ValueError, match="color type"):
         decode_image(with_ihdr(color=7))
     with pytest.raises(ValueError, match="dimensions"):
