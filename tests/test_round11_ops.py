@@ -278,12 +278,12 @@ def test_png_error_taxonomy():
 
     with pytest.raises(ValueError, match="interlace"):
         decode_image(with_ihdr(inter=2))  # 0/1 are the only methods
-    # color type 3 (palette), 16-bit depth, and Adam7 interlace all
-    # decode for real since r12 — their taxonomy (PLTE grammar, sample
-    # alignment, pass geometry) is pinned in tests/test_round12_ops.py;
-    # the remaining spec-valid-but-unsupported shape is sub-byte depth
-    with pytest.raises(NotImplementedError, match="bit depth"):
-        decode_image(with_ihdr(depth=4))
+    # since r12 the FULL spec matrix decodes (palette, 16-bit,
+    # sub-byte, Adam7) — taxonomy pinned in tests/test_round12_ops.py;
+    # an ILLEGAL (color, depth) pairing is corruption, and for PNG no
+    # NotImplementedError remains (JPEG is the only codec-gated format)
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_image(with_ihdr(depth=4, color=2))  # truecolor is 8/16 only
     with pytest.raises(ValueError, match="color type"):
         decode_image(with_ihdr(color=7))
     with pytest.raises(ValueError, match="dimensions"):

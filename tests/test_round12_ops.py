@@ -409,33 +409,43 @@ def _filter_sub(px, height, stride, bpp, filters):
 
 
 def _png_encode_full(w, h, color, depth, interlace, samples, filters, plte=None):
-    """Test-side writer covering every supported shape: 8/16-bit,
-    sequential or Adam7, palette or direct color. ``samples`` is one
-    int per (pixel, channel) in raster order (palette: one index per
-    pixel); ``filters`` is drawn per scanline across all passes."""
+    """Test-side writer covering every supported shape: sub-byte/8/16
+    bit, sequential or Adam7, palette or direct color. ``samples`` is
+    one int per (pixel, channel) in raster order (palette: one index
+    per pixel); ``filters`` is drawn per scanline across all passes.
+    Sub-byte rows pack MSB-first with zero padding (spec 7.2)."""
     from emdrive_spark.operators.multimodal import _PNG_CHANNELS, _adam7_passes
 
     ch = 1 if color == 3 else _PNG_CHANNELS[color]
-    sb = depth // 8 if color != 3 else 1
-    bpp = ch * sb
 
-    def pxbytes(x, y):
-        return b"".join(
-            samples[(y * w + x) * ch + c].to_bytes(sb, "big") for c in range(ch)
-        )
+    def rowbytes(coords):
+        if depth >= 8:
+            sb = depth // 8
+            return b"".join(
+                samples[(y * w + x) * ch + c].to_bytes(sb, "big")
+                for x, y in coords
+                for c in range(ch)
+            )
+        acc = bytearray((len(coords) * depth + 7) // 8)
+        for i, (x, y) in enumerate(coords):
+            bit = i * depth
+            acc[bit >> 3] |= samples[y * w + x] << (8 - depth - (bit & 7))
+        return bytes(acc)
 
+    bpp = max(1, ch * (depth // 8))
     raw = bytearray()
     fi = 0
     if interlace:
         for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
-            sub = b"".join(
-                pxbytes(x0 + i * dx, y0 + j * dy) for j in range(ph) for i in range(pw)
-            )
-            raw += _filter_sub(sub, ph, pw * bpp, bpp, filters[fi : fi + ph])
+            rows = [
+                rowbytes([(x0 + i * dx, y0 + j * dy) for i in range(pw)])
+                for j in range(ph)
+            ]
+            raw += _filter_sub(b"".join(rows), ph, len(rows[0]), bpp, filters[fi : fi + ph])
             fi += ph
     else:
-        sub = b"".join(pxbytes(x, y) for y in range(h) for x in range(w))
-        raw += _filter_sub(sub, h, w * bpp, bpp, filters)
+        rows = [rowbytes([(x, y) for x in range(w)]) for y in range(h)]
+        raw += _filter_sub(b"".join(rows), h, len(rows[0]), bpp, filters)
     ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace))
     body = _SIG + ihdr
     if color == 3:
@@ -506,10 +516,11 @@ def test_deep_fixture_filters_span_all_passes():
 
 
 def test_png_full_shape_roundtrip_property():
-    """Hypothesis roundtrip over the COMPLETE supported matrix: color
-    type x depth x interlace (palette at 8-bit only), arbitrary
-    content and per-scanline filters, via the independent test-side
-    writer. 16-bit decodes to the MSB; Adam7 scatters to position."""
+    """Hypothesis roundtrip over the COMPLETE supported matrix: every
+    legal (color type, depth) pairing x interlace, arbitrary content
+    and per-scanline filters, via the independent test-side writer.
+    16-bit decodes to the MSB, sub-byte gray scales to 0..255, palette
+    indices look up PLTE, Adam7 scatters to position."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -519,18 +530,22 @@ def test_png_full_shape_roundtrip_property():
         decode_image,
     )
 
-    @settings(max_examples=120, deadline=None)
+    @settings(max_examples=150, deadline=None)
     @given(data=st.data())
     def check(data):
         w = data.draw(st.integers(1, 10))
         h = data.draw(st.integers(1, 10))
         color = data.draw(st.sampled_from([0, 2, 3, 4, 6]))
-        depth = 8 if color == 3 else data.draw(st.sampled_from([8, 16]))
+        depth = data.draw(
+            st.sampled_from(
+                {0: [1, 2, 4, 8, 16], 3: [1, 2, 4, 8]}.get(color, [8, 16])
+            )
+        )
         interlace = data.draw(st.sampled_from([0, 1]))
         ch = 1 if color == 3 else _PNG_CHANNELS[color]
         plte = None
         if color == 3:
-            n_entries = data.draw(st.integers(1, 256))
+            n_entries = data.draw(st.integers(1, min(256, 1 << depth)))
             plte = bytes(
                 data.draw(
                     st.lists(st.integers(0, 255), min_size=3 * n_entries, max_size=3 * n_entries)
@@ -547,11 +562,16 @@ def test_png_full_shape_roundtrip_property():
         filters = data.draw(st.lists(st.integers(0, 4), min_size=n_rows, max_size=n_rows))
         payload = _png_encode_full(w, h, color, depth, interlace, samples, filters, plte)
         got = decode_image(payload)
-        # expected: reduce 16->8 via MSB, then expand per color type
+        # expected: normalize each sample to one byte, then expand
         if color == 3:
             want = b"".join(plte[3 * i : 3 * i + 3] for i in samples)
         else:
-            red = [v >> 8 for v in samples] if depth == 16 else samples
+            if depth == 16:
+                red = [v >> 8 for v in samples]
+            elif depth < 8:
+                red = [v * (255 // ((1 << depth) - 1)) for v in samples]
+            else:
+                red = samples
             if color == 0:
                 want = bytes(g for g in red for _ in range(3))
             elif color == 2:
@@ -568,17 +588,43 @@ def test_png_full_shape_roundtrip_property():
 
 
 def test_depth_taxonomy():
-    """16-bit palette is spec-INVALID (ValueError); sub-byte palette
-    depths are spec-valid-but-unsupported (NotImplementedError); the
-    same split for direct color (8/16 supported, 1/2/4 gated)."""
+    """The FULL spec (color, depth) matrix decodes since r12; every
+    ILLEGAL pairing is corruption (ValueError) — 16-bit palette,
+    sub-byte truecolor/alpha, non-power depths. No NotImplementedError
+    remains anywhere in the PNG domain (JPEG is the only codec-gated
+    format). Sub-byte grays scale to 0..255 exactly; a PLTE larger
+    than the raster depth can address is rejected."""
     from emdrive_spark.operators.multimodal import decode_image
 
-    with pytest.raises(ValueError, match="invalid for palette"):
-        decode_image(_SIG + _ihdr(color=3, depth=16))
-    with pytest.raises(NotImplementedError, match="palette bit depth"):
-        decode_image(_SIG + _ihdr(color=3, depth=4))
-    with pytest.raises(NotImplementedError, match="bit depth"):
-        decode_image(_SIG + _ihdr(color=0, depth=2))
+    for depth, color in ((16, 3), (4, 2), (2, 4), (4, 6), (3, 0), (12, 2), (0, 0)):
+        with pytest.raises(ValueError, match="bit depth"):
+            decode_image(_SIG + _ihdr(color=color, depth=depth))
+    # 2-bit gray decodes with exact 0..255 scaling (0,1,2,3 -> x85)
+    p = (
+        _SIG
+        + _ihdr(w=4, h=1, depth=2)
+        + _chunk(b"IDAT", zlib.compress(bytes([0, 0b00011011])))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_image(p)[2][0::3] == bytes([0, 85, 170, 255])
+    # 1-bit palette: indices address PLTE, not intensities
+    p = (
+        _SIG
+        + _ihdr(w=2, h=1, depth=1, color=3)
+        + _chunk(b"PLTE", bytes([1, 2, 3, 4, 5, 6]))
+        + _chunk(b"IDAT", zlib.compress(bytes([0, 0b01000000])))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_image(p)[2] == bytes([1, 2, 3, 4, 5, 6])
+    # a 1-bit raster can address 2 entries; a 3-entry PLTE is invalid
+    with pytest.raises(ValueError, match="exceed"):
+        decode_image(
+            _SIG
+            + _ihdr(w=2, h=1, depth=1, color=3)
+            + _chunk(b"PLTE", bytes(9))
+            + _chunk(b"IDAT", zlib.compress(bytes([0, 0])))
+            + _chunk(b"IEND", b"")
+        )
     # truncated interlaced stream -> inflated-size ValueError
     short = (
         _SIG
