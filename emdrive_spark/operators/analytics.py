@@ -917,6 +917,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("node").alias("part_id"), F.col("rank").alias("pagerank"))
 
 
+# Which joins in the triangle machinery carry a SHUFFLE_HASH hint
+# (guide §3.1). Module-level so tools/ab_graph_hints.py can A/B hint
+# sets INTERLEAVED in one session (the ckpt_und precedent — this
+# host's co-tenant noise makes separate-JVM arms incomparable).
+# Shipped set: see the A/B notes inline below.
+_SHJ_HINTS: frozenset[str] = frozenset({"wedge", "closing"})
+
+
+def _h(df: DataFrame, name: str) -> DataFrame:
+    return df.hint("shuffle_hash") if name in _SHJ_HINTS else df
+
+
 def _copurchase_triangles(spark: SparkSession, sf_dir: str, *, ckpt_und: bool = True):
     """Shared co-purchase triangle machinery: returns (und, deg, tri)
     where und is the both-direction edge list, deg the undirected
@@ -953,16 +965,38 @@ def _copurchase_triangles(spark: SparkSession, sf_dir: str, *, ckpt_und: bool = 
     deg = und.groupBy("src").agg(F.count("*").alias("d")).transform(ckpt)
     ds = deg.select(F.col("src").alias("u_"), F.struct("d", "src").alias("ukey"))
     dd = deg.select(F.col("src").alias("v_"), F.struct("d", "src").alias("vkey"))
+    # Degree attach: the edge list (|E| rows) is the probe side, the
+    # degree table (|V| rows) the hinted SHUFFLE_HASH build side — the
+    # same big-probe/small-build asymmetry as the wedge joins below,
+    # and sort-merge would sort the edge list twice (once per attach).
     oriented = (
-        und.join(ds, und["src"] == ds["u_"])
-        .join(dd, und["dst"] == dd["v_"])
+        und.join(_h(ds, "deg_attach"), und["src"] == ds["u_"])
+        .join(_h(dd, "deg_attach"), und["dst"] == dd["v_"])
         .filter(F.col("ukey") < F.col("vkey"))
         .select("src", "dst", "vkey")
         .transform(ckpt)
     )
     w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    # Both heavy joins below are hinted SHUFFLE_HASH (guide §3.1 —
+    # pick the strategy deliberately): sort-merge sorts the WEDGE
+    # stream, which is the amplified frame (Sum outdeg^2 rows, ~15M /
+    # ~390 MB of shuffle at sf0.1 — the single largest exchange in the
+    # fleet), to join it against the compact oriented edge list. The
+    # build side (oriented, |E'| rows) hashes in O(1) memory per
+    # partition — bounded by |E'|/shuffle_partitions, which AQE's
+    # partition sizing keeps at advisory size on any cluster — while
+    # the wedge stream then only PROBES, never sorts. Measured at
+    # sf0.1 (tools/ab_conf.py, 3-rep medians, identical results):
+    # graph_related_topk 9.24 -> 6.37 s, graph_triangle_count
+    # 5.97 -> 4.82 s. A session-wide AQE conversion
+    # (maxShuffledHashJoinLocalMapThreshold) was tried first and
+    # REJECTED: it also converts the iterative family's small
+    # label/contrib joins, which measured 5-21% SLOWER across all 7
+    # iterative graph ops (sort reuse + tiny builds), so the strategy
+    # choice stays per-join, on the two joins where the probe side is
+    # orders of magnitude larger than the build side.
     wedges = (
-        w1.join(w2, F.col("w1.src") == F.col("w2.src"))
+        w1.join(_h(w2, "wedge"), F.col("w1.src") == F.col("w2.src"))
         # strict < on the destination order key: each out-neighbor pair
         # once, and the closing edge (if any) is oriented exactly v->w
         .filter(F.col("w1.vkey") < F.col("w2.vkey"))
@@ -973,7 +1007,7 @@ def _copurchase_triangles(spark: SparkSession, sf_dir: str, *, ckpt_und: bool = 
         )
     )
     closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    tri = wedges.join(closing, ["v", "w"])
+    tri = wedges.join(_h(closing, "closing"), ["v", "w"])
     return und, deg, tri
 
 
@@ -1266,11 +1300,18 @@ def graph_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     du = deg.select(F.col("src").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("src").alias("v"), F.col("d").alias("dv"))
+    # Tail joins hinted SHUFFLE_HASH like the machinery above: canon
+    # and common are both edge-scale (sort-merge would sort each), and
+    # the degree attaches probe with the edge list against |V| builds.
     joined = (
-        canon.join(common, (canon["u"] == common["x"]) & (canon["v"] == common["y"]), "left")
+        canon.join(
+            _h(common, "jac_common"),
+            (canon["u"] == common["x"]) & (canon["v"] == common["y"]),
+            "left",
+        )
         .select("u", "v", F.coalesce("cnt", F.lit(0)).alias("cnt"))
-        .join(du, "u")
-        .join(dv, "v")
+        .join(_h(du, "jac_deg"), "u")
+        .join(_h(dv, "jac_deg"), "v")
     )
     return joined.select(
         "u",
