@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from emdrive_spark.functions.ckpt import ckpt
+from emdrive_spark.functions.layout import spread
 from emdrive_spark.registry import register
 from emdrive_spark.sources.tables import load
 
@@ -1148,9 +1149,10 @@ def mm_decode_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (100 TB images): the decode + hash runs once per
     document row (base + perturbed payloads both decoded in that row's
     visit) inside a SINGLE mapInPandas Python stage on the scan's Arrow
-    batches — payload bytes never shuffle; the hash frame (5 longs/row)
-    is checkpointed before fanning out to both sides of the band join,
-    so the Python stage executes exactly once per run (plan-structural,
+    batches — payload bytes never shuffle; the hash frame (7 longs/row)
+    is checkpointed before the corpus union fans out (r12: the ckpt
+    moved from the union to the hash frame itself — each union branch
+    was re-running the Python stage), so it executes exactly once per run (plan-structural,
     not exchange-reuse-dependent; the once-only property is
     stage-level, duplicate payload BYTES are not deduped before decode). Banding bounds candidates (4x16-bit
     bands: hamming <= 3 always caught); the verify is O(band
@@ -1158,7 +1160,7 @@ def mm_decode_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     index is an unwired Vec<u128>, src/storage/index.rs:12-103); this
     is the README's hamming-metric promise (README.md:26,32) applied to
     decoded image content."""
-    return _decode_phash_pipeline(spark, sf_dir, encode_ppm_fixture)
+    return _decode_phash_pipeline(spark, sf_dir, encode_ppm_fixture, spread_docs=False)
 
 
 @register("mm_decode_phash_png", oracle=_DECODE_PHASH_ORACLE)
@@ -1175,9 +1177,9 @@ def mm_decode_phash_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture URLs are .png (/root/reference/README.md:50-56); this op
     makes the engine's decode story real for the half of that pair
     that needs no codec library. Scale shape identical to
-    mm_decode_phash (single mapInPandas stage, checkpointed 5-long/row
+    mm_decode_phash (single mapInPandas stage, checkpointed 7-long/row
     hash frame, banded candidates — payload bytes never shuffle)."""
-    return _decode_phash_pipeline(spark, sf_dir, encode_png_fixture)
+    return _decode_phash_pipeline(spark, sf_dir, encode_png_fixture, spread_docs=False)
 
 
 @register("mm_decode_phash_palette", oracle=_DECODE_PHASH_ORACLE)
@@ -1193,7 +1195,7 @@ def mm_decode_phash_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on — hashing raw index bytes (a skipped or misaligned lookup)
     scrambles the image and flips the value hash against the
     text-derived oracle. Scale shape identical to mm_decode_phash
-    (single mapInPandas stage, checkpointed 5-long/row hash frame,
+    (single mapInPandas stage, checkpointed 7-long/row hash frame,
     banded candidates — payload bytes never shuffle)."""
     return _decode_phash_pipeline(spark, sf_dir, encode_png_palette_fixture)
 
@@ -1215,7 +1217,7 @@ def mm_decode_phash_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec-legal PNG shape decodes; JPEG remains the only codec-gated
     format. Scale shape identical to
     mm_decode_phash (single mapInPandas stage, checkpointed
-    5-long/row hash frame, banded candidates — payload bytes never
+    7-long/row hash frame, banded candidates — payload bytes never
     shuffle)."""
     return _decode_phash_pipeline(spark, sf_dir, encode_png_deep_fixture)
 
@@ -1293,8 +1295,18 @@ def mm_decode_resize_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# tools/ab_mm_spread.py sets this to True/False to FORCE the
+# pre-Python-stage spread() on every decode op, interleaved in one
+# session (the _SHJ_HINTS precedent); None = each op's own default.
+_SPREAD_DECODE: bool | None = None
+
+
 def _decode_phash_pipeline(
-    spark: SparkSession, sf_dir: str, encoder, resize_factor: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    encoder,
+    resize_factor: int | None = None,
+    spread_docs: bool = True,
 ) -> DataFrame:
     """Shared encode -> decode [-> block-mean resize] -> ahash ->
     banded-hamming-dedup plan; ``encoder(text, perturb=bool) -> bytes``
@@ -1303,7 +1315,24 @@ def _decode_phash_pipeline(
     between decode and hash (reported width/height stay the DECODED
     dims — the resize is an internal stage, the metadata describes the
     source image)."""
+    # spread() before the Python stage (guide §2.5 / functions.layout)
+    # for the EXPENSIVE decoders: encode+decode+hash is a
+    # high-amplification projection, and everything up to the first
+    # exchange runs at SCAN parallelism — one task on a single-row-group
+    # file, i.e. the Python stage serializes onto one core. The shuffled
+    # frame is the narrow (doc_id, text) projection — payload BYTES
+    # still never shuffle; they are born inside the Python stage after
+    # the exchange. Per-op default (interleaved A/B at sf0.1,
+    # tools/ab_mm_spread.py, clean-steal samples): ON for
+    # palette/deep/resize (~1.3-1.5 ms/doc Python; 4.1->2.4 s,
+    # 3.4->2.4 s, 4.1->2.4 s), OFF for ppm/8-bit-png (~0.3-0.7 ms/doc;
+    # the exchange + 32-way fan-out costs more than it recovers, and
+    # this host's hypervisor measurably steals MORE under wide bursts —
+    # spread=True samples carry 2-15 s steal vs ~0 serial, so the cheap
+    # decoders pay quota-throttling for parallelism they barely need).
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    if _SPREAD_DECODE if _SPREAD_DECODE is not None else spread_docs:
+        docs = spread(docs)
 
     def hash_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1329,23 +1358,33 @@ def _decode_phash_pipeline(
                 out["p_lo"].append(p_lo)
             yield pd.DataFrame(out)
 
-    hashes = docs.mapInPandas(
-        hash_images,
-        schema="doc_id long, width long, height long, hi long, lo long, p_hi long, p_lo long",
+    # ckpt the hash frame ITSELF, before the 3-way corpus union: the
+    # union references `hashes` three times, and without lineage
+    # truncation HERE each branch re-executes the mapInPandas stage —
+    # the r12 stage profile showed the Python decode running 3x per
+    # action (96 tasks instead of 32) while the old checkpoint on the
+    # UNION only stopped the per-consumer (3x3) blowup. With the ckpt
+    # moved up, decode executes exactly once per run and the union is
+    # three projections of 5-long/row blocks — cheap enough that the
+    # union no longer needs its own checkpoint (one job barrier saved).
+    hashes = ckpt(
+        docs.mapInPandas(
+            hash_images,
+            schema="doc_id long, width long, height long, "
+            "hi long, lo long, p_hi long, p_lo long",
+        )
     )
     base = hashes.select("doc_id", "width", "height", "hi", "lo")
-    corpus = ckpt(
-        base.unionByName(
-            hashes.select(
-                (F.col("doc_id") + _DP_SHIFT).alias("doc_id"),
-                "width", "height", "hi", "lo",
-            )
-        ).unionByName(
-            hashes.select(
-                (F.col("doc_id") + 2 * _DP_SHIFT).alias("doc_id"),
-                "width", "height",
-                F.col("p_hi").alias("hi"), F.col("p_lo").alias("lo"),
-            )
+    corpus = base.unionByName(
+        hashes.select(
+            (F.col("doc_id") + _DP_SHIFT).alias("doc_id"),
+            "width", "height", "hi", "lo",
+        )
+    ).unionByName(
+        hashes.select(
+            (F.col("doc_id") + 2 * _DP_SHIFT).alias("doc_id"),
+            "width", "height",
+            F.col("p_hi").alias("hi"), F.col("p_lo").alias("lo"),
         )
     )
     bands = corpus.select(
