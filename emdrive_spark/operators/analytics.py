@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from emdrive_spark.functions import money as M
 from emdrive_spark.functions.ckpt import ckpt
+from emdrive_spark.functions.layout import spread
 from emdrive_spark.registry import register
 from emdrive_spark.sources.tables import load, staging_dir
 
@@ -1607,7 +1608,17 @@ def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells against it. The one full-width pass is the exact top-K
     groupBy, present so the oracle can score the sketch — a production
     build ships only the d x w table."""
-    li = load(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("pk"))
+    # spread() the narrow pk projection before the d-way md5 explode
+    # (guide §2.5 / functions.layout): the sketch build is a
+    # high-amplification projection (4 md5 + base-conversions per row)
+    # riding the scan stage, which on a single-row-group file is one
+    # task — the build was serial (r12 stage profile: one 6.2 s-CPU
+    # 3-task stage = the whole op). The exchange moves one long column
+    # (~5 MB at sf0.1), the cheapest this data ever is; on healthy
+    # splits it is a near-no-op rebalance. Interleaved A/B at sf0.1:
+    # 7.3 -> 1.7 s on clean-steal samples (both arms inflate under
+    # co-tenant steal patches; the contrast holds on every pair).
+    li = spread(load(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("pk")))
     rows_ = F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))
 
     def bkt(pk_col, i_col):
