@@ -26,12 +26,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# tools A/B switch (interleaved same-session arms, the _SHJ_HINTS
+# precedent): True makes every spread() a no-op so a spread site can
+# be measured against its absence without a separate JVM.
+DISABLED = False
+
 
 def spread(df: DataFrame, *cols: str) -> DataFrame:
     """Hash-repartition ``df`` across every core in the cluster
     (``defaultParallelism``), optionally keyed on ``cols`` so a
     downstream key-shuffle can reuse the layout. Call it on the narrow
     pre-amplification frame, never on exploded/widened data."""
+    if DISABLED:
+        return df
     n = df.sparkSession.sparkContext.defaultParallelism
     if cols:
         return df.repartition(n, *[F.col(c) for c in cols])

@@ -329,7 +329,11 @@ def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda c: F.array_join(F.slice(toks, c * _CHUNK + 1, _CHUNK), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    ch = d.select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+    # spread() before the in-row chunk build + posexplode (layout.py):
+    # tokenize + slice + join per chunk is scan-stage work otherwise.
+    ch = spread(d.select("doc_id", "text")).select(
+        "doc_id", F.posexplode(chunks).alias("pos", "chunk")
+    )
     flagged = ch.withColumn("cnt", F.count("*").over(W.partitionBy("chunk")))
     return flagged.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_chunks"),
@@ -766,6 +770,11 @@ def text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of matching postings — the classic search-engine scatter/
     gather expressed as DataFrame ops. Per-term contributions are
     floor-rounded and DECIMAL-summed for combine-order exactness."""
+    # NO spread() here (measured, r12): the query-term filter drops
+    # almost every posting right after the explode, so the scan side is
+    # cheap and an up-front exchange of the full text column measured
+    # 0.76 -> 1.28 s — the one case in the r12 spread sweep where the
+    # exchange moves bytes the very next operator would discard.
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", tokens(F.col("text")).alias("toks")
     )
@@ -1061,7 +1070,12 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable. Docs too short to shingle come back with zero counts
     via the left join, never dropped."""
     d = load(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    # spread() past the single-reader scan before the shingle explode +
+    # per-gram md5 (functions/layout.py; the r12 sketch_countmin_topk
+    # A/B pattern — high-amplification projection at scan parallelism).
+    sh = spread(d.select("doc_id", "text")).select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("s")
+    )
     g = sh.select(
         "doc_id",
         F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long").alias("gh"),
@@ -1162,7 +1176,10 @@ def quality_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle. Unlike a learned classifier, adding data never grows the
     model: at 100 TB the weight table is still 4096 rows."""
     d = load(spark, sf_dir, "documents")
-    b = d.select(
+    # spread() before the token explode + per-token md5 (layout.py):
+    # also lets the 4 consumers of `b` (raw/tgt/tot/scored) reuse ONE
+    # exchange instead of four serial scan+explode+hash replays.
+    b = spread(d.select("doc_id", "lang", "text")).select(
         "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
     ).select(
         "doc_id",

@@ -1756,7 +1756,14 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias(f"s_{sa}{sb}")
         )
-    m = li.select(*vals).agg(*aggs)
+    # spread() the 4-column projection before the 15-accumulator
+    # DECIMAL aggregate (layout.py): exact-decimal multiply/sum per row
+    # is ~10x the scan cost and otherwise runs at one-reader scan
+    # parallelism; map-side combine still reduces to 15 numbers per
+    # partition before the exchange.
+    from emdrive_spark.functions.layout import spread
+
+    m = spread(li.select(*_CORR_COLS)).select(*vals).agg(*aggs)
     n = F.col("n")
     corrs = []
     for a, b in _CORR_PAIRS:

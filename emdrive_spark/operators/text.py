@@ -908,6 +908,9 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, no Python; the feature dimension is a constant
     independent of corpus size — the entire point of the trick."""
     d = load(spark, sf_dir, "documents")
+    # NO spread() (measured, r12): 0.96 -> 0.94 s — the 1024-bucket
+    # hash is one md5 per token with no fan-out beyond the explode, so
+    # the exchange buys nothing at this amplification; left scan-shaped.
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
     b = tok.select(
         "doc_id",
