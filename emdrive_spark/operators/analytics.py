@@ -876,16 +876,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection + one dst-keyed shuffle. Co-purchase edges are
     symmetric, so every node has out- and in-degree ≥ 1 — no
     dangling-mass term needed."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
     edges = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
-        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-        .distinct()
+        _copurchase_edges(spark, sf_dir)
         # hash-partitioned by src ONCE, then checkpointed: every
         # iteration's contribution join reuses this layout and only
         # the (node, contrib) side — |V|, not |E| — moves per round
@@ -918,6 +910,51 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("node").alias("part_id"), F.col("rank").alias("pagerank"))
 
 
+_EDGES_VIA_JOIN = False  # tools A/B switch: True = the pre-r12 self-join build
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared both-direction co-purchase edge list (src, dst),
+    distinct, used by pagerank / triangles / kcore / LPA / BFS.
+
+    r12: built by BASKET EXPANSION — groupBy(order).collect_set(part)
+    then an in-row double explode — instead of the (distinct li)
+    self-join on the order key. Same Sum basket^2 work bound and the
+    IDENTICAL edge set (A/B'd exceptAll-empty both directions at
+    sf0.1), but one exchange less (collect_set dedups (ok, pk) inside
+    the aggregate, so the li.distinct pre-shuffle disappears) and no
+    sort-merge of the 600k-row token stream against itself: measured
+    1.95 -> 1.73 s median for the isolated build (interleaved A/B).
+    Baskets are order-bounded (TPC-H: 7 rows max; real carts: small)
+    so the collect_set buffer is flat — the same boundedness argument
+    as dedup's _bucket_pairs, which measured 2.1x for the same shape
+    swap on its key space."""
+    if _EDGES_VIA_JOIN:
+        li = (
+            load(spark, sf_dir, "lineitem")
+            .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+            .distinct()
+        )
+        a, b = li.alias("a"), li.alias("b")
+        return (
+            a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
+            .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+            .distinct()
+        )
+    baskets = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .groupBy("ok")
+        .agg(F.collect_set("pk").alias("ps"))
+    )
+    return (
+        baskets.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 # Which joins in the triangle machinery carry a SHUFFLE_HASH hint
 # (guide §3.1). Module-level so tools/ab_graph_hints.py can A/B hint
 # sets INTERLEAVED in one session (the ckpt_und precedent — this
@@ -948,17 +985,7 @@ def _copurchase_triangles(spark: SparkSession, sf_dir: str, *, ckpt_und: bool = 
     reads is strictly less work at any scale; measured at sf0.1 in
     tools/ab_ckpt_und.py (ckpt_und exists so the A/B stays
     re-runnable)."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    und = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
-        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-        .distinct()
-    )
+    und = _copurchase_edges(spark, sf_dir)
     if ckpt_und:
         und = ckpt(und)
     # Both directions are present, so out-degree here IS the undirected
@@ -1173,18 +1200,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive round 1 and die in round 4 only because its neighbors
     died in between — the property the per-round semi-join re-check
     captures."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    und = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
-        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-        .distinct()
-        .transform(ckpt)
-    )
+    und = _copurchase_edges(spark, sf_dir).transform(ckpt)
     nodes = und.select("src").distinct().transform(ckpt)
     alive = nodes
     prev_n = None
@@ -1395,16 +1411,8 @@ def _lpa_edges_and_labels(spark: SparkSession, sf_dir: str):
     so graph_modularity scores the SAME partition): returns
     (edges, labels) where edges is the checkpointed both-direction
     co-purchase list and labels the converged (node, lbl) frame."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
     edges = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
-        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-        .distinct()
+        _copurchase_edges(spark, sf_dir)
         # partitioned by the JOIN side (dst) once; every round's label
         # attach reuses this layout and only labels move
         .repartition(spark.sparkContext.defaultParallelism, "dst")
@@ -1414,8 +1422,17 @@ def _lpa_edges_and_labels(spark: SparkSession, sf_dir: str):
         "node", F.col("node").alias("lbl")
     )
     for _ in range(_LPA_ROUNDS):
+        # The vote join is hinted SHUFFLE_HASH with the |V|-sized label
+        # frame as the build side (guide §3.1): edges (|E|) probe,
+        # labels build in O(|V|/partitions) per task. Left unhinted,
+        # AQE's stats for the checkpointed frames flip this to a
+        # PER-ROUND broadcast of the labels — measured 9.6 s vs 4.6 s
+        # hinted for the 4-round loop at sf0.1 (and a per-round |V|
+        # broadcast is exactly what a 100 TB graph cannot do). The
+        # explicit hint makes the round cost strategy-stable instead of
+        # stats-dependent; merge measured 5.0 s, broadcast 5.5 s.
         votes = (
-            edges.join(labels, edges["dst"] == labels["node"])
+            edges.join(labels.hint("shuffle_hash"), edges["dst"] == labels["node"])
             .groupBy("src", "lbl")
             .agg(F.count("*").alias("c"))
         )
@@ -1716,16 +1733,8 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_components recipe). On a 1000-executor crawl graph this is
     the plan Pregel runs — vertex state moves, topology stays put."""
     dp = spark.sparkContext.defaultParallelism
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
     edges = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
-        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-        .distinct()
+        _copurchase_edges(spark, sf_dir)
         .repartition(dp, "src")
         .transform(ckpt)
     )
@@ -2066,15 +2075,21 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     SPARSIFIED degrees, one groupBy on the candidate pair, one
     anti-join against the edge list, and the global top-N is
     TakeOrdered, never a full sort."""
-    li = (
+    # Basket expansion instead of the li self-join (_copurchase_edges
+    # rationale); each order contributes each unordered pair once
+    # (collect_set dedups within the order), so the groupBy count IS
+    # the per-pair co-occurrence count, identically to the old join.
+    baskets = (
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
+        .groupBy("ok")
+        .agg(F.collect_set("pk").alias("ps"))
     )
-    a, b = li.alias("a"), li.alias("b")
     und = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        baskets.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
         .agg(F.count("*").alias("nco"))
         .filter(F.col("nco") >= _AA_MIN_COOCCUR)
         .select("src", "dst")
