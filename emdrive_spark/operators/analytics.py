@@ -911,6 +911,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EDGES_VIA_JOIN = False  # tools A/B switch: True = the pre-r12 self-join build
+_HITS_UNPARTITIONED = False  # tools A/B switch: True = pre-r12 single-layout HITS
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1525,13 +1526,31 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .transform(ckpt)
     )
+    # r12 (guide §3.1, the LPA vote-join finding): unhinted, every
+    # half-round's score join planned as a BroadcastHashJoin of the
+    # |V|-sized hub/authority frame — 6 BroadcastExchange builds plus
+    # driver roundtrips per run, and a per-round |V| broadcast is
+    # exactly what a 100 TB graph cannot do. A SHUFFLE_HASH hint on
+    # the score side makes every round a shuffled-hash join (edges
+    # probe, scores build in O(|V|/partitions) per task) — strategy-
+    # stable instead of stats-dependent; interleaved A/B (tools/
+    # ab_hits_layout.py) measured 3.42 vs 3.83 s on quiet samples.
+    # (Pre-partitioning the edge list per join key was tried and
+    # rejected: localCheckpoint materializes to UnknownPartitioning,
+    # so the layout is lost and the copies are pure overhead — see
+    # plans/r12/graph_hits_round_join_after.txt Scan ExistingRDD.)
+    if _HITS_UNPARTITIONED:  # pre-r12 arm for tools/ab interleaving
+        hint = lambda df: df  # noqa: E731
+    else:
+        hint = lambda df: df.hint("shuffle_hash")  # noqa: E731
+    sp_s = sp_p = sp
     hubs = sp.select("s").distinct().select(
         F.col("s").alias("node"), F.lit(_HITS_SCALE).cast("long").alias("h")
     )
     auths = None
     for _ in range(_HITS_ITERS):
         a_raw = (
-            sp.join(hubs, sp["s"] == hubs["node"])
+            sp_s.join(hint(hubs), sp_s["s"] == hubs["node"])
             .groupBy("p")
             .agg(F.sum("h").alias("a"))
             .transform(ckpt)  # |parts|-sized; truncates the round's lineage
@@ -1542,7 +1561,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"a DIV greatest({a_total} DIV {_HITS_SCALE}, 1)").alias("a"),
         )
         h_raw = (
-            sp.join(auths, sp["p"] == auths["node"])
+            sp_p.join(hint(auths), sp_p["p"] == auths["node"])
             .groupBy("s")
             .agg(F.sum("a").alias("h"))
             .transform(ckpt)  # |suppliers|-sized
