@@ -74,10 +74,20 @@ def _bucket_pairs(sh: DataFrame) -> DataFrame:
     both branches read it, and un-materialized they would recompute
     the upstream projection and race (measured 16.9 s tail vs 4.1 s)."""
     key = next(c for c in sh.columns if c != "doc_id")
+    # spread BEFORE the checkpoint (guide §2.5/§2.2): AQE coalesces the
+    # slim collect_list shuffle to a handful of partitions (6 at sf0.1,
+    # it only sees the 7 MB bucket frame), but the next stage explodes
+    # m² pair structs per bucket — amplification AQE cannot see — so
+    # the expansion ran near-serial. Repartitioning the narrow bucket
+    # frame across every core first is one cheap exchange; the
+    # checkpoint then materializes that layout. Profile: the expansion
+    # stage went 6 tasks / 9.3 s run → 32 tasks (stage_profile,
+    # dedup_edit_verified sf0.1).
     buckets = (
         sh.groupBy(key)
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") >= 2)
+        .transform(spread)
         .transform(ckpt)
     )
     pair_expr = F.expr(
