@@ -55,6 +55,14 @@ def release(spark, blocking: bool = False) -> int:
     while it.hasNext():
         it.next().getValue().unpersist(blocking)
         n += 1
+    # Layout pins (functions/layout.py pin()) also register with the
+    # CacheManager; the sweep above already dropped their blocks
+    # (respecting ``blocking``), and clearCache() removes the metadata
+    # registration so the next rep/query rebuilds the pinned frame from
+    # the parquet inputs instead of resolving against a stale cache
+    # entry. localCheckpoint blocks are plain RDD persists — the sweep
+    # alone covers those.
+    spark.catalog.clearCache()
     return n
 
 

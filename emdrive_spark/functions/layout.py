@@ -23,13 +23,57 @@ one partition — the exact pathology this helper removes.)
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from emdrive_spark.functions.ckpt import ckpt
 
 # tools A/B switch (interleaved same-session arms, the _SHJ_HINTS
 # precedent): True makes every spread() a no-op so a spread site can
 # be measured against its absence without a separate JVM.
 DISABLED = False
+
+# tools A/B switch for pin(): True degrades every pin() to a plain
+# ckpt() — the pre-r12 loop shape — so the layout pin can be measured
+# interleaved in one JVM.
+PIN_DISABLED = False
+
+
+def pin(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-partition ``df`` on ``cols`` and persist it — the
+    ITERATIVE-LOOP layout pin. ``ckpt``'s localCheckpoint materializes
+    to UnknownPartitioning(0) (the blocks hold hash-clustered rows but
+    the planner cannot see it — plans/r12/graph_hits_round_join_after
+    .txt's Scan ExistingRDD), so every round of a loop re-exchanges
+    the big topology frame. ``persist`` instead caches through
+    InMemoryRelation, which REPORTS the child's hashpartitioning:
+    each round's equality join on ``cols`` then reuses the cached
+    layout with zero exchange on this side, and only the |V|-sized
+    state frame moves per round — the Pregel contract ("topology
+    stays put, vertex state moves") made real.
+
+    MEMORY_AND_DISK: spills gracefully instead of evicting, and stays
+    recomputable from lineage (unlike a localCheckpoint, a lost block
+    degrades to recompute — strictly safer under preemption). This is
+    a layout pin, NOT a cross-run cache: ``release()`` between
+    reps/queries drops both the blocks and the cache registration, so
+    every bench rep recomputes from the parquet inputs."""
+    if PIN_DISABLED or not cols:
+        return ckpt(df)
+    n = df.sparkSession.sparkContext.defaultParallelism
+    out = df.repartition(n, *[F.col(c) for c in cols]).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # Materialize NOW (one job, the same eager shape ckpt had): an
+    # InMemoryRelation over a still-adaptive plan reports
+    # UnknownPartitioning until the plan finalizes, so consumers
+    # planned before the first action would re-exchange this side
+    # anyway (measured: the round-1 vote join carried an extra |E|
+    # Exchange when the pin was lazy). After the count the cached
+    # plan is final and every consumer sees the hashpartitioning.
+    out.count()
+    return out
 
 
 def spread(df: DataFrame, *cols: str) -> DataFrame:

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from emdrive_spark.functions import money as M
 from emdrive_spark.functions.ckpt import ckpt
-from emdrive_spark.functions.layout import spread
+from emdrive_spark.functions.layout import pin, spread
 from emdrive_spark.registry import register
 from emdrive_spark.sources.tables import load, staging_dir
 
@@ -876,16 +876,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection + one dst-keyed shuffle. Co-purchase edges are
     symmetric, so every node has out- and in-degree ≥ 1 — no
     dangling-mass term needed."""
-    edges = (
-        _copurchase_edges(spark, sf_dir)
-        # hash-partitioned by src ONCE, then checkpointed: every
-        # iteration's contribution join reuses this layout and only
-        # the (node, contrib) side — |V|, not |E| — moves per round
-        # (A/B at sf0.1: 4.7 → 3.9 s median; at cluster scale this is
-        # the difference between shuffling the edge list 5× and 0×).
-        .repartition(spark.sparkContext.defaultParallelism, "src")
-        .transform(ckpt)
-    )
+    # hash-partitioned by src ONCE and pinned (layout.pin — r12: the
+    # repartition+ckpt it replaces materialized to UnknownPartitioning,
+    # so each iteration still re-exchanged the edge list; persist keeps
+    # the layout visible and every contribution join reuses it — only
+    # the (node, contrib) side, |V| not |E|, moves per round).
+    edges = pin(_copurchase_edges(spark, sf_dir), "src")
     deg = edges.groupBy("src").agg(F.count("*").alias("d")).transform(ckpt)
     ntab = deg.agg(F.count("*").alias("n"))  # 1-row scalar, broadcast below
     ranks = deg.crossJoin(F.broadcast(ntab)).select(
@@ -963,6 +959,10 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shipped set: see the A/B notes inline below.
 _SHJ_HINTS: frozenset[str] = frozenset({"wedge", "closing"})
 
+# r12b A/B switch: True = adjacency-intersection triangle build (no
+# wedge materialization); False = the r12a wedge+closure SHJ build.
+_TRI_VIA_ADJ = True
+
 
 def _h(df: DataFrame, name: str) -> DataFrame:
     return df.hint("shuffle_hash") if name in _SHJ_HINTS else df
@@ -1005,38 +1005,63 @@ def _copurchase_triangles(spark: SparkSession, sf_dir: str, *, ckpt_und: bool = 
         .select("src", "dst", "vkey")
         .transform(ckpt)
     )
-    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
-    # Both heavy joins below are hinted SHUFFLE_HASH (guide §3.1 —
-    # pick the strategy deliberately): sort-merge sorts the WEDGE
-    # stream, which is the amplified frame (Sum outdeg^2 rows, ~15M /
-    # ~390 MB of shuffle at sf0.1 — the single largest exchange in the
-    # fleet), to join it against the compact oriented edge list. The
-    # build side (oriented, |E'| rows) hashes in O(1) memory per
-    # partition — bounded by |E'|/shuffle_partitions, which AQE's
-    # partition sizing keeps at advisory size on any cluster — while
-    # the wedge stream then only PROBES, never sorts. Measured at
-    # sf0.1 (tools/ab_conf.py, 3-rep medians, identical results):
-    # graph_related_topk 9.24 -> 6.37 s, graph_triangle_count
-    # 5.97 -> 4.82 s. A session-wide AQE conversion
-    # (maxShuffledHashJoinLocalMapThreshold) was tried first and
-    # REJECTED: it also converts the iterative family's small
-    # label/contrib joins, which measured 5-21% SLOWER across all 7
-    # iterative graph ops (sort reuse + tiny builds), so the strategy
-    # choice stays per-join, on the two joins where the probe side is
-    # orders of magnitude larger than the build side.
-    wedges = (
-        w1.join(_h(w2, "wedge"), F.col("w1.src") == F.col("w2.src"))
-        # strict < on the destination order key: each out-neighbor pair
-        # once, and the closing edge (if any) is oriented exactly v->w
-        .filter(F.col("w1.vkey") < F.col("w2.vkey"))
+    if not _TRI_VIA_ADJ:
+        w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+        # Pre-r12b arm (tools A/B): wedge self-join + closure join, both
+        # hinted SHUFFLE_HASH (guide §3.1 — the r12a change: sort-merge
+        # sorted the Sum outdeg^2 wedge stream, ~15M rows / ~390 MB at
+        # sf0.1, the fleet's largest exchange; SHJ builds the compact
+        # |E'| side and the wedges only probe. Measured
+        # graph_related_topk 9.24 -> 6.37 s, graph_triangle_count
+        # 5.97 -> 4.82 s; a session-wide AQE SMJ->SHJ conversion was
+        # rejected — it also converts the iterative family's small
+        # joins, 5-21% slower across all 7).
+        wedges = (
+            w1.join(_h(w2, "wedge"), F.col("w1.src") == F.col("w2.src"))
+            # strict < on the destination order key: each out-neighbor
+            # pair once, and the closing edge (if any) is oriented v->w
+            .filter(F.col("w1.vkey") < F.col("w2.vkey"))
+            .select(
+                F.col("w1.src").alias("tri_u"),
+                F.col("w1.dst").alias("v"),
+                F.col("w2.dst").alias("w"),
+            )
+        )
+        closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+        tri = wedges.join(_h(closing, "closing"), ["v", "w"])
+        return und, deg, tri
+    # r12b (guide §2.3 shuffle fewer bytes / §2.4 remove shuffles):
+    # ADJACENCY INTERSECTION replaces the wedge machinery. The wedge
+    # build materialized and SHUFFLED every open wedge (Sum outdeg^2
+    # rows, ~15M / ~390 MB at sf0.1 — the fleet's largest exchange) to
+    # probe the closure join. But a triangle u<v<w (key order) is
+    # exactly an oriented edge (u, v) plus a common out-neighbor w of
+    # BOTH endpoints, so attaching each node's out-neighbor list to
+    # the edge's two endpoints and intersecting IN-ROW yields the
+    # identical (tri_u, v, w) frame — each triangle found exactly once
+    # at its lowest edge — while the shuffle drops to ~4 |E'| rows
+    # (two |E'| edge attaches + the |V|-row adjacency table twice) and
+    # the non-closing wedges never exist as rows at all. Degree
+    # orientation bounds every out-neighbor array at O(sqrt m), so the
+    # collect_list buffers and the per-row intersect stay bounded on
+    # any graph — the same argument that bounds the wedge count.
+    adj = (
+        oriented.groupBy("src")
+        .agg(F.collect_list("dst").alias("nb"))
+        .transform(ckpt)  # read twice below; |V| rows, Sum |E'| payload
+    )
+    au = adj.select(F.col("src").alias("u_"), F.col("nb").alias("nu"))
+    av = adj.select(F.col("src").alias("v_"), F.col("nb").alias("nv"))
+    e2 = oriented.select("src", "dst")
+    tri = (
+        e2.join(au.hint("shuffle_hash"), e2["src"] == au["u_"])
+        .join(av.hint("shuffle_hash"), e2["dst"] == av["v_"])
         .select(
-            F.col("w1.src").alias("tri_u"),
-            F.col("w1.dst").alias("v"),
-            F.col("w2.dst").alias("w"),
+            F.col("src").alias("tri_u"),
+            F.col("dst").alias("v"),
+            F.explode(F.array_intersect("nu", "nv")).alias("w"),
         )
     )
-    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    tri = wedges.join(_h(closing, "closing"), ["v", "w"])
     return und, deg, tri
 
 
@@ -1201,14 +1226,27 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive round 1 and die in round 4 only because its neighbors
     died in between — the property the per-round semi-join re-check
     captures."""
-    und = _copurchase_edges(spark, sf_dir).transform(ckpt)
+    # r12 (guide §2.4): pinned by dst (layout.pin keeps the layout
+    # visible through persist), and the two survivor semi-joins run
+    # dst-side FIRST — the dst filter reads the pinned layout with zero
+    # edge exchange, the src filter then pays the round's ONE
+    # edge-scale exchange, and the survivor-degree groupBy reuses that
+    # src layout (semi-join output keeps the probe side's
+    # partitioning). Pre-r12 each round exchanged the full edge list
+    # by src AND the filtered list by dst. Semi-joins are filters, so
+    # the reorder is value-neutral; the alive sides carry the LPA
+    # vote-join's shuffle_hash hint (per-round broadcast of a
+    # |V|-sized frame is the scale-hostile shape).
+    und = pin(_copurchase_edges(spark, sf_dir), "dst")
     nodes = und.select("src").distinct().transform(ckpt)
     alive = nodes
     prev_n = None
     for _ in range(_KCORE_ROUNDS):
-        e_alive = und.join(alive, "src", "semi").join(
-            alive.select(F.col("src").alias("dst")), "dst", "semi"
-        )
+        e_alive = und.join(
+            alive.select(F.col("src").alias("dst")).hint("shuffle_hash"),
+            "dst",
+            "semi",
+        ).join(alive.hint("shuffle_hash"), "src", "semi")
         alive = (
             e_alive.groupBy("src")
             .agg(F.count("*").alias("d"))
@@ -1229,8 +1267,12 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_n = n
     core_deg = (
-        und.join(alive, "src", "semi")
-        .join(alive.select(F.col("src").alias("dst")), "dst", "semi")
+        und.join(
+            alive.select(F.col("src").alias("dst")).hint("shuffle_hash"),
+            "dst",
+            "semi",
+        )
+        .join(alive.hint("shuffle_hash"), "src", "semi")
         .groupBy("src")
         .agg(F.count("*").alias("d"))
     )
@@ -1412,13 +1454,11 @@ def _lpa_edges_and_labels(spark: SparkSession, sf_dir: str):
     so graph_modularity scores the SAME partition): returns
     (edges, labels) where edges is the checkpointed both-direction
     co-purchase list and labels the converged (node, lbl) frame."""
-    edges = (
-        _copurchase_edges(spark, sf_dir)
-        # partitioned by the JOIN side (dst) once; every round's label
-        # attach reuses this layout and only labels move
-        .repartition(spark.sparkContext.defaultParallelism, "dst")
-        .transform(ckpt)
-    )
+    # pinned by the JOIN side (dst) once (layout.pin: persist keeps the
+    # hashpartitioning visible to the planner, unlike ckpt); every
+    # round's label attach reuses the cached layout with ZERO edge-side
+    # exchange and only labels move — r12, guide §2.4.
+    edges = pin(_copurchase_edges(spark, sf_dir), "dst")
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -1526,6 +1566,12 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .transform(ckpt)
     )
+    # r12 measured and REJECTED twice (tools/ab_pin.py): two layout
+    # pins (persist keeps partitioning, unlike the ckpt copies already
+    # rejected above) measured 2.98 -> 3.97 s wall / 8 -> 26 s cpu —
+    # the bipartite frame is small enough that its per-round exchange
+    # is cheaper than two columnar cache builds plus six cache scans.
+    sp_s = sp_p = sp
     # r12 (guide §3.1, the LPA vote-join finding): unhinted, every
     # half-round's score join planned as a BroadcastHashJoin of the
     # |V|-sized hub/authority frame — 6 BroadcastExchange builds plus
@@ -1543,7 +1589,6 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         hint = lambda df: df  # noqa: E731
     else:
         hint = lambda df: df.hint("shuffle_hash")  # noqa: E731
-    sp_s = sp_p = sp
     hubs = sp.select("s").distinct().select(
         F.col("s").alias("node"), F.lit(_HITS_SCALE).cast("long").alias("h")
     )
@@ -1752,11 +1797,9 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_components recipe). On a 1000-executor crawl graph this is
     the plan Pregel runs — vertex state moves, topology stays put."""
     dp = spark.sparkContext.defaultParallelism
-    edges = (
-        _copurchase_edges(spark, sf_dir)
-        .repartition(dp, "src")
-        .transform(ckpt)
-    )
+    # pinned by src (layout.pin, r12): each round's frontier join reads
+    # the cached layout — only the frontier moves, never the edges.
+    edges = pin(_copurchase_edges(spark, sf_dir), "src")
     nodes = edges.select(F.col("src").alias("node")).distinct().transform(ckpt)
     dist = nodes.filter(F.col("node") % _BFS_SEED_MOD == 0).select(
         "node", F.lit(0).alias("dist")
@@ -1846,9 +1889,16 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     m2 = float(edges.count())  # 1-row scalar action, re-entered as literal
     ca = labels.select(F.col("node").alias("a_"), F.col("lbl").alias("la"))
     cb = labels.select(F.col("node").alias("b_"), F.col("lbl").alias("lb"))
+    # r12: dst-side label attach runs FIRST — edges is pinned by dst
+    # (the _lpa_edges_and_labels layout), so that join reads the cached
+    # layout with zero edge exchange and only the src attach pays one;
+    # pre-r12 the src-first order exchanged the edge list twice. Both
+    # label sides carry the vote join's shuffle_hash hint (per-round
+    # |V| broadcast is the scale-hostile shape). Inner equi-joins
+    # commute, so the rows are identical.
     intra = (
-        edges.join(ca, edges["src"] == ca["a_"])
-        .join(cb, edges["dst"] == cb["b_"])
+        edges.join(cb.hint("shuffle_hash"), edges["dst"] == cb["b_"])
+        .join(ca.hint("shuffle_hash"), edges["src"] == ca["a_"])
         .filter(F.col("la") == F.col("lb"))
         .groupBy(F.col("la").alias("community"))
         .agg(F.count("*").alias("intra_edges"))

@@ -579,6 +579,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     member = band_members(corpus).transform(ckpt)
+    # r12 measured and REJECTED (tools/ab_pin.py): pinning member by
+    # doc_id + bkt (layout.pin) with shuffle_hash-hinted label sides
+    # ran 3.9 -> 4.3 s / cpu 31 -> 40 s — the per-round label frames
+    # here are small enough that AQE's broadcast already makes the
+    # member joins exchange-free, so the two columnar cache builds are
+    # pure overhead. Keep the ckpt shape.
 
     labels = corpus.select("doc_id", F.col("doc_id").alias("component")).transform(ckpt)
     for _ in range(12):  # ceil(diameter/2) bound; dup clusters are shallow
@@ -1724,8 +1730,16 @@ def entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the number of records identical up to one position —
     telemetry-friendly and naturally tiny; the LSH hot-bucket
     monitoring applies verbatim."""
-    c = load(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("k"), F.col("c_name").alias("n")
+    # r12 (guide §2.5, the sketch_countmin pattern): the deletion-key
+    # expansion amplifies each record to len(name) rows + a substring
+    # pair per row, and it rode the one-effective-reader customer scan
+    # — spread() the narrow (k, n) frame once before the explode so
+    # the expansion runs cluster-wide; both self-join branches reuse
+    # the one exchange.
+    c = spread(
+        load(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("k"), F.col("c_name").alias("n")
+        )
     )
     keys = c.filter(F.length("n") >= 1).select(
         # length guard: F.sequence DESCENDS when start > stop, so an empty

@@ -1306,7 +1306,13 @@ def _bpe_train_loop(words: DataFrame):
             *carry,
             _bpe_merge_word(F.col("w"), best["l"], best["r"]).alias("w"),
             "freq",
-        ).transform(ckpt)  # vocab-bounded; keeps each round's action flat
+        ).transform(ckpt, eager=False)
+        # lazy ckpt (r12, guide §5 driver latency): still truncates
+        # lineage so each round's plan stays one fold deep, but the
+        # blocks materialize inside the NEXT round's argmax job instead
+        # of a dedicated eager job — the loop runs 1 driver action per
+        # round instead of 2 (the train chain is latency-bound: ~0.6 s
+        # of executor work across ~17 driver-sequential jobs per run).
     return merges, words
 
 
