@@ -1384,6 +1384,14 @@ def graph_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LPA_ROUNDS = 4  # synchronous rounds; communities stabilize by 3-4 on
 # the fixture (pytest pins round-3 == round-4 agreement rate)
 
+# tools A/B switch: True = eager per-round label checkpoint; False =
+# lazy (the whole loop fuses into the consumer's single action).
+# Measured (tools/ab_flag.py, interleaved): LPA neutral (5.42 vs
+# 5.43 s), modularity WORSE lazy (6.56 vs 5.80) — its three label
+# consumers replan the fused loop once per materialization boundary —
+# so eager stays.
+_LPA_EAGER_CKPT = True
+
 
 def _lpa_ctes() -> str:
     """Shared unrolled-round LPA CTE prefix: one chained CTE per
@@ -1485,7 +1493,7 @@ def _lpa_edges_and_labels(spark: SparkSession, sf_dir: str):
             votes.groupBy("src")
             .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m"))
             .select(F.col("src").alias("node"), (-F.col("m.nl")).alias("lbl"))
-            .transform(ckpt)
+            .transform(ckpt, eager=_LPA_EAGER_CKPT)
         )
     return edges, labels
 
