@@ -1226,27 +1226,25 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive round 1 and die in round 4 only because its neighbors
     died in between — the property the per-round semi-join re-check
     captures."""
-    # r12 (guide §2.4): pinned by dst (layout.pin keeps the layout
-    # visible through persist), and the two survivor semi-joins run
-    # dst-side FIRST — the dst filter reads the pinned layout with zero
-    # edge exchange, the src filter then pays the round's ONE
-    # edge-scale exchange, and the survivor-degree groupBy reuses that
-    # src layout (semi-join output keeps the probe side's
-    # partitioning). Pre-r12 each round exchanged the full edge list
-    # by src AND the filtered list by dst. Semi-joins are filters, so
-    # the reorder is value-neutral; the alive sides carry the LPA
-    # vote-join's shuffle_hash hint (per-round broadcast of a
-    # |V|-sized frame is the scale-hostile shape).
-    und = pin(_copurchase_edges(spark, sf_dir), "dst")
+    # r12 measured and REJECTED (bench attempt vs the mid-round run,
+    # then root-caused against the ab_pin arms): pinning und by dst,
+    # reordering the semi-joins dst-first, and hinting the alive sides
+    # shuffle_hash regressed kcore 4.5 -> 6.8 s wall / 22 -> 55 s cpu.
+    # Unhinted, AQE plans BOTH survivor filters as broadcast semi-joins
+    # of the shrinking |V|-sized alive set, so the edge list never
+    # shuffles at all in any round — zero edge exchanges, which the
+    # hinted SHJ shape can only approach, never beat (dedup_components
+    # taught the same lesson). The r11 shape stays; at 100 TB, AQE's
+    # stats flip these to shuffled joins on their own — the unhinted
+    # form is the scale-adaptive one here.
+    und = _copurchase_edges(spark, sf_dir).transform(ckpt)
     nodes = und.select("src").distinct().transform(ckpt)
     alive = nodes
     prev_n = None
     for _ in range(_KCORE_ROUNDS):
-        e_alive = und.join(
-            alive.select(F.col("src").alias("dst")).hint("shuffle_hash"),
-            "dst",
-            "semi",
-        ).join(alive.hint("shuffle_hash"), "src", "semi")
+        e_alive = und.join(alive, "src", "semi").join(
+            alive.select(F.col("src").alias("dst")), "dst", "semi"
+        )
         alive = (
             e_alive.groupBy("src")
             .agg(F.count("*").alias("d"))
@@ -1267,12 +1265,8 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_n = n
     core_deg = (
-        und.join(
-            alive.select(F.col("src").alias("dst")).hint("shuffle_hash"),
-            "dst",
-            "semi",
-        )
-        .join(alive.hint("shuffle_hash"), "src", "semi")
+        und.join(alive, "src", "semi")
+        .join(alive.select(F.col("src").alias("dst")), "dst", "semi")
         .groupBy("src")
         .agg(F.count("*").alias("d"))
     )

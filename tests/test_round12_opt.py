@@ -37,7 +37,6 @@ def test_pin_arm_value_neutral(spark):
     for op in (
         "graph_pagerank",
         "graph_bfs_distance",
-        "graph_kcore",
         "graph_label_propagation",
         "graph_modularity",
     ):
