@@ -75,6 +75,20 @@ def get_spark(app_name: str = _DEFAULT_APP, extra_conf: dict | None = None) -> S
             "spark.sql.codegen.cache.maxEntries",
             os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "2000"),
         )
+        # Shuffle/spill compression codec. Local default stays lz4: the
+        # r12 interleaved fresh-JVM A/B (tools/ab_codec.py) measured
+        # zstd 15-35% slower on the shuffle-heaviest ops at sf0.1
+        # (cleanest sample: graph_triangle_count 7.18 s vs the quiet
+        # lz4 record 5.32; graph_related_topk 8.06 vs 5.92) — on
+        # local[32] every shuffle byte moves through page cache, so
+        # zstd's better ratio buys no transfer time and its extra CPU
+        # is pure cost. On a real cluster shuffle crosses the NIC and
+        # the ratio can win (guide §2.3: "no universal answer —
+        # measure"), hence env-overridable rather than hard-coded.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         # Keep the UI off in headless runs.
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
