@@ -5,6 +5,19 @@ Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+r13 (r12 verdict item 1 — the r12 gate-breaker): the artifact line is
+now emitted after EVERY completed rep round (marked "provisional":
+true, medians over the rounds done so far) and after EVERY attempt,
+newest-last, so the driver's last-2000-chars tail always ends with a
+parseable artifact no matter where its kill budget lands. The
+retry-until-quiet loop added in r12 is opt-in again
+($SPARK_GRAFT_NOISY_RETRIES, default 1 — the r12 default of 3 made the
+official run up to 3 full passes long and both driver runs timed out
+artifact-less), and the whole loop is bounded by
+$SPARK_GRAFT_BENCH_BUDGET wall seconds (default 2400): a retry that
+cannot fit is not started. Timing methodology (noop sink, reps=5
+round-robin, per-query medians) is UNCHANGED from r11/r12.
+
 r11: the artifact is now steal-invariant. Every rep is bracketed by
 guest CPU-counter snapshots (emdrive_spark/functions/hostmeter.py), so
 next to the wall medians ("queries") the payload carries per-query
@@ -219,13 +232,20 @@ def _load_gate() -> tuple[bool, float]:
         load1 = os.getloadavg()[0]
     except OSError:
         return False, -1.0
+    last_msg = 0.0
     while load1 >= gate and time.monotonic() < deadline:
-        print(
-            f"bench: 1-min load {load1:.1f} >= gate {gate:.1f}; waiting for a "
-            "quiet window...",
-            file=sys.stderr,
-            flush=True,
-        )
+        # Chatter-bounded (r13): artifact lines are now emitted
+        # mid-run, and every stderr byte printed after one eats into
+        # the driver's 2000-char tail window — so say it at most once
+        # per 150 s, not every poll.
+        if time.monotonic() - last_msg >= 150:
+            print(
+                f"bench: 1-min load {load1:.1f} >= gate {gate:.1f}; waiting "
+                "for a quiet window...",
+                file=sys.stderr,
+                flush=True,
+            )
+            last_msg = time.monotonic()
         time.sleep(30)
         load1 = os.getloadavg()[0]
     # A run that proceeds with its own wait gate still closed is noisy
@@ -349,7 +369,20 @@ def _fit_tail_cap(payload: dict) -> dict:
     return slim
 
 
+def _emit(payload: dict) -> None:
+    """Print one artifact JSON line to stdout (fitted to the driver's
+    2000-char tail window) and flush. r13: called after EVERY rep round
+    and EVERY attempt, not only at exit — the driver parses the LAST
+    JSON line in its tail, so newest-wins and a kill at any point after
+    the first completed rep round still leaves a parseable artifact
+    (r12 lost both official runs to exactly this: a fully completed
+    attempt's payload existed only in local sidecars when the kill
+    budget expired mid-retry)."""
+    print(json.dumps(_fit_tail_cap(payload), separators=(",", ":")), flush=True)
+
+
 def main() -> None:
+    bench_t0 = time.monotonic()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     here = os.path.dirname(os.path.abspath(__file__))
@@ -386,19 +419,26 @@ def main() -> None:
     # still admits one excursion + one slow rep. Median of 5 held
     # stable across back-to-back runs that disagreed wildly at 3.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "5")))
-    # Bounded retry-until-quiet (r12, r11 verdict item 2): three
-    # consecutive official artifacts (r09-r11) shipped flagged-noisy —
-    # the in-run canaries now DETECT contamination, so the official
-    # invocation retries the whole measured pass up to
-    # $SPARK_GRAFT_NOISY_RETRIES times (default 3 attempts total)
-    # until one comes back quiet. Every flagged attempt still lands
-    # its timestamped .noisy sidecar (evidence that N retries all
-    # flagged, should that happen); the FIRST quiet attempt is the
-    # artifact of record. Co-tenant patches on this host last minutes,
-    # so attempts are separated by $SPARK_GRAFT_RETRY_WAIT seconds
-    # (default 60) plus a fresh load-gate poll.
-    attempts = max(1, int(os.environ.get("SPARK_GRAFT_NOISY_RETRIES", "3")))
+    # Retry-until-quiet is now OPT-IN (r13, r12 verdict item 1): the r12
+    # default of 3 attempts made the official path
+    # [load-gate <=600 s] + up to 3 x (88 queries x 5 reps) + 2 x 60 s
+    # waits, and the artifact line only printed after the loop — the
+    # driver's kill budget expired mid-attempt-2 at BOTH core counts and
+    # a fully completed attempt 1 was thrown away (BENCH_r12*.json:
+    # rc=124, parsed: null, all 31 slow-tail queries dropped). The
+    # official invocation is a SINGLE pass again (the r11 shape, which
+    # the driver completed); local measurement sessions opt into
+    # retries with $SPARK_GRAFT_NOISY_RETRIES. Every flagged attempt
+    # still lands its timestamped .noisy sidecar; the FIRST quiet
+    # attempt is the artifact of record. Attempts are separated by
+    # $SPARK_GRAFT_RETRY_WAIT seconds (default 60) plus a fresh
+    # load-gate poll, and the WHOLE loop (load gate + attempts +
+    # waits) is bounded by $SPARK_GRAFT_BENCH_BUDGET wall seconds
+    # (default 2400): a retry that cannot finish inside the budget is
+    # not started, so the loop can never time out artifact-less again.
+    attempts = max(1, int(os.environ.get("SPARK_GRAFT_NOISY_RETRIES", "1")))
     retry_wait = float(os.environ.get("SPARK_GRAFT_RETRY_WAIT", "60"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "2400"))
     # Reps are ROUND-ROBIN across queries (rep 1 of everything, then
     # rep 2, ...), not back-to-back per query: this host's co-tenant
     # noise arrives in minutes-long patches, and with consecutive
@@ -423,7 +463,7 @@ def main() -> None:
         samples: dict[str, list] = {name: [] for name in HEADLINE}
         cpu_samples: dict[str, list] = {name: [] for name in HEADLINE}
         steal_samples: dict[str, list] = {name: [] for name in HEADLINE}
-        for _ in range(reps):
+        for rep in range(1, reps + 1):
             for name in HEADLINE:
                 m0 = hostmeter.snapshot() if metered else None
                 t0 = time.perf_counter()
@@ -445,6 +485,28 @@ def main() -> None:
                 # the async removal storm must not overlap the next
                 # timed rep.
                 release(spark, blocking=True)
+            if rep < reps:
+                # Provisional artifact after every completed rep round
+                # (r13): same queries, same scale, same noop-sink
+                # methodology — only the median is over the rounds
+                # completed so far. If the driver's kill budget expires
+                # mid-pass, the tail still ends with a parseable line
+                # instead of nothing. The final per-attempt line (and
+                # the post-stop line) supersede it, newest-last.
+                prov_q = {
+                    n: round(statistics.median(rs), 3)
+                    for n, rs in samples.items() if rs
+                }
+                _emit({
+                    "metric": "headline_queries_total",
+                    "value": round(sum(prov_q.values()), 3),
+                    "unit": "sec",
+                    "queries": prov_q,
+                    "reps": reps,
+                    "reps_done": rep,
+                    "provisional": True,
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                })
         run_delta = hostmeter.delta(run_t0, hostmeter.snapshot()) if metered else {}
         timings = {
             # statistics.median, not sorted[n//2]: reps is env-overridable
@@ -543,7 +605,23 @@ def main() -> None:
         with open(os.path.join(here, local_name), "w") as f:
             json.dump(payload, f, indent=1)
             f.write("\n")
+        # Emit the attempt's artifact line NOW (r13, r12 verdict item
+        # 1): a completed attempt must survive a kill during any later
+        # attempt. Newest-last — a later attempt's line, and the final
+        # post-stop line, supersede it in the driver's tail.
+        _emit(payload)
         if not noisy or attempt == attempts:
+            break
+        elapsed = time.monotonic() - bench_t0
+        attempt_cost = elapsed / attempt  # conservative per-attempt estimate
+        if elapsed + retry_wait + attempt_cost > budget:
+            print(
+                f"bench: attempt {attempt} flagged noisy but the wall budget "
+                f"({budget:.0f}s, {elapsed:.0f}s elapsed) cannot fit another "
+                "attempt; keeping this artifact.",
+                file=sys.stderr,
+                flush=True,
+            )
             break
         # Flagged and retries remain (r11 verdict item 2): the sidecar
         # above preserves this attempt; wait out the co-tenant patch,
@@ -567,7 +645,7 @@ def main() -> None:
         spark.stop()
     except Exception:
         pass  # shutdown chatter < losing the artifact line
-    print(json.dumps(_fit_tail_cap(payload), separators=(",", ":")), flush=True)
+    _emit(payload)
 
 
 if __name__ == "__main__":

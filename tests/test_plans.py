@@ -4,6 +4,8 @@ broadcast, top-k, no Python in hot paths)."""
 
 from __future__ import annotations
 
+import pytest
+
 from emdrive_spark import registry
 from emdrive_spark.plans.topk_planner import plan_topk
 from emdrive_spark.sources.tables import load
@@ -511,6 +513,7 @@ _SCALE_MARKERS = (
 )
 
 
+@pytest.mark.slow
 def test_fleet_scale_markers_all_triaged(spark):
     """One pass over every registered op: no plan may contain a scale
     marker that is not explicitly triaged above. Streaming ops execute

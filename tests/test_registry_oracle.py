@@ -19,6 +19,22 @@ from tools.verify_local import compare  # noqa: E402
 
 registry.load_all()
 
+# Ops whose sf0.001 gate run takes >= ~20 s on an idle 32-core host
+# (pytest --durations, r13): together ~18 min of the old 36-min suite.
+# Marked slow so the default (driver) gate fits its budget — they still
+# run locally via `-m slow` before every round lands, and the driver's
+# own CORRECTNESS window re-verifies a rotating 50-op sample at sf0.01
+# every round regardless. The three multi-minute rows (dedup_simhash/
+# minhash/near) are rows-only determinism DOUBLE-runs, not oracle
+# compares.
+_SLOW_OPS = frozenset({
+    "dedup_simhash", "dedup_minhash", "dedup_near",
+    "dedup_embedding_components", "mm_decode_phash_deep",
+    "dedup_embedding", "dedup_incremental", "dedup_ngram",
+    "dedup_minhash_det", "dedup_simhash_det",
+    "embedding_mmr_rerank", "events_interpolate",
+})
+
 
 @pytest.fixture(scope="module")
 def oracle_con():
@@ -28,7 +44,13 @@ def oracle_con():
     return con
 
 
-@pytest.mark.parametrize("name", sorted(registry.REGISTRY))
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_OPS else n
+        for n in sorted(registry.REGISTRY)
+    ],
+)
 def test_query_matches_oracle(spark, oracle_con, name):
     spec = registry.REGISTRY[name]
     sdf = spec.fn(spark, SF_SMOKE).toPandas()

@@ -138,6 +138,7 @@ def test_mm_decode_phash_known_answer(spark):
 # ------------------------------------------------ decoder properties
 
 
+@pytest.mark.slow
 def test_decode_roundtrip_property():
     """Hypothesis roundtrip across all four PNM variants: any
     (w, h, raster) encodes to a P2/P3/P5/P6 that decodes back exactly;

@@ -28,6 +28,7 @@ def _clean_blocks(spark):
     release(spark)
 
 
+@pytest.mark.slow
 def test_pin_arm_value_neutral(spark):
     """pin() vs the ckpt fallback produce identical rows for every
     iterative op that uses the layout pin."""
@@ -50,6 +51,7 @@ def test_pin_arm_value_neutral(spark):
             layout.PIN_DISABLED = False
 
 
+@pytest.mark.slow
 def test_triangle_adjacency_equals_wedge_build(spark):
     """The r12b adjacency-intersection triangle frame is the identical
     multiset to the wedge+closure build, for all three consumers."""
@@ -67,6 +69,7 @@ def test_triangle_adjacency_equals_wedge_build(spark):
             analytics._TRI_VIA_ADJ = True
 
 
+@pytest.mark.slow
 def test_bpe_lazy_ckpt_value_neutral(spark):
     """Lazy per-round vocabulary checkpoints change job structure,
     never the trained merges or the applied counts."""

@@ -230,6 +230,7 @@ def test_server_boots_from_env_alone(spark, monkeypatch, tmp_path):
 # -- dedup_embedding gating -----------------------------------------------
 
 
+@pytest.mark.slow
 def test_dedup_embedding_gated_matches_bruteforce(spark):
     from emdrive_spark.operators.dedup import (
         _SHIFT,

@@ -180,6 +180,7 @@ def test_system_tables_over_http(spark):
 # -- graceful shutdown ----------------------------------------------------
 
 
+@pytest.mark.slow
 def test_sigterm_shuts_down_cleanly():
     """SIGTERM to a served process → accept loop stops, Spark stops,
     exit code 0 (reference src/server/mod.rs:140-145)."""

@@ -4,6 +4,8 @@ rank-stable keyword rounding."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from emdrive_spark import registry
@@ -24,6 +26,7 @@ def test_staging_dir_is_per_session(spark):
     assert staging_dir(spark, "a", "b").endswith("/a/b")
 
 
+@pytest.mark.slow
 def test_staging_root_removed_at_exit():
     """The per-session staging root must vanish when the process exits
     (r4 review: leaked roots accrete under /tmp until the disk fills).

@@ -358,6 +358,7 @@ def test_spread_widens_few_split_scan(spark):
     assert spread(d, "doc_id").rdd.getNumPartitions() == n
 
 
+@pytest.mark.slow
 def test_bucket_pairs_multiset_property(spark):
     """Property test for _bucket_pairs: on adversarial small inputs
     (key collisions, duplicate (doc, key) rows — the md5-prefix

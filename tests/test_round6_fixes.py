@@ -185,6 +185,7 @@ def test_bench_load_gate(monkeypatch):
 # ------------------------------------------------- round-6 new operators
 
 
+@pytest.mark.slow
 def test_lpa_communities_merge_and_are_deterministic(spark):
     """Labels must coarsen (fewer communities than nodes), every label
     must be a real node id, and the synchronous + min-tie-break design
@@ -199,6 +200,7 @@ def test_lpa_communities_merge_and_are_deterministic(spark):
     assert 1 <= len(comms) < len(nodes)
 
 
+@pytest.mark.slow
 def test_hits_scores_positive_and_normalized(spark):
     """Every hub/authority score is positive and each side's total
     stays within a small constant factor of the fixed-point scale
@@ -223,6 +225,7 @@ def test_countmin_is_one_sided_overestimate(spark):
     assert all(r["cms_est"] >= r["true_cnt"] for r in rows)
 
 
+@pytest.mark.slow
 def test_novelty_first_doc_is_fully_novel(spark):
     """The smallest doc_id that has any shingles must be 100% novel
     (nothing precedes it), fractions live in [0, 1], and shingle-less
@@ -237,6 +240,7 @@ def test_novelty_first_doc_is_fully_novel(spark):
             assert r["novel_cnt"] == 0 and r["novel_frac"] is None
 
 
+@pytest.mark.slow
 def test_bfs_distances_are_valid_hop_counts(spark):
     """Seeds report 0; every reached node's distance is within the
     fixed horizon; edge-consistency holds (a node at distance d+1 has
@@ -254,6 +258,7 @@ def test_bfs_distances_are_valid_hop_counts(spark):
     assert any(d >= 1 for d in dist.values())
 
 
+@pytest.mark.slow
 def test_bloom_prefilter_matches_plain_join_and_is_selective(spark):
     """The bloom prefilter must be invisible in the RESULT (exact join
     drops false positives) and visible in the WORK: the bitmap passes
@@ -291,6 +296,7 @@ def test_bloom_prefilter_matches_plain_join_and_is_selective(spark):
     assert passed == len(want) <= len(dim_keys)
 
 
+@pytest.mark.slow
 def test_dsir_selects_top_quarter_deterministically(spark):
     """The op returns exactly floor(n/4) docs, scores are finite, and
     the selected set is closed downward in the (score desc, doc_id)

@@ -101,6 +101,7 @@ def test_release_counts_manual_ckpt_frame(spark):
 # ------------------------------------------------ r6 ADVICE regressions
 
 
+@pytest.mark.slow
 def test_attribution_same_ts_clicks_credit_max_event_id(spark, tmp_path):
     """r6 ADVICE item 1: two clicks at the SAME (user_id, ts) must
     credit deterministically — the max click event_id — instead of

@@ -165,6 +165,7 @@ def test_bpe_apply_compresses(spark):
     assert tot_w > 0 and tot_w <= tot_b
 
 
+@pytest.mark.slow
 def test_bpe_merge_fold_randomized_three_engines(spark):
     """Randomized property pin for the fixed over-merge class: for 300
     seeded random (symbol-list, pair) cases — alphabet {a, b, ab, ba,

@@ -3,6 +3,8 @@ counterparts when driven over the finite events source."""
 
 from __future__ import annotations
 
+import pytest
+
 from emdrive_spark.operators.timeseries import events_tumbling_count
 from emdrive_spark.streaming import events as S
 
@@ -39,6 +41,7 @@ def test_streaming_dedup(spark):
     assert out.count() == ev.count()  # no dupes in source; all rows pass once
 
 
+@pytest.mark.slow
 def test_stateful_totals_tws_converges_to_batch(spark):
     """Spark 4 transformWithStateInPandas twin of stateful_user_totals —
     must equal the batch groupBy. Where protobuf (the state-server
